@@ -1,0 +1,70 @@
+"""Table loading for the engine's parquet-backed tables.
+
+Some driver tables carry parquet TIMESTAMP(NANOS) columns (e.g.
+``events.ts``), which Spark's vectorized reader rejects outright
+(PARQUET_TYPE_ILLEGAL).  We read them with
+``spark.sql.legacy.parquet.nanosAsLong`` and convert ns→µs ourselves
+(floor division — identical to DuckDB's ns→µs truncation, so oracle
+comparisons agree).  The conversion is detected from the parquet footer,
+not hardcoded per table, so any future nanos column is handled.
+
+Scale note: footer inspection reads one file's metadata only; the data
+path stays the normal vectorized parquet scan with pushdown intact.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return ()
+    import pyarrow as pa
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        ]
+        if not files:
+            return ()
+        path = files[0]
+    schema = pq.read_schema(path)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pa.types.is_timestamp(typ) and typ.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; nanos timestamps come back as proper
+    ``TimestampType`` (µs, UTC) columns."""
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        # integer `div` — a double division would lose precision above 2^53 ns
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register the driver tables as temp views for the SQL API."""
+    for name in tables or TABLES:
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-vs-oracle (UTC timestamps) and for
+scale (AQE, skew-join handling).  On a real cluster the same builder is
+used — only ``master`` and memory sizing change; nothing in this engine
+assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "fluent-plugin-sql-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale notes (100 TB design):
+    - AQE is always on: runtime partition coalescing, skew-join splitting
+      and dynamic broadcast decisions replace hand-tuned plans.
+    - ``spark.sql.shuffle.partitions`` defaults to the local core count;
+      on a cluster set it ≈ 2-3× total executor cores (AQE coalesces down).
+    - Session timezone is pinned to UTC so timestamp semantics are
+      deterministic and match the DuckDB oracle (naive-UTC).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,123 @@
+"""JDBC source/sink wrappers (reference S2/S7/S9 semantics).
+
+The reference delegates all SQL to ActiveRecord + the RDBMS
+(in_sql.rb:28-43; out_sql.rb:20-39).  Spark's JDBC relation is the
+equivalent delegation point: filters/limits compose into the SQL sent to
+the database, partitioned reads parallelize what the reference does on a
+single connection (in_sql.rb:246, 260), and ``batchsize`` batches INSERTs
+like activerecord-import (out_sql.rb:104).
+
+No JDBC driver jar ships in this container, so these wrappers are exercised
+by unit tests only at the plan/SQL-text level; against a real database they
+are plain ``spark.read/write.jdbc`` calls.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def sql_literal(value: Any) -> str:
+    """Render a Python value as a SQL literal for pushdown composition."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, _dt.datetime):
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(value, _dt.date):
+        return f"DATE '{value.isoformat()}'"
+    s = str(value).replace("'", "''")
+    return f"'{s}'"
+
+
+def incremental_query(
+    table: str, update_column: str, last_value: Any | None, limit: int
+) -> str:
+    """The exact reference query shape (README.md:34), embedded as a
+    ``dbtable`` subquery so the DATABASE executes WHERE/ORDER/LIMIT —
+    total pushdown, same as the reference's ActiveRecord relation
+    (in_sql.rb:130-135)."""
+    where = (
+        f" WHERE {update_column} > {sql_literal(last_value)}"
+        if last_value is not None
+        else ""
+    )
+    return (
+        f"(SELECT * FROM {table}{where} "
+        f"ORDER BY {update_column} ASC LIMIT {limit}) AS fpss_src"
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: Any | None = None,
+    upper_bound: Any | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Plain JDBC read; with ``partition_column`` bounds, Spark issues
+    ``num_partitions`` range-sliced queries in parallel — the scale-out
+    replacement for the reference's single poll connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+    batchsize: int = 1000,
+    num_partitions: int | None = None,
+) -> None:
+    """S7 bulk sink: batched multi-row INSERT (JDBC ``executeBatch`` ≙
+    activerecord-import, out_sql.rb:104).  ``num_partitions`` caps
+    concurrent connections — the S9 pool-size contract (out_sql.rb:32-35):
+    one JDBC connection per write partition."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def discover_jdbc_tables(
+    spark: SparkSession,
+    url: str,
+    properties: dict[str, str] | None = None,
+    schema: str = "public",
+    skip: tuple[str, ...] = ("schema_migrations",),
+) -> list[str]:
+    """S3 ``all_tables`` against an RDBMS catalog (in_sql.rb:214-230)."""
+    q = (
+        "(SELECT table_name FROM information_schema.tables "
+        f"WHERE table_schema = {sql_literal(schema)}) AS t"
+    )
+    rows = read_jdbc(spark, url, q, properties).collect()
+    return sorted(r[0] for r in rows if r[0] not in skip)

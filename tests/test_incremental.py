@@ -1,0 +1,152 @@
+"""Reference-semantics tests for the incremental scan + poll loop.
+
+Mirrors the reference's e2e strategy (SURVEY.md §5): poll → events golden
+checks, tie handling at the watermark, time fallback, state-file resume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.config import SourceTable, SQLInputConfig
+from fluent_plugin_sql_spark.sources.incremental import (
+    IncrementalScan,
+    SQLInput,
+    discover_tables,
+    resolve_event_time,
+)
+from fluent_plugin_sql_spark.state import MemoryStateStore, StateStore
+
+NOW = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def events_reader(spark, sf_dir):
+    from fluent_plugin_sql_spark.io import load_table
+
+    return lambda: load_table(spark, sf_dir, "events")
+
+
+def test_scan_shape_strict_greater_and_limit(spark, sf_dir):
+    scan = IncrementalScan(events_reader(spark, sf_dir), "event_id", select_limit=100)
+    batch = scan.batch_plan(last_value=49)
+    rows = batch.collect()
+    assert len(rows) == 100
+    ids = [r["event_id"] for r in rows]
+    # strictly greater: id 49 itself is never re-read (T2, in_sql.rb:131-132)
+    assert min(ids) == 50
+    assert ids == sorted(ids)
+
+
+def test_scan_no_state_reads_from_start(spark, sf_dir):
+    scan = IncrementalScan(events_reader(spark, sf_dir), "event_id", select_limit=10)
+    ids = [r["event_id"] for r in scan.batch_plan(None).collect()]
+    assert ids == list(range(10))
+
+
+def test_poll_advances_watermark_and_drains(spark, sf_dir, tmp_path):
+    emitted = []
+    cfg = SQLInputConfig(
+        tables=[SourceTable(table="events", update_column="event_id", time_column="ts")],
+        tag_prefix="db",
+        select_limit=400,
+        state_file=str(tmp_path / "state.json"),
+    )
+    inp = SQLInput(
+        spark,
+        cfg,
+        readers={"events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: emitted.append((tag, df.count())),
+        now=NOW,
+    )
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = inp.run_once(drain=True)
+    assert got["events"] == total
+    assert all(tag == "db.events" for tag, _ in emitted)
+    assert sum(n for _, n in emitted) == total
+    # resume from persisted state: nothing new to read
+    inp2 = SQLInput(
+        spark,
+        cfg,
+        readers={"events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: emitted.append((tag, df.count())),
+        state=StateStore(str(tmp_path / "state.json")),
+        now=NOW,
+    )
+    assert inp2.run_once()["events"] == 0
+
+
+def test_emit_before_checkpoint_ordering(spark, sf_dir, tmp_path):
+    """Crash inside emit ⇒ state NOT advanced ⇒ batch re-emitted (at-least-once)."""
+    state_file = str(tmp_path / "state.json")
+    cfg = SQLInputConfig(
+        tables=[SourceTable(table="events", update_column="event_id")],
+        select_limit=50,
+        state_file=state_file,
+    )
+
+    def boom(tag, df):
+        raise RuntimeError("sink crashed")
+
+    inp = SQLInput(spark, cfg, {"events": events_reader(spark, sf_dir)}, emit=boom, now=NOW)
+    res = inp.run_once()
+    assert res["events"] == -1  # isolated error (T7)
+    assert StateStore(state_file).last_record("events") is None
+    # retry with a working sink re-emits the same first batch
+    seen = []
+    inp2 = SQLInput(
+        spark, cfg,
+        {"events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: seen.append([r["event_id"] for r in df.orderBy("event_id").collect()]),
+        state=StateStore(state_file), now=NOW,
+    )
+    inp2.run_once()
+    assert seen[0] == list(range(50))
+
+
+def test_error_isolation_other_tables_proceed(spark, sf_dir):
+    cfg = SQLInputConfig(
+        tables=[
+            SourceTable(table="bad", update_column="nope"),
+            SourceTable(table="events", update_column="event_id"),
+        ],
+        select_limit=10,
+    )
+
+    def bad_reader():
+        raise RuntimeError("connection refused")
+
+    got = SQLInput(
+        spark, cfg,
+        {"bad": bad_reader, "events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: None, state=MemoryStateStore(), now=NOW,
+    ).run_once()
+    assert got["bad"] == -1 and got["events"] == 10
+
+
+def test_lenient_event_time_fallback(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), (None,), ("not a time",)], ["t"]
+    )
+    out = resolve_event_time(df, "t", now=NOW).collect()
+    assert out[0]["time"] == dt.datetime(2024, 1, 1, 10, 0)
+    assert not out[0]["_time_fallback"]
+    assert out[1]["time"] == NOW and out[1]["_time_fallback"]
+    assert out[2]["time"] == NOW and out[2]["_time_fallback"]
+
+
+def test_discover_tables_skips_migrations(spark, sf_dir):
+    names = discover_tables(spark, sf_dir)
+    assert "events" in names and "lineitem" in names
+    assert "schema_migrations" not in names
+
+
+def test_state_store_tolerates_empty_file(tmp_path):
+    p = tmp_path / "s.json"
+    p.write_text("")
+    st = StateStore(str(p))
+    assert st.last_record("x") is None
+    st.update("x", {"id": 7})
+    assert StateStore(str(p)).last_record("x") == {"id": 7}
