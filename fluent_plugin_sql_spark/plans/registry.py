@@ -1,0 +1,35 @@
+"""Query registry — the engine's declared operator surface.
+
+Every operator claimed done in SURVEY.md §2 registers here with a Spark
+implementation ``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible)
+a DuckDB oracle SQL string.  ``__spark_entry__`` exposes this registry to
+the driver's correctness harness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in REGISTRY.items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {k: v[1] for k, v in REGISTRY.items() if v[1] is not None}
