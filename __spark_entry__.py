@@ -22,7 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # importing the plan modules populates the registry
 import fluent_plugin_sql_spark.plans.analytics  # noqa: F401, E402
+import fluent_plugin_sql_spark.plans.llm_pipeline  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.reference_ops  # noqa: F401, E402
+import fluent_plugin_sql_spark.plans.temporal  # noqa: F401, E402
 from fluent_plugin_sql_spark.plans.registry import oracle_map, query_map  # noqa: E402
 
 

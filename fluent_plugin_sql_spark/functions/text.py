@@ -1,0 +1,152 @@
+"""Text-analysis scalar surface for LLM-data pipelines (north star:
+BASELINE.json "LLM-data-pipeline operators").
+
+Everything here is a JVM-side Column expression (split / higher-order
+array functions / md5) — no Python UDFs — so text processing runs inside
+whole-stage codegen and scales linearly with no serde overhead.  The
+md5-derived 60-bit hash is the engine's portable hash primitive: identical
+results in Spark (``conv(substr(md5(x),1,15),16,10)``) and any ANSI engine
+with md5, which is what makes dedup/fingerprint results reproducible
+across engines and cluster topologies (unlike partition-order-dependent
+or JVM-seeded hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# modular prime for rolling hashes (fits bigint arithmetic without overflow)
+FINGERPRINT_MOD = 1_000_000_007
+
+# small English stopword list (public-domain common words)
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with as "
+    "for on at by from"
+).split()
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def md5_long(col: Column | str) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 as bigint."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space normalized corpus)."""
+    return F.split(_c(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish regex token count: alphabetic runs (a cheap, deterministic
+    proxy for subword pre-tokenization)."""
+    return F.regexp_count(_c(col), F.lit("[a-z]+"))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def type_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / total tokens."""
+    return F.round(distinct_token_count(col) / token_count(col), 6)
+
+
+def avg_token_length(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.round(total / F.size(t), 6)
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stops, x)))
+    return F.round(n_stop / F.size(t), 6)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: favors mid-length documents
+    with diverse vocabulary and a sane stopword rate.  Deterministic
+    arithmetic only — reproducible across engines and runs."""
+    n = token_count(col)
+    length_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    diversity_term = distinct_token_count(col) / n
+    stop_term = F.lit(1.0) - F.least(stopword_ratio(col) * 2, F.lit(1.0))
+    return F.round((length_term + diversity_term + stop_term) / 3.0, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Character/stopword-profile language heuristic.
+
+    Order of checks: CJK codepoints → zh; characteristic function words →
+    de/fr/es; English stopwords → en; else unknown.  (On the synthetic
+    corpus every document is English-vocabulary, so the heuristic is
+    validated engine-vs-engine rather than against the ``lang`` label.)
+    """
+    c = _c(col)
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+
+    def has_any(words: list[str]) -> Column:
+        cond = None
+        for w in words:
+            t = padded.contains(f" {w} ")
+            cond = t if cond is None else (cond | t)
+        return cond
+
+    return (
+        F.when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(has_any(["der", "und", "nicht", "ich", "das"]), "de")
+        .when(has_any(["le", "les", "une", "est", "et"]), "fr")
+        .when(has_any(["el", "los", "una", "es", "y"]), "es")
+        .when(has_any(["the", "a", "is", "and", "of"]), "en")
+        .otherwise("unknown")
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Rolling-hash document fingerprint: polynomial fold of the portable
+    token hashes, mod a 30-bit prime.  Content-defined (whitespace-
+    normalization invariant) and engine-portable."""
+    hashes = F.transform(tokens(col), lambda t: md5_long(t))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
+def token_hashes(col: Column | str) -> Column:
+    """Array of portable 60-bit token hashes — compute ONCE per row and
+    reuse (simhash folds it 60×; rehashing per bit would be 60× the md5s)."""
+    return F.transform(tokens(col), lambda t: md5_long(t))
+
+
+def simhash60_from_hashes(hashes_col: str) -> Column:
+    """60-bit SimHash from a precomputed ``token_hashes`` array column.
+
+    Per bit b: sum ±1 over token hashes' bit b; bit set iff sum > 0.
+    Pure higher-order-function expression (SQL text because the bit shift
+    needs the lambda variable as the shift amount) — per-row, no
+    aggregation state, so it parallelizes embarrassingly.  60 bits keeps
+    the sketch positive in a signed bigint on every engine.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, 59), b ->
+            CASE WHEN aggregate(`{hashes_col}`, cast(0 as bigint),
+                   (acc, h) -> acc + (((h >> b) & 1) * 2 - 1)) > 0
+                 THEN cast(1 as bigint) ELSE cast(0 as bigint) END),
+          cast(0 as bigint), (acc, x) -> acc * 2 + x)
+        """
+    )

@@ -1,0 +1,9 @@
+from .dedup import (  # noqa: F401
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_dup_pairs,
+    minhash_lsh_dup_pairs,
+    shingle_sets,
+    simhash_dup_pairs,
+)
+from .similarity import brute_force_topk, cosine, hyperplane_buckets, lsh_topk  # noqa: F401

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline; the LSH (random
+hyperplane / SimHash-for-vectors) bucketed variant is the scale path:
+bucket the corpus once, then only compare within buckets — candidates per
+query are O(bucket size), independent of corpus size.
+
+All vector math is zip_with/aggregate Column expressions in DOUBLE
+precision — JVM-side, inside codegen, no UDFs, deterministic summation
+order (sequential fold) so results are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Plan shape: broadcast the (small) query side → corpus never shuffles
+    for the join; per-query top-k via window rank.  At 1000 executors the
+    corpus scan is embarrassingly parallel and the only shuffle is the
+    k-rows-per-query ranking, keyed by query id.  Ties broken on corpus id
+    for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 8, table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id for a vector (one hash table).
+
+    Plane components are derived from the portable md5 hash of
+    (table, plane, dim) — deterministic across engines/runs, no stored
+    model.  Component values are uniform in [-0.5, 0.5).
+    Bucket id = sign-bit string of the ``num_planes`` projections.
+    """
+    def plane_component(p: int, d: Column) -> Column:
+        h = md5_long(F.concat_ws(":", F.lit("plane"), F.lit(table), F.lit(p), d.cast("string")))
+        return (h % 1000) / 1000.0 - 0.5
+
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double") * plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_buckets(vec: Column, num_planes: int, num_tables: int) -> Column:
+    """Multi-table LSH: array of per-table bucket ids.  More tables →
+    higher recall (a true neighbor is found if ANY table buckets it with
+    the query); candidate cost grows linearly with tables, still sublinear
+    in corpus size."""
+    return F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), hyperplane_bucket(vec, num_planes, table=t))
+            for t in range(num_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_planes: int = 6,
+    num_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH — compare each query
+    only against corpus vectors sharing a bucket in ≥1 of ``num_tables``
+    tables.  Recall < 1 by construction (measured in tests against
+    :func:`brute_force_topk`); expected candidates per query ≈
+    num_tables × |corpus| / 2^num_planes — sublinear in corpus size,
+    which is the 100 TB path (the brute-force cross product is not).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        F.explode(hyperplane_buckets(F.col(vec_col), num_planes, num_tables)).alias(
+            "bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(hyperplane_buckets(F.col(vec_col), num_planes, num_tables)).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), (c.bucket == q.bucket) & (F.col("query_id") != F.col("match_id")))
+        .select("query_id", "match_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "match_id"])  # candidate found by >1 table
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )

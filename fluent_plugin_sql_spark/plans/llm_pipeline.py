@@ -1,0 +1,270 @@
+"""LLM-data-pipeline operator queries (north star: dedup, similarity
+search, text analysis — BASELINE.json) over `documents` / `embeddings`.
+
+Every Spark implementation composes built-in expressions (operators/ and
+functions/text) — no UDFs; DuckDB oracles re-derive the identical math
+from scratch in SQL (the md5-based 60-bit hash is bit-identical across
+engines), so value-hash matches prove the algorithms, not just plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..io import load_table
+from ..operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_dup_pairs,
+    minhash_lsh_dup_pairs,
+    simhash_dup_pairs,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from .registry import query
+
+# shared DuckDB SQL fragments (oracle side of the portable hash primitive)
+_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_SHINGLES = """
+  SELECT DISTINCT doc_id AS doc,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1))) AS i) t
+"""
+_PAIR_JACCARD = f"""
+  WITH sh AS ({_SHINGLES}),
+  sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+  shared AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+  )
+  SELECT doc_a, doc_b,
+         round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------- dedup
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"{_PAIR_JACCARD} WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shared-shingle
+    inverted-index join (candidates) + exact verification."""
+    return jaccard_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    # LSH banding (r=4, b=8) has collision prob ≈0.9996 at J=0.8 and the
+    # corpus separates J≥0.97 vs J≤0.07, so LSH+verify ≡ exhaustive pairs.
+    oracle=f"{_PAIR_JACCARD} WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows) + exact-Jaccard verification."""
+    return minhash_lsh_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=32, bands=8
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_transform(string_split(text, ' '), s -> {_H.format(x='s')}) AS hs
+      FROM documents
+    ),
+    sk AS (
+      SELECT doc,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(0, 60), b ->
+                 CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                        list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)),
+                      (acc, x) -> acc + x) > 0
+                      THEN 1::BIGINT ELSE 0::BIGINT END)),
+               (acc, x) -> acc * 2 + x) AS sk
+      FROM t
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.sk, b.sk)) AS hamming
+    FROM sk a JOIN sk b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sk, b.sk)) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup pairs at hamming ≤ 6."""
+    return simhash_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=6)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.48
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (double-precision zip_with math)."""
+    return embedding_dup_pairs(_emb(spark, sf_dir), "embedding", "vec_id", threshold=0.48)
+
+
+# ------------------------------------------------------- similarity search
+@query(
+    "ann_bruteforce_top5",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, match_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS cos
+      FROM q JOIN c ON query_id != match_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, match_id ASC) AS rank FROM scored)
+    SELECT query_id, match_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors — broadcast queries, scan
+    corpus once, window-rank per query."""
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query("ann_lsh_top5")  # approximate by construction → rows-only + recall test
+def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-5 — the sublinear scale path; recall
+    vs brute force is asserted in tests/test_llm_ops.py."""
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6, num_tables=8)
+
+
+# ------------------------------------------------------------ text analysis
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS type_token_ratio,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') * 1.0
+                 / len(toks), 6) AS avg_token_len,
+           round(len(list_filter(toks, x -> list_contains(
+                 {TX.STOPWORDS!r}::VARCHAR[], x))) * 1.0 / len(toks), 6)
+                 AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats, all codegen'd expressions."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.word_token_count("text").alias("n_word_tokens"),
+        TX.distinct_token_count("text").alias("n_distinct_tokens"),
+        TX.type_token_ratio("text").alias("type_token_ratio"),
+        TX.avg_token_length("text").alias("avg_token_len"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS diversity,
+             len(list_filter(toks, x -> list_contains(
+                 {TX.STOPWORDS!r}::VARCHAR[], x))) * 1.0 / len(toks) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round((least(n / 50.0, 1.0) + diversity
+                  + (1.0 - least(round(stop_ratio, 6) * 2, 1.0))) / 3.0, 6)
+                 AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        WHEN contains(' '||text||' ',' der ') OR contains(' '||text||' ',' und ')
+          OR contains(' '||text||' ',' nicht ') OR contains(' '||text||' ',' ich ')
+          OR contains(' '||text||' ',' das ') THEN 'de'
+        WHEN contains(' '||text||' ',' le ') OR contains(' '||text||' ',' les ')
+          OR contains(' '||text||' ',' une ') OR contains(' '||text||' ',' est ')
+          OR contains(' '||text||' ',' et ') THEN 'fr'
+        WHEN contains(' '||text||' ',' el ') OR contains(' '||text||' ',' los ')
+          OR contains(' '||text||' ',' una ') OR contains(' '||text||' ',' es ')
+          OR contains(' '||text||' ',' y ') THEN 'es'
+        WHEN contains(' '||text||' ',' the ') OR contains(' '||text||' ',' a ')
+          OR contains(' '||text||' ',' is ') OR contains(' '||text||' ',' and ')
+          OR contains(' '||text||' ',' of ') THEN 'en'
+        ELSE 'unknown'
+      END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(text, ' '), s -> {_H.format(x='s')})),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (polynomial fold of token hashes)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))

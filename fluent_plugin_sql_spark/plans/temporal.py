@@ -1,0 +1,197 @@
+"""Temporal operators: event-time windows, sessionization, as-of joins
+(SURVEY.md §2.9 G-T, §2.3 J6/J7) over the `events` stream table.
+
+These run identically in batch and Structured Streaming —
+``window()`` / ``session_window()`` are the same expressions the
+streaming wrappers (streaming/) use with watermarks; declaring them here
+in batch mode lets the DuckDB oracle prove the time semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.asof import asof_join, interval_join
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-T tumbling window aggregate — identical expression works under
+    readStream+watermark (streaming mode tested in tests/test_streaming.py)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH buckets AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+             AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n
+    FROM buckets GROUP BY 1, 2, 3
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-T sliding window (1 h window, 30 min slide): each event lands in
+    exactly 2 windows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '4 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '4 hours' AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-T sessionization: 4-hour inactivity gap.  ``session_window`` is
+    the same expression Structured Streaming uses with a watermark; the
+    oracle re-derives the merge semantics via lag/cumsum."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS click_ts_asof, c.event_id AS click_id_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click.  Union+window implementation — one shuffle, no
+    pair explosion (oracle: DuckDB's native ASOF JOIN)."""
+    e = _events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("event_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "event_id"],
+        suffix="_x",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("click_ts_asof"),
+        F.col("event_id_x").alias("click_id_asof"),
+    )
+
+
+@query(
+    "interval_join_maintenance",
+    oracle="""
+    WITH windows(wname, wstart, wend) AS (
+      VALUES ('w1', TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-07 00:00:00'),
+             ('w2', TIMESTAMP '2024-01-15 12:00:00', TIMESTAMP '2024-01-16 00:00:00'),
+             ('w3', TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-26 06:00:00')
+    )
+    SELECT wname, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events JOIN windows ON ts >= wstart AND ts < wend
+    GROUP BY wname
+    """,
+)
+def interval_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 point-in-interval join against a small broadcast interval table."""
+    e = _events(spark, sf_dir)
+    windows = spark.createDataFrame(
+        [
+            ("w1", "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+            ("w2", "2024-01-15 12:00:00", "2024-01-16 00:00:00"),
+            ("w3", "2024-01-25 00:00:00", "2024-01-26 06:00:00"),
+        ],
+        ["wname", "wstart", "wend"],
+    ).select(
+        "wname",
+        F.col("wstart").cast("timestamp"),
+        F.col("wend").cast("timestamp"),
+    )
+    return (
+        interval_join(e, windows, "ts", "wstart", "wend")
+        .groupBy("wname")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

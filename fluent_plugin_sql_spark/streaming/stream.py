@@ -1,0 +1,108 @@
+"""Structured Streaming mode (SURVEY.md §2.9, M4).
+
+The reference's streaming semantics map onto Structured Streaming:
+- T1 poll trigger        → ``trigger(processingTime=...)``
+- T2 progress watermark  → source offsets in the checkpoint dir
+- T3 late/dirty data     → ``withWatermark`` + lenient time (functions.time)
+- T5 at-least-once sink  → ``foreachBatch`` + idempotent/append writes
+- T6 state recovery      → checkpoint dir recovery
+- G-T windows/sessions   → ``window()`` / ``session_window()`` (same
+  expressions as plans/temporal.py — batch and streaming share them)
+
+These wrappers keep the engine Spark-native: a streaming query is the
+same DataFrame plan with a streaming source and a sink policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sinks.router import SQLOutput
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream (each new parquet file = a micro-batch).
+    ``maxFilesPerTrigger`` is the streaming analogue of the reference's
+    ``select_limit`` backpressure cap (T4, in_sql.rb:51-52)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — late rows beyond the
+    watermark are dropped from state (bounded state at any scale)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *(keys or []))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *(keys or []),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "4 hours",
+    watermark: str = "8 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Watermarked session windows (same semantics as the batch
+    `session_windows` query; state closes once the watermark passes
+    session_end + gap)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_to_sql_output(
+    df: DataFrame,
+    output: SQLOutput,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    tag_col: str = "tag",
+) -> StreamingQuery:
+    """T5: route every micro-batch through the tag-routed sink
+    (out_sql ≙ foreachBatch).  Delivery is at-least-once — a retried
+    batch re-runs ``write_batch``; use idempotent/upsert writers for
+    effectively-once."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        output.write_batch(batch_df, tag_col)
+
+    writer = df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,95 @@
+"""LLM-pipeline operator semantics: dedup families, similarity search,
+text functions — including the properties the oracle can't check
+(LSH recall, planted-duplicate detection)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.io import load_table
+from fluent_plugin_sql_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_dup_pairs,
+    minhash_lsh_dup_pairs,
+    simhash_dup_pairs,
+)
+from fluent_plugin_sql_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Planted duplicates: exact copy and near copy of doc 0."""
+    base = load_table(spark, SF, "documents").limit(50)
+    first = base.where(F.col("doc_id") == 0).select("doc_id", "text").first()
+    extra = spark.createDataFrame(
+        [
+            (9001, first["text"]),  # exact dup
+            (9002, first["text"] + " tail token"),  # near dup
+            (9003, "completely different content here entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    return base.select("doc_id", "text").unionByName(extra)
+
+
+def test_exact_dedup_groups_identical_texts(spark, docs_with_dups):
+    out = exact_dedup(docs_with_dups, "text", "doc_id")
+    dup_group = out.where(F.col("n_copies") > 1).collect()
+    assert len(dup_group) == 1
+    assert dup_group[0]["keep_id"] == 0 and dup_group[0]["n_copies"] == 2
+
+
+def test_jaccard_finds_planted_near_dup(spark, docs_with_dups):
+    pairs = jaccard_dup_pairs(docs_with_dups, "text", "doc_id", threshold=0.8).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 9001) in got  # exact dup: jaccard 1.0
+    assert (0, 9002) in got  # near dup
+    assert all(9003 not in p for p in got)
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, docs_with_dups):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_dup_pairs(docs_with_dups, "text", "doc_id", 0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dup_pairs(docs_with_dups, "text", "doc_id", 0.8).collect()
+    }
+    # verification makes precision exact; banding at J>=0.8 has ~1 recall
+    assert lsh == exact and len(lsh) >= 2
+
+
+def test_simhash_pairs_have_small_hamming(spark, docs_with_dups):
+    pairs = simhash_dup_pairs(docs_with_dups, "text", "doc_id", max_hamming=6).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 9001)] == 0  # identical text -> identical sketch
+    assert (0, 9002) in got  # near dup within hamming 6
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, num_planes=4).collect()
+    exact_set = {(r["query_id"], r["match_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["match_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 hyperplanes -> 16 buckets over 500 vectors; recall is partial by
+    # design but must be well above random (5/499 ~ 1%)
+    assert recall > 0.2, f"recall {recall}"
+    # every returned neighbor must come from the query's own bucket and
+    # carry a real cosine score
+    assert all(r["cos"] is not None for r in approx)
+
+
+def test_bruteforce_topk_is_sorted_and_excludes_self(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = brute_force_topk(emb, emb.where(F.col("vec_id") == 3), k=5).collect()
+    assert len(out) == 5
+    assert all(r["match_id"] != 3 for r in out)
+    scores = [r["cos"] for r in out]
+    assert scores == sorted(scores, reverse=True)
