@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Times exclude session startup (a warmup action runs first); each query is
+timed to full materialization (collect), which includes result transfer —
+results are aggregate-sized by design.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from fluent_plugin_sql_spark.session import get_spark
+
+# headline set: covers scan+agg, star joins, windows, sessionization,
+# as-of, dedup (exact + minhash-LSH), vector search, text stats, and the
+# reference's incremental scan
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top3_orders_per_customer",
+    "tumbling_window_counts",
+    "session_windows",
+    "asof_join_purchase_click",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_top5",
+    "text_stats",
+    "incremental_scan",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("fpss-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,14 +81,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    # LSH banding (r=4, b=8) has collision prob ≈0.9996 at J=0.8 and the
+    # LSH banding (r=4, b=6) has collision prob ≈0.996 at J=0.8 and the
     # corpus separates J≥0.97 vs J≤0.07, so LSH+verify ≡ exhaustive pairs.
     oracle=f"{_PAIR_JACCARD} WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) + LSH(8 bands × 4 rows) + exact-Jaccard verification."""
+    """MinHash(24) + LSH(6 bands × 4 rows) + exact-Jaccard verification."""
     return minhash_lsh_dup_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=32, bands=8
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
     )
 
 
