@@ -1,0 +1,88 @@
+"""Stream-stream join (J8) and custom stateful operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.io import load_table
+from fluent_plugin_sql_spark.streaming.stateful import (
+    stream_stream_join,
+    threshold_alerts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _as_stream(spark, df, tmp_path, name):
+    src = str(tmp_path / name)
+    df.coalesce(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        src,
+    )
+
+
+def test_threshold_alerts_fire_once_per_key(spark, tmp_path):
+    events = load_table(spark, SF, "events").select("user_id", "value")
+    stream, src = _as_stream(spark, events, tmp_path, "alert_src")
+    q = (
+        threshold_alerts(stream, threshold=1000.0)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alerts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    alerts = spark.sql("SELECT * FROM alerts").collect()
+    assert len(alerts) > 0
+    # at most one alert per user, each at/above the threshold
+    users = [r["user_id"] for r in alerts]
+    assert len(users) == len(set(users))
+    assert all(r["total_value"] >= 1000.0 for r in alerts)
+    # no user that stayed below the threshold ever alerts
+    totals = {
+        r["user_id"]: r["total"]
+        for r in events.groupBy("user_id").agg(F.sum("value").alias("total")).collect()
+    }
+    for u, total in totals.items():
+        if total < 1000.0:
+            assert u not in users
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    e = load_table(spark, SF, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    cs, _ = _as_stream(spark, clicks, tmp_path, "clicks_src")
+    ps, _ = _as_stream(
+        spark, purchases.withColumnRenamed("p_ts", "ts"), tmp_path, "purch_src"
+    )
+    joined = stream_stream_join(cs, ps, key="user_id", max_lag="30 minutes")
+    q = (
+        joined.select(F.col("l.user_id").alias("u"), "l.ts", F.col("r.ts").alias("p_ts"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["u"], r["ts"], r["p_ts"]) for r in spark.sql("SELECT * FROM ssj").collect()}
+    expected = {
+        (r["user_id"], r["ts"], r["p_ts"])
+        for r in clicks.join(purchases, "user_id")
+        .where(
+            (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("interval 30 minutes"))
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > 0
