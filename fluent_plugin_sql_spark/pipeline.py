@@ -1,0 +1,206 @@
+"""Config-driven pipeline runner — the migration path for reference users.
+
+A fluent-plugin-sql deployment is two config blocks (``<source>`` with
+``<table>`` sections; ``<match>`` with ``<table [pattern]>`` sections,
+README.md:17-63, 109-131).  This module accepts the same information as a
+YAML/JSON document and runs the equivalent Spark pipeline, so a reference
+user can switch by translating their fluentd config 1:1:
+
+```yaml
+source:
+  adapter: postgresql          # JDBC URL parts (or `path:` for parquet)
+  host: db.example.com
+  port: 5432
+  database: me
+  username: me
+  password: secret
+  tag_prefix: my.rdb
+  select_interval: 60
+  select_limit: 500
+  state_file: /var/run/fpss/state.json
+  tables:
+    - table: logs
+      tag: logs
+      update_column: id
+      time_column: created_at
+sink:
+  remove_tag_prefix: my.rdb
+  num_retries: 5
+  tables:
+    - table: logs_default          # pattern-less = default route
+      column_mapping: 'timestamp:created_at,message'
+    - table: logs_error
+      pattern: 'error.**'
+      column_mapping: 'timestamp:created_at,message'
+```
+
+Run:  ``python -m fluent_plugin_sql_spark.pipeline config.yaml [--once]``
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import SinkRoute, SourceTable, SQLInputConfig, SQLOutputConfig
+from .session import get_spark
+from .sinks.router import SQLOutput
+from .sources.incremental import SQLInput, discover_tables
+from .sources.jdbc import read_jdbc, write_jdbc
+
+
+def load_config(path: str) -> dict[str, Any]:
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def jdbc_url(src: dict[str, Any]) -> str:
+    """Compose a JDBC URL from the reference's connection params
+    (adapter/host/port/database, in_sql.rb:28-43)."""
+    adapter = src.get("adapter", "postgresql")
+    host = src.get("host", "localhost")
+    port = src.get("port") or {"postgresql": 5432, "mysql": 3306}.get(adapter, 5432)
+    return f"jdbc:{adapter}://{host}:{port}/{src['database']}"
+
+
+def build_input_config(src: dict[str, Any]) -> SQLInputConfig:
+    tables = [
+        SourceTable(
+            table=t["table"],
+            tag=t.get("tag"),
+            update_column=t.get("update_column"),
+            time_column=t.get("time_column"),
+            primary_key=t.get("primary_key"),
+        )
+        for t in src.get("tables", [])
+    ]
+    return SQLInputConfig(
+        tables=tables,
+        tag_prefix=src.get("tag_prefix"),
+        select_interval=float(src.get("select_interval", 60)),
+        select_limit=int(src.get("select_limit", 500)),
+        state_file=src.get("state_file"),
+        all_tables=bool(src.get("all_tables", False)),
+    )
+
+
+def build_output_config(sink: dict[str, Any]) -> SQLOutputConfig:
+    routes = [
+        SinkRoute(
+            table=t["table"],
+            pattern=t.get("pattern"),
+            column_mapping=t.get("column_mapping"),
+        )
+        for t in sink.get("tables", [])
+    ]
+    return SQLOutputConfig(
+        routes=routes,
+        remove_tag_prefix=sink.get("remove_tag_prefix"),
+        num_retries=int(sink.get("num_retries", 5)),
+        pool=int(sink.get("pool", 5)),
+        enable_fallback=bool(sink.get("enable_fallback", True)),
+    )
+
+
+def build_readers(
+    spark: SparkSession, src: dict[str, Any], cfg: SQLInputConfig
+) -> dict[str, Callable[[], DataFrame]]:
+    """Parquet-dir sources (``path:``) or JDBC sources (``database:``)."""
+    if "path" in src:
+        from .io import load_table
+
+        base = src["path"]
+        names = (
+            discover_tables(spark, base)
+            if cfg.all_tables
+            else [t.table for t in cfg.tables]
+        )
+        if cfg.all_tables and not cfg.tables:
+            cfg.tables.extend(SourceTable(table=n, update_column=src.get("update_column")) for n in names)
+        return {n: (lambda n=n: load_table(spark, base, n)) for n in names}
+    url = jdbc_url(src)
+    props = {
+        jdbc_k: str(src[k])
+        for k, jdbc_k in [("username", "user"), ("password", "password")]
+        if k in src
+    }
+    return {
+        t.table: (lambda t=t: read_jdbc(spark, url, t.table, props))
+        for t in cfg.tables
+    }
+
+
+def build_writer(spark: SparkSession, sink: dict[str, Any]) -> Callable[[DataFrame, str], None]:
+    """Parquet-dir sink (``path:``) or JDBC sink (``database:``)."""
+    if "path" in sink:
+        base = sink["path"]
+
+        def write_parquet(df: DataFrame, table: str) -> None:
+            df.write.mode("append").parquet(f"{base}/{table}")
+
+        return write_parquet
+    url = jdbc_url(sink)
+    props = {
+        jdbc_k: str(sink[k])
+        for k, jdbc_k in [("username", "user"), ("password", "password")]
+        if k in sink
+    }
+
+    def write_db(df: DataFrame, table: str) -> None:
+        write_jdbc(df, url, table, props, batchsize=int(sink.get("batchsize", 1000)),
+                   num_partitions=int(sink.get("pool", 5)))
+
+    return write_db
+
+
+class Pipeline:
+    """in_sql → router → out_sql, wired from one config document."""
+
+    def __init__(self, spark: SparkSession, config: dict[str, Any]):
+        self.spark = spark
+        self.in_cfg = build_input_config(config["source"])
+        self.out_cfg = build_output_config(config["sink"])
+        self.output = SQLOutput(self.out_cfg, build_writer(spark, config["sink"]))
+        readers = build_readers(spark, config["source"], self.in_cfg)
+        self.input = SQLInput(
+            spark,
+            self.in_cfg,
+            readers,
+            emit=lambda tag, df: self.output.write_batch(df),
+            now=config.get("logical_now"),
+        )
+
+    def run_once(self, drain: bool = True) -> dict[str, int]:
+        return self.input.run_once(drain=drain)
+
+    def run_forever(self) -> None:
+        self.input.run_forever()
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    once = "--once" in args
+    cfg = load_config(args[0])
+    spark = get_spark("fpss-pipeline")
+    pipe = Pipeline(spark, cfg)
+    if once:
+        print(json.dumps(pipe.run_once()))
+    else:
+        pipe.run_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

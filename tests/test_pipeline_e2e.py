@@ -1,0 +1,113 @@
+"""End-to-end round-trip (SURVEY.md §5 implication #1): config document →
+incremental ingest → routed sink → golden compare — the Spark analogue of
+the reference's plugin e2e tests against live PostgreSQL."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.io import load_table
+from fluent_plugin_sql_spark.pipeline import Pipeline, load_config
+
+SF = "/root/testdata/sf0.001"
+
+
+def make_config(tmp_path) -> dict:
+    return {
+        "source": {
+            "path": SF,
+            "tag_prefix": "db",
+            "select_limit": 300,
+            "state_file": str(tmp_path / "state.json"),
+            "tables": [
+                {
+                    "table": "events",
+                    "update_column": "event_id",
+                    "time_column": "ts",
+                }
+            ],
+        },
+        "sink": {
+            "path": str(tmp_path / "out"),
+            "remove_tag_prefix": "db",
+            "tables": [
+                {
+                    "table": "event_errors",
+                    "pattern": "events",
+                    "column_mapping": "event_id:id,event_type,value,time:event_time",
+                },
+                {"table": "catch_all"},
+            ],
+        },
+        "logical_now": "2024-06-01 00:00:00",
+    }
+
+
+def test_round_trip_golden(spark, tmp_path):
+    pipe = Pipeline(spark, make_config(tmp_path))
+    emitted = pipe.run_once(drain=True)
+    assert emitted == {"events": 1000}
+
+    out = spark.read.parquet(str(tmp_path / "out" / "event_errors"))
+    assert sorted(out.columns) == ["event_time", "event_type", "id", "value"]
+    assert out.count() == 1000
+
+    # golden compare against the source (order-insensitive, full payload)
+    src = load_table(spark, SF, "events").select(
+        F.col("event_id").alias("id"), "event_type", "value",
+        F.col("ts").alias("event_time"),
+    )
+    assert out.exceptAll(src).count() == 0
+    assert src.exceptAll(out).count() == 0
+
+    # state advanced to last row; a fresh pipeline reads nothing
+    state = json.loads((tmp_path / "state.json").read_text())
+    assert state["last_records"]["events"]["event_id"] == 999
+    pipe2 = Pipeline(spark, make_config(tmp_path))
+    assert pipe2.run_once() == {"events": 0}
+
+
+def test_yaml_config_loads(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        """
+source:
+  path: /root/testdata/sf0.001
+  select_limit: 100
+  tables:
+    - table: events
+      update_column: event_id
+sink:
+  path: /tmp/out
+  tables:
+    - table: dflt
+"""
+    )
+    cfg = load_config(str(p))
+    assert cfg["source"]["select_limit"] == 100
+    assert cfg["sink"]["tables"][0]["table"] == "dflt"
+
+
+def test_all_tables_discovery_pipeline(spark, tmp_path):
+    cfg = {
+        "source": {
+            "path": SF,
+            "all_tables": True,
+            "update_column": None,  # would come from PK on a real DB;
+            "select_limit": 10_000,
+            "tables": [
+                {"table": "region", "update_column": "r_regionkey"},
+                {"table": "nation", "update_column": "n_nationkey"},
+            ],
+        },
+        "sink": {
+            "path": str(tmp_path / "out2"),
+            "tables": [{"table": "everything"}],
+        },
+        "logical_now": "2024-06-01 00:00:00",
+    }
+    pipe = Pipeline(spark, cfg)
+    got = pipe.run_once(drain=True)
+    assert got == {"region": 5, "nation": 25}

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the plan-time pure functions,
+plus JDBC SQL-shape units (no JDBC driver jar in the container, so the
+generated SQL text is the testable contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluent_plugin_sql_spark.config import (
+    fluentd_glob_to_regex,
+    parse_column_mapping,
+    strip_tag_prefix_regex,
+)
+from fluent_plugin_sql_spark.sources.jdbc import incremental_query, sql_literal
+
+ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+tag_part = st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True)
+
+
+@given(st.lists(st.tuples(ident, ident), min_size=1, max_size=8))
+def test_column_mapping_roundtrip(pairs):
+    text = ",".join(f"{s}:{d}" if s != d else s for s, d in pairs)
+    assert parse_column_mapping(text) == list(pairs)
+
+
+@given(st.lists(tag_part, min_size=1, max_size=4))
+def test_glob_literal_matches_itself_only(parts):
+    tag = ".".join(parts)
+    rx = fluentd_glob_to_regex(tag)
+    assert re.match(rx, tag)
+    assert not re.match(rx, tag + "x")
+    assert not re.match(rx, "x" + tag)
+
+
+@given(st.lists(tag_part, min_size=1, max_size=4))
+def test_glob_star_star_matches_any_suffix(parts):
+    base = parts[0]
+    rx = fluentd_glob_to_regex(f"{base}.**")
+    assert re.match(rx, base)  # zero parts
+    assert re.match(rx, ".".join([base] + parts))  # any depth
+    assert not re.match(rx, "not" + base)
+
+
+@given(st.lists(tag_part, min_size=2, max_size=4))
+def test_strip_prefix_regex_strips_exactly_one_prefix(parts):
+    tag = ".".join(parts)
+    rx = strip_tag_prefix_regex(parts[0])
+    assert re.sub(rx, "", tag) == ".".join(parts[1:])
+    # non-matching prefix leaves the tag alone
+    assert re.sub(strip_tag_prefix_regex("zzzz"), "", tag) == tag
+
+
+@given(st.text(min_size=0, max_size=30))
+def test_sql_literal_escapes_quotes(s):
+    lit = sql_literal(s)
+    assert lit.startswith("'") and lit.endswith("'")
+    inner = lit[1:-1]
+    # every original quote is doubled; no bare quote remains
+    assert inner.replace("''", "") .count("'") == 0
+
+
+def test_sql_literal_types():
+    assert sql_literal(None) == "NULL"
+    assert sql_literal(True) == "TRUE"
+    assert sql_literal(42) == "42"
+    assert sql_literal(dt.date(2024, 3, 1)) == "DATE '2024-03-01'"
+    assert (
+        sql_literal(dt.datetime(2024, 3, 1, 10, 30, 0, 123456))
+        == "TIMESTAMP '2024-03-01 10:30:00.123456'"
+    )
+
+
+def test_incremental_query_shape_matches_reference():
+    """The generated SQL must be exactly the reference's documented poll
+    query (README.md:34) wrapped as a dbtable subquery."""
+    q = incremental_query("logs", "id", 42, 500)
+    assert q == "(SELECT * FROM logs WHERE id > 42 ORDER BY id ASC LIMIT 500) AS fpss_src"
+    q0 = incremental_query("logs", "updated_at", None, 500)
+    assert q0 == "(SELECT * FROM logs ORDER BY updated_at ASC LIMIT 500) AS fpss_src"
+    qt = incremental_query("logs", "updated_at", dt.datetime(2024, 1, 1), 10)
+    assert "updated_at > TIMESTAMP '2024-01-01 00:00:00.000000'" in qt
+
+
+@settings(max_examples=30)
+@given(st.integers(min_value=0, max_value=10**12), st.integers(min_value=1, max_value=1000))
+def test_incremental_query_always_strict_greater(last, limit):
+    q = incremental_query("t", "c", last, limit)
+    assert f"c > {last}" in q and f"LIMIT {limit}" in q
+    assert ">=" not in q  # ties must never be re-read (T2)
