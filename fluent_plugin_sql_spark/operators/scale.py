@@ -1,0 +1,88 @@
+"""Scale-pattern operators: skew-salted aggregation and CDC/upsert merge.
+
+These are the patterns that keep plans healthy at 100 TB:
+- ``salted_agg``: two-phase aggregation through an explicit salt for
+  skewed group keys — phase 1 shuffles on (key, salt) spreading a hot key
+  over N reducers, phase 2 combines the N partials per key.  AQE's skew
+  handling covers *join* skew; aggregation skew on a few giant keys still
+  benefits from explicit salting.
+- ``merge_upsert``: MERGE-INTO emulation (no Delta/Iceberg jars in this
+  environment): anti-join the base against update keys + union the
+  updates.  This is the CDC apply step for the incremental ingest path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: Callable[[], list[Column]],
+    partial_aggs: Callable[[], list[Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``partial_aggs`` builds the phase-1 aggregate columns and ``aggs``
+    builds the phase-2 combiners over them (sum→sum of sums, count→sum of
+    counts, min→min of mins…).  The salt is derived from a stable hash of
+    the full row spread via ``spark_partition_id`` + monotonic id — here
+    we use a random-free deterministic spread: crc32 of the row's unique
+    columns modulo buckets would need a unique col; simplest determinism
+    is monotonically_increasing_id % buckets, which is partition-stable
+    for a fixed input layout.
+    """
+    salted = df.withColumn(
+        "_salt", (F.monotonically_increasing_id() % salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs())
+    return phase1.groupBy(*key_cols).agg(*aggs())
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """MERGE emulation: updates replace matching base rows, inserts pass
+    through.  Two distributed ops: one anti join (base minus updated keys)
+    + one union — no driver materialization.  With Delta/Iceberg on the
+    classpath this becomes a real ``MERGE INTO`` (file-level rewrite);
+    semantics here are identical."""
+    survivors = base.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return survivors.unionByName(updates.select(*base.columns))
+
+
+def scd2_apply(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    end_col: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """SCD Type-2 apply: close out current versions of updated keys
+    (set valid_to + clear the flag), append updates as new current rows.
+
+    All set-logic — anti/semi joins + unions; no per-row state."""
+    upd_keys = updates.select(*key_cols).distinct()
+    untouched = base.join(upd_keys, key_cols, "left_anti")
+    closed = (
+        base.join(upd_keys, key_cols, "left_semi")
+        .where(F.col(current_flag))
+        .withColumn(end_col, F.current_timestamp())
+        .withColumn(current_flag, F.lit(False))
+    )
+    still_old = base.join(upd_keys, key_cols, "left_semi").where(~F.col(current_flag))
+    fresh = (
+        updates.withColumn(end_col, F.lit(None).cast("timestamp"))
+        .withColumn(current_flag, F.lit(True))
+    )
+    return untouched.unionByName(closed).unionByName(still_old).unionByName(
+        fresh.select(*base.columns)
+    )

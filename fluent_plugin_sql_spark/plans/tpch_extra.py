@@ -1,0 +1,350 @@
+"""Additional TPC-H-shaped queries adapted to the driver schema — widens
+the analytics surface with the classic plan shapes: EXISTS with date
+arithmetic (q4), multi-nation volume (q7), returned-item top-k (q10),
+CASE bucket counts (q12), promo share (q14), distinct-supplier counts with
+NOT IN (q16), grouped-HAVING IN (q18), disjunctive join predicates (q19),
+and per-group-min scalar subqueries (q2 flavor).
+
+All joins hint broadcast on dimension sides; aggregates rely on partial
+aggregation; every LIMIT is deterministically tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table, register_views
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "q2_min_price_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM part p
+    WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q2_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min subquery (decorrelated by Catalyst
+    into an aggregate + join)."""
+    register_views(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+        SELECT p_brand, p_partkey, p_retailprice FROM part p
+        WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@query(
+    "q4_order_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL '90 days')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: EXISTS with correlated date arithmetic → left-semi join."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("interval 90 days")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name != sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair trade volume by year."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top returned-revenue customers (tie-broken top-k)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_buckets",
+    oracle="""
+    SELECT year(l_shipdate) AS ship_year,
+           count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts by bucket."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue percentage."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct counts with NOT IN dimension filter."""
+    p = _t(spark, sf_dir, "part").where(
+        ~F.col("p_brand").isin("Brand#1", "Brand#2")
+        & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: IN over a grouped-HAVING subquery (semi join on an
+    aggregate)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 280)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive mixed join/filter predicates — Catalyst
+    extracts the common equi-key (partkey) so this stays a hash join with
+    a residual OR filter, not a nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(11, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    cond3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(26, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond1 | cond2 | cond3)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    SELECT substr(c_name, 10, 2) AS code, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderstatus = 'O')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated avg subquery + anti join + grouped
+    rollup on a derived code."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        dormant.groupBy(F.substring("c_name", 10, 2).alias("code"))
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )

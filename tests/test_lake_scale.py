@@ -1,0 +1,74 @@
+"""Lake sinks (partition pruning, bucketed shuffle-free joins) and
+scale-op semantics (SCD2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.io import load_table
+from fluent_plugin_sql_spark.operators.scale import scd2_apply
+from fluent_plugin_sql_spark.sinks.lake import write_bucketed, write_partitioned
+from tests.test_plans import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    e = load_table(spark, SF, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_part")
+    write_partitioned(e, out, ["dt"])
+    back = spark.read.parquet(out)
+    q = back.where(F.col("dt") == "2024-01-03")
+    plan = plan_of(q)
+    # partition filter must reach the scan as a PartitionFilters entry
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert q.count() == e.where(F.col("dt") == "2024-01-03").count() > 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(
+        li, "b_lineitem", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"]
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy("o_orderstatus").count()
+    plan = plan_of(joined.withColumn("x", F.lit(1)))
+    # co-bucketed equi-join: no Exchange feeding the join
+    join_section = plan.split("HashAggregate")[0]
+    assert "Exchange" not in join_section.split("SortMergeJoin")[0] or (
+        "BroadcastExchange" in join_section
+    )
+    # correctness unchanged
+    expected = (
+        o.join(li, o.o_orderkey == li.l_orderkey).groupBy("o_orderstatus").count()
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_scd2_apply_versions(spark):
+    base = spark.createDataFrame(
+        [
+            (1, "alice", None, True),
+            (2, "bob", None, True),
+            (1, "alice_old", dt.datetime(2023, 1, 1), False),
+        ],
+        ["id", "name", "valid_to", "is_current"],
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+    updates = spark.createDataFrame([(1, "alice_new")], ["id", "name"])
+    out = scd2_apply(base, updates, ["id"], ts_col="valid_to")
+    rows = {(r["id"], r["name"]): (r["is_current"], r["valid_to"] is None) for r in out.collect()}
+    assert rows[(2, "bob")] == (True, True)  # untouched
+    assert rows[(1, "alice")] == (False, False)  # closed out
+    assert rows[(1, "alice_old")] == (False, False)  # stays historical
+    assert rows[(1, "alice_new")] == (True, True)  # new current version
+    assert out.count() == 4
