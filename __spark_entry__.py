@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # importing the plan modules populates the registry
 import fluent_plugin_sql_spark.plans.analytics  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.analytics2  # noqa: F401, E402
+import fluent_plugin_sql_spark.plans.functions_surface  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.llm_pipeline  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.reference_ops  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.scale_ops  # noqa: F401, E402

@@ -1,0 +1,322 @@
+"""Scalar/array/date/window function surface (SURVEY.md §2.8 G-F, §2.5)
+— the breadth queries: each pins a family of built-ins against the oracle
+so regressions in semantics (null handling, frame bounds, timezone) get
+caught by value-hash, not by eyeball.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           replace(c_name, 'Customer#', 'C') AS short_name,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_code,
+           split_part(c_name, '#', 2) AS name_num,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits,
+           concat_ws('|', c_mktsegment, c_name) AS joined,
+           left(c_mktsegment, 3) AS seg3,
+           reverse(c_mktsegment) AS seg_rev,
+           contains(c_name, '99') AS has99
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("short_name"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_code"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("trailing_digits"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.col("c_name").contains("99").alias("has99"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           month(o_orderdate) AS m, dayofmonth(o_orderdate) AS d,
+           isodow(o_orderdate) AS dow_iso,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
+           o_orderdate + INTERVAL '30 days' AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS days_since_epoch_start,
+           last_day(o_orderdate::DATE) AS month_end
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        # Spark dayofweek: 1=Sunday; ISO dow: 1=Monday
+        (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("dow_iso"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("interval 30 days")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS dev_from_mid,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(ln(l_extendedprice), 6) AS log_price,
+           round(pow(1 + l_tax, 2), 6) AS tax_sq,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           l_quantity % 5 AS qty_mod,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           sign(l_discount - 0.05) AS disc_sign
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("dev_from_mid"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        (F.col("l_quantity") % 5).alias("qty_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "array_functions_explode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id, tok, tok_idx
+    FROM (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(0, len(toks) - 1)) AS tok_idx
+      FROM t
+    )
+    WHERE tok_idx < 5
+    """,
+)
+def array_functions_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-F arrays: posexplode (lateral view) with positional output."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("tok_idx", "tok"))
+        .where(F.col("tok_idx") < 5)
+        .select("doc_id", "tok", "tok_idx")
+    )
+
+
+@query(
+    "array_aggregation_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n,
+           toks[1] AS first_tok,
+           toks[-1] AS last_tok,
+           array_to_string(list_sort(toks[1:5]), ',') AS first5_sorted,
+           list_contains(toks, 'spark') AS mentions_spark,
+           len(list_filter(toks, x -> length(x) > 5)) AS n_long_tokens
+    FROM t
+    """,
+)
+def array_aggregation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-F arrays: element access, slice, sort, membership, filter."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 5)), ",").alias("first5_sorted"),
+        F.array_contains(toks, "spark").alias("mentions_spark"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           coalesce(v, -1.0) AS v_filled,
+           v IS NULL AS is_missing,
+           v IS NOT DISTINCT FROM NULL AS null_safe_eq_null,
+           CASE WHEN v IS NULL THEN 'missing' ELSE 'present' END AS status,
+           nullif(coalesce(v, 0.0), 0.0) AS zero_to_null
+    FROM t
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-P null semantics: coalesce / null-safe equality / nullif."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    )
+    return e.select(
+        "event_id",
+        F.coalesce("v", F.lit(-1.0)).alias("v_filled"),
+        F.col("v").isNull().alias("is_missing"),
+        F.col("v").eqNullSafe(F.lit(None).cast("double")).alias("null_safe_eq_null"),
+        F.when(F.col("v").isNull(), "missing").otherwise("present").alias("status"),
+        F.nullif(F.coalesce("v", F.lit(0.0)), F.lit(0.0)).alias("zero_to_null"),
+    )
+
+
+@query(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 ranking family: rank/dense_rank/ntile/percent_rank/cume_dist/
+    first_value/nth_value over one window definition."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+             AS n_similar_priced
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 RANGE frame (value-based, not row-based): peers within
+    ±10000 of each order's price."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_similar_priced"),
+    )
+
+
+@query(
+    "embedding_vector_stats",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                 x -> x * x), 'sum')), 6) AS l2_norm,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS comp_sum,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS comp_max,
+           round(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS comp_min
+    FROM embeddings
+    """,
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector column stats via higher-order functions — the norms feeding
+    ANN/dedup, JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.aggregate(
+        F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    total = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(total, 6).alias("comp_sum"),
+        F.round(F.array_max(vec), 6).alias("comp_max"),
+        F.round(F.array_min(vec), 6).alias("comp_min"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: binary payload
+    metadata (size + checksum) — the typed-metadata half of
+    operators/multimodal (decode itself is stubbed, see §8 map)."""
+    from ..operators.multimodal import attach_binary
+
+    d = attach_binary(_t(spark, sf_dir, "documents"), "text")
+    return d.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum_md5").alias("checksum"),
+    )

@@ -31,8 +31,15 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a previous session's metastore is gone but its warehouse files may
+    # persist → LOCATION_ALREADY_EXISTS; clear the locations too
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     o = load_table(spark, SF, "orders")
     li = load_table(spark, SF, "lineitem")
     write_bucketed(o, "b_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
