@@ -26,6 +26,7 @@ import fluent_plugin_sql_spark.plans.analytics2  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.functions_surface  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.llm_pipeline  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.reference_ops  # noqa: F401, E402
+import fluent_plugin_sql_spark.plans.sampling  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.scale_ops  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.temporal  # noqa: F401, E402
 import fluent_plugin_sql_spark.plans.tpch_extra  # noqa: F401, E402
