@@ -229,9 +229,13 @@ def simhash_dup_pairs(
     matching pairs must share ≥1 exact block — same inverted-index trick
     as shingles).
     """
-    sk = df.select(
-        F.col(id_col).alias("doc"), token_hashes(text_col).alias("hs")
-    ).select("doc", simhash60_from_hashes("hs").alias("sk"))
+    # materialize the token-hash arrays BEFORE the simhash projection:
+    # the sketch makes 60 per-bit passes over `hs`, and without a
+    # materialization barrier projection collapse substitutes the md5
+    # transform into every pass (and into both self-join sides) → md5
+    # recomputed 120× per doc (measured 79 s at sf0.1).
+    hs = df.select(F.col(id_col).alias("doc"), token_hashes(text_col).alias("hs")).cache()
+    sk = hs.select("doc", simhash60_from_hashes("hs").alias("sk")).cache()
     a, b = sk.alias("a"), sk.alias("b")
     ham = F.bit_count(F.col("a.sk").bitwiseXOR(F.col("b.sk")))
     return (
@@ -246,25 +250,65 @@ def simhash_dup_pairs(
 
 
 def embedding_dup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    Cosine is a zip_with/aggregate expression in double precision —
-    JVM-side, no UDF.  All-pairs here; the LSH-bucketed variant for scale
-    is operators.similarity.lsh_topk's bucketing applied to pairing.
+    Distributed block matmul: vectors are hash-assigned to ``num_blocks``
+    blocks; every unordered block pair (i ≤ j) forms one group containing
+    both blocks' rows, and a grouped pandas UDF computes the cross-block
+    cosine matrix with one float64 BLAS matmul.  Replication factor is
+    ~num_blocks per row (the known cost of block nested-loop), there is
+    no driver collect, and each task's working set is two blocks — pick
+    num_blocks so a block fits executor memory at the target scale.
+
+    (The previous zip_with/aggregate pair-join formulation was O(pairs ×
+    dim) *interpreted* expression evals — 86 s at sf0.1 vs ~2 s for the
+    BLAS path.)
     """
-    from .similarity import cosine
+    import numpy as np
+    import pandas as pd
 
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    a, b = v.alias("a"), v.alias("b")
-    cos = cosine(F.col("a.vec"), F.col("b.vec"))
-    return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.round(cos, 4).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
+    blk = F.abs(F.xxhash64("vid")) % num_blocks
+    # row of block b participates in every group (i,j), i<=j, with b∈{i,j}
+    groups = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+            lambda o: F.when(
+                blk <= o, F.concat_ws(":", blk, o)
+            ).otherwise(F.concat_ws(":", o, blk)),
+        ),
+        lambda g: g.isNotNull(),
     )
+    exploded = v.select("vid", "vec", blk.alias("blk"), F.explode(F.array_distinct(groups)).alias("grp"))
+
+    out_schema = "id_a long, id_b long, cos double"
+
+    def block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = (int(x) for x in pdf["grp"].iloc[0].split(":"))
+        mat = np.asarray(list(pdf["vec"]), dtype=np.float64)
+        ids = pdf["vid"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        blks = pdf["blk"].to_numpy()
+        if i == j:
+            sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+            sims[np.tril_indices(len(ids))] = -2.0  # keep one orientation only
+            ia, ib = np.nonzero(sims >= threshold)
+            id_a, id_b, cos = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            la, lb = blks == i, blks == j
+            sims = np.round(
+                (mat[la] @ mat[lb].T) / np.outer(norms[la], norms[lb]), 4
+            )
+            ia, ib = np.nonzero(sims >= threshold)
+            id_a, id_b, cos = ids[la][ia], ids[lb][ib], sims[ia, ib]
+        lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        keep = lo < hi  # dedup the symmetric same-block hits
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cos": cos[keep]})
+
+    return exploded.groupBy("grp").applyInPandas(block_cosine, out_schema)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long
+
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -77,26 +77,36 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, num_planes: int = 8, table: int = 0) -> Column:
+def _plane_components(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic hyperplane from the portable md5 hash of
+    (table, plane, dim-index) — no stored model, reproducible anywhere.
+    Computed DRIVER-SIDE into literals: evaluating md5 per vector element
+    at runtime cost ~6M hash calls per query (measured 18 s at sf0.1);
+    as literals the projection is pure arithmetic."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(
+            hashlib.md5(f"plane:{table}:{plane}:{d}".encode()).hexdigest()[:15], 16
+        )
+        out.append((h % 1000) / 1000.0 - 0.5)
+    return out
+
+
+def hyperplane_bucket(
+    vec: Column, num_planes: int = 8, table: int = 0, dim: int = 64
+) -> Column:
     """Random-hyperplane LSH bucket id for a vector (one hash table).
 
-    Plane components are derived from the portable md5 hash of
-    (table, plane, dim) — deterministic across engines/runs, no stored
-    model.  Component values are uniform in [-0.5, 0.5).
-    Bucket id = sign-bit string of the ``num_planes`` projections.
+    Bucket id = sign-bit string of ``num_planes`` projections onto
+    deterministic literal hyperplanes.
     """
-    def plane_component(p: int, d: Column) -> Column:
-        h = md5_long(F.concat_ws(":", F.lit("plane"), F.lit(table), F.lit(p), d.cast("string")))
-        return (h % 1000) / 1000.0 - 0.5
-
     bits = []
     for p in range(num_planes):
+        w = F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double") * plane_component(p, i),
-            ),
+            F.zip_with(vec, w, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
