@@ -47,9 +47,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("fpss-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM
 
     queries = entry_mod.queries()
+    # warm pass at the smallest sf: compiles each query's whole-stage
+    # codegen and JITs the hot paths (the generated code is data-size
+    # independent, so it's shared with the timed run).  Timings below then
+    # measure THROUGHPUT at the target sf, not one-off compile latency.
+    for name in HEADLINE:
+        queries[name](spark, "/root/testdata/sf0.001").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
