@@ -348,3 +348,105 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dormant.groupBy(F.substring("c_name", 10, 2).alias("code"))
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg subquery against the fact table itself —
+    Catalyst decorrelates into a per-part aggregate joined back (one extra
+    scan + broadcast, no per-row subquery execution)."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l_partkey)
+        """
+    )
+
+
+@query(
+    "q20_nested_semijoins",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 500
+    )
+    """,
+)
+def q20_nested_semijoins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries (semi join over a grouped
+    HAVING over another semi join)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    promo_lines = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+    big_suppliers = (
+        promo_lines.groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 500)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return s.join(F.broadcast(big_suppliers), "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same fact
+    table (the classic 'last supplier to ship' pattern)."""
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        """
+    )
