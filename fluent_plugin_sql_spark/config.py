@@ -91,6 +91,9 @@ class SourceTable:
     table: str
     tag: str | None = None  # defaults to table name (in_sql.rb:222-227)
     update_column: str | None = None  # defaults to primary key (in_sql.rb:107-114)
+    # engine extension: unique column for lexicographic (upd, tie) progress
+    # when update_column has duplicates (see sources.incremental)
+    tiebreak_column: str | None = None
     time_column: str | None = None
     time_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSSxx"  # ≙ '%Y-%m-%d %H:%M:%S.%6N%z'
     primary_key: str | list[str] | None = None

@@ -78,6 +78,7 @@ def build_input_config(src: dict[str, Any]) -> SQLInputConfig:
             table=t["table"],
             tag=t.get("tag"),
             update_column=t.get("update_column"),
+            tiebreak_column=t.get("tiebreak_column"),
             time_column=t.get("time_column"),
             primary_key=t.get("primary_key"),
         )

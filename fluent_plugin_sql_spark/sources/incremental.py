@@ -51,20 +51,43 @@ class IncrementalScan:
         reader: Callable[[], DataFrame],
         update_column: str,
         select_limit: int = 500,
+        tiebreak_column: str | None = None,
     ):
         self.reader = reader
         self.update_column = update_column
         self.select_limit = select_limit
+        # Composite watermark extension (beyond the reference): when the
+        # update column is NOT unique (e.g. second-granularity timestamps),
+        # a single-column strict `>` either re-reads or skips ties.  With a
+        # unique tiebreak column, progress is the lexicographic pair
+        # (update_column, tiebreak) — exact resume, no loss, no re-read.
+        self.tiebreak_column = tiebreak_column
 
-    def batch_plan(self, last_value: Any | None) -> DataFrame:
+    def batch_plan(
+        self, last_value: Any | None, last_tiebreak: Any | None = None
+    ) -> DataFrame:
         """The S1 plan. Strict ``>`` (never re-reads ties, T2); ASC order;
         LIMIT.  Fully declarative → pushed down by Catalyst (JDBC relation
-        composes it into SQL; Parquet gets filter pushdown + top-K)."""
+        composes it into SQL; Parquet gets filter pushdown + top-K).
+
+        With a tiebreak column the predicate is lexicographic:
+        ``upd > last OR (upd = last AND tie > last_tie)`` — both disjuncts
+        are range predicates on scanned columns, still fully pushable."""
         df = self.reader()
         upd = F.col(self.update_column)
         if last_value is not None:
-            df = df.where(upd > F.lit(last_value))
-        return df.orderBy(upd.asc()).limit(self.select_limit)
+            if self.tiebreak_column is not None and last_tiebreak is not None:
+                tie = F.col(self.tiebreak_column)
+                df = df.where(
+                    (upd > F.lit(last_value))
+                    | ((upd == F.lit(last_value)) & (tie > F.lit(last_tiebreak)))
+                )
+            else:
+                df = df.where(upd > F.lit(last_value))
+        order = [upd.asc()]
+        if self.tiebreak_column is not None:
+            order.append(F.col(self.tiebreak_column).asc())
+        return df.orderBy(*order).limit(self.select_limit)
 
 
 def resolve_event_time(
@@ -140,7 +163,10 @@ class SQLInput:
             self.scans[t.table] = (
                 t,
                 IncrementalScan(
-                    readers[t.table], t.resolve_update_column(), config.select_limit
+                    readers[t.table],
+                    t.resolve_update_column(),
+                    config.select_limit,
+                    tiebreak_column=t.tiebreak_column,
                 ),
             )
 
@@ -150,7 +176,12 @@ class SQLInput:
         table, scan = self.scans[name]
         last = self.state.last_record(name)
         last_value = last.get(scan.update_column) if last else None
-        batch = scan.batch_plan(last_value)
+        last_tie = (
+            last.get(scan.tiebreak_column)
+            if last and scan.tiebreak_column
+            else None
+        )
+        batch = scan.batch_plan(last_value, last_tie)
         batch = resolve_event_time(batch, table.time_column, self.now)
         batch = batch.withColumn("tag", F.lit(self.config.tag_for(table)))
         # the batch is ≤ select_limit rows by construction — caching it is
@@ -162,9 +193,15 @@ class SQLInput:
             if rows == 0:
                 return 0
             self.emit(self.config.tag_for(table), batch)
-            # last *emitted* row, by update_column order (in_sql.rb:151-158)
-            tail = batch.orderBy(F.col(scan.update_column).desc()).limit(1).collect()
+            # last *emitted* row, by (update_column [, tiebreak]) order
+            # (in_sql.rb:151-158)
+            tail_order = [F.col(scan.update_column).desc()]
+            if scan.tiebreak_column:
+                tail_order.append(F.col(scan.tiebreak_column).desc())
+            tail = batch.orderBy(*tail_order).limit(1).collect()
             new_last = {scan.update_column: tail[0][scan.update_column]}
+            if scan.tiebreak_column:
+                new_last[scan.tiebreak_column] = tail[0][scan.tiebreak_column]
             self.state.update(name, new_last)
             return rows
         finally:

@@ -150,3 +150,41 @@ def test_state_store_tolerates_empty_file(tmp_path):
     assert st.last_record("x") is None
     st.update("x", {"id": 7})
     assert StateStore(str(p)).last_record("x") == {"id": 7}
+
+
+def test_composite_watermark_exact_resume_on_ties(spark, sf_dir, tmp_path):
+    """Engine extension: with a non-unique update column (hour-truncated
+    ts) and a unique tiebreak, draining in small batches must emit every
+    row exactly once — a single-column strict `>` would skip or re-read
+    the rows sharing the boundary timestamp."""
+    from fluent_plugin_sql_spark.io import load_table
+
+    def reader():
+        return (
+            load_table(spark, sf_dir, "events")
+            .withColumn("ts_hour", F.date_trunc("hour", "ts"))
+        )
+
+    cfg = SQLInputConfig(
+        tables=[
+            SourceTable(
+                table="events", update_column="ts_hour", tiebreak_column="event_id"
+            )
+        ],
+        select_limit=37,  # far smaller than the ~#events per hour
+        state_file=str(tmp_path / "state.json"),
+    )
+    seen: list[int] = []
+    inp = SQLInput(
+        spark, cfg, {"events": reader},
+        emit=lambda tag, df: seen.extend(r["event_id"] for r in df.select("event_id").collect()),
+        now=NOW,
+    )
+    total = reader().count()
+    got = inp.run_once(drain=True)
+    assert got["events"] == total
+    assert len(seen) == total
+    assert len(set(seen)) == total  # no row twice, none skipped
+    # state holds the composite pair
+    st = StateStore(str(tmp_path / "state.json")).last_record("events")
+    assert set(st) == {"ts_hour", "event_id"}
