@@ -7,9 +7,10 @@ the database, partitioned reads parallelize what the reference does on a
 single connection (in_sql.rb:246, 260), and ``batchsize`` batches INSERTs
 like activerecord-import (out_sql.rb:104).
 
-No JDBC driver jar ships in this container, so these wrappers are exercised
-by unit tests only at the plan/SQL-text level; against a real database they
-are plain ``spark.read/write.jdbc`` calls.
+Live-tested against embedded Apache Derby (tests/test_jdbc_live.py) — the
+Derby driver ships on Spark's classpath — covering the real poll→write loop
+with in-database pushdown; PostgreSQL/MySQL need only their driver jar and
+the matching ``dialect`` arguments.
 """
 
 from __future__ import annotations
@@ -37,21 +38,67 @@ def sql_literal(value: Any) -> str:
 
 
 def incremental_query(
-    table: str, update_column: str, last_value: Any | None, limit: int
+    table: str,
+    update_column: str,
+    last_value: Any | None,
+    limit: int,
+    dialect: str = "limit",
+    quote_identifiers: bool = False,
 ) -> str:
     """The exact reference query shape (README.md:34), embedded as a
     ``dbtable`` subquery so the DATABASE executes WHERE/ORDER/LIMIT —
     total pushdown, same as the reference's ActiveRecord relation
-    (in_sql.rb:130-135)."""
+    (in_sql.rb:130-135).
+
+    ``dialect``: row-limit syntax — ``limit`` (PostgreSQL/MySQL/SQLite)
+    or ``fetch`` (ANSI: Derby/Oracle/DB2/SQL Server ≥2012).
+    ``quote_identifiers``: wrap COLUMN names in ANSI double quotes —
+    needed when the table was created by Spark's JDBC writer, which
+    quotes column identifiers (preserving lowercase) but not the table
+    name, on a DB that uppercases unquoted identifiers (Derby/Oracle/DB2).
+    """
+
+    def q(ident: str) -> str:
+        return f'"{ident}"' if quote_identifiers else ident
+
     where = (
-        f" WHERE {update_column} > {sql_literal(last_value)}"
+        f" WHERE {q(update_column)} > {sql_literal(last_value)}"
         if last_value is not None
         else ""
     )
+    cap = (
+        f"FETCH FIRST {limit} ROWS ONLY" if dialect == "fetch" else f"LIMIT {limit}"
+    )
     return (
         f"(SELECT * FROM {table}{where} "
-        f"ORDER BY {update_column} ASC LIMIT {limit}) AS fpss_src"
+        f"ORDER BY {q(update_column)} ASC {cap}) AS fpss_src"
     )
+
+
+def incremental_jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    update_column: str,
+    limit: int,
+    properties: dict[str, str] | None = None,
+    dialect: str = "limit",
+    quote_identifiers: bool = False,
+):
+    """Build a ``last_value -> DataFrame`` factory running the S1 poll
+    query INSIDE the database (total pushdown — the DB uses its
+    update_column index, README.md:100-102); Spark just receives ≤limit
+    rows.  Plug into the poll loop via
+    ``IncrementalScan(reader=lambda: fetch(last), ...)`` or use directly.
+    """
+
+    def fetch(last_value: Any | None):
+        q = incremental_query(
+            table, update_column, last_value, limit, dialect, quote_identifiers
+        )
+        return read_jdbc(spark, url, q, properties)
+
+    return fetch
 
 
 def read_jdbc(
@@ -113,11 +160,18 @@ def discover_jdbc_tables(
     properties: dict[str, str] | None = None,
     schema: str = "public",
     skip: tuple[str, ...] = ("schema_migrations",),
+    dialect: str = "information_schema",
 ) -> list[str]:
-    """S3 ``all_tables`` against an RDBMS catalog (in_sql.rb:214-230)."""
-    q = (
-        "(SELECT table_name FROM information_schema.tables "
-        f"WHERE table_schema = {sql_literal(schema)}) AS t"
-    )
+    """S3 ``all_tables`` against an RDBMS catalog (in_sql.rb:214-230).
+
+    ``dialect``: ``information_schema`` (PostgreSQL/MySQL/SQL Server) or
+    ``derby`` (SYS.SYSTABLES)."""
+    if dialect == "derby":
+        q = "(SELECT tablename AS table_name FROM SYS.SYSTABLES WHERE tabletype = 'T') AS t"
+    else:
+        q = (
+            "(SELECT table_name FROM information_schema.tables "
+            f"WHERE table_schema = {sql_literal(schema)}) AS t"
+        )
     rows = read_jdbc(spark, url, q, properties).collect()
-    return sorted(r[0] for r in rows if r[0] not in skip)
+    return sorted(r[0] for r in rows if r[0].lower() not in skip)
