@@ -63,9 +63,18 @@ def load_config(path: str) -> dict[str, Any]:
     return json.loads(text)
 
 
+DIALECTS = {
+    "postgresql": "limit", "mysql": "limit", "sqlite": "limit",
+    "derby": "fetch", "oracle": "fetch", "db2": "fetch", "mssql": "fetch",
+}
+
+
 def jdbc_url(src: dict[str, Any]) -> str:
     """Compose a JDBC URL from the reference's connection params
-    (adapter/host/port/database, in_sql.rb:28-43)."""
+    (adapter/host/port/database, in_sql.rb:28-43); an explicit ``url``
+    passes through untouched (embedded DBs like Derby)."""
+    if "url" in src:
+        return src["url"]
     adapter = src.get("adapter", "postgresql")
     host = src.get("host", "localhost")
     port = src.get("port") or {"postgresql": 5432, "mysql": 3306}.get(adapter, 5432)
@@ -129,13 +138,35 @@ def build_readers(
             cfg.tables.extend(SourceTable(table=n, update_column=src.get("update_column")) for n in names)
         return {n: (lambda n=n: load_table(spark, base, n)) for n in names}
     url = jdbc_url(src)
-    props = {
-        jdbc_k: str(src[k])
-        for k, jdbc_k in [("username", "user"), ("password", "password")]
-        if k in src
-    }
+    props = _jdbc_props(src)
     return {
         t.table: (lambda t=t: read_jdbc(spark, url, t.table, props))
+        for t in cfg.tables
+    }
+
+
+def _jdbc_props(block: dict[str, Any]) -> dict[str, str]:
+    props = {
+        jdbc_k: str(block[k])
+        for k, jdbc_k in [("username", "user"), ("password", "password"),
+                          ("driver", "driver")]
+        if k in block
+    }
+    return props
+
+
+def build_jdbc_scans(spark: SparkSession, src: dict[str, Any], cfg: SQLInputConfig):
+    """Pushdown scans for JDBC sources: the poll query executes in the
+    database (dialect-aware row cap; see sources.jdbc)."""
+    from .sources.jdbc import JdbcIncrementalScan
+
+    url = jdbc_url(src)
+    dialect = src.get("dialect") or DIALECTS.get(src.get("adapter", "postgresql"), "limit")
+    return {
+        t.table: JdbcIncrementalScan(
+            spark, url, t.table, t.resolve_update_column(), cfg.select_limit,
+            _jdbc_props(src), dialect, bool(src.get("quote_identifiers", False)),
+        )
         for t in cfg.tables
     }
 
@@ -150,11 +181,7 @@ def build_writer(spark: SparkSession, sink: dict[str, Any]) -> Callable[[DataFra
 
         return write_parquet
     url = jdbc_url(sink)
-    props = {
-        jdbc_k: str(sink[k])
-        for k, jdbc_k in [("username", "user"), ("password", "password")]
-        if k in sink
-    }
+    props = _jdbc_props(sink)
 
     def write_db(df: DataFrame, table: str) -> None:
         write_jdbc(df, url, table, props, batchsize=int(sink.get("batchsize", 1000)),
@@ -171,13 +198,16 @@ class Pipeline:
         self.in_cfg = build_input_config(config["source"])
         self.out_cfg = build_output_config(config["sink"])
         self.output = SQLOutput(self.out_cfg, build_writer(spark, config["sink"]))
-        readers = build_readers(spark, config["source"], self.in_cfg)
+        src = config["source"]
+        readers = build_readers(spark, src, self.in_cfg)
+        scans = None if "path" in src else build_jdbc_scans(spark, src, self.in_cfg)
         self.input = SQLInput(
             spark,
             self.in_cfg,
             readers,
             emit=lambda tag, df: self.output.write_batch(df),
             now=config.get("logical_now"),
+            scans=scans,
         )
 
     def run_once(self, drain: bool = True) -> dict[str, int]:

@@ -146,6 +146,7 @@ class SQLInput:
         emit: EmitFn,
         state: StateStore | None = None,
         now: Any | None = None,
+        scans: dict[str, "IncrementalScan"] | None = None,
     ):
         self.spark = spark
         self.config = config
@@ -156,6 +157,11 @@ class SQLInput:
         self.now = now  # pin a logical "now" for deterministic tests
         self.scans: dict[str, tuple[SourceTable, IncrementalScan]] = {}
         for t in config.tables:
+            if scans and t.table in scans:
+                # pre-built scan (e.g. JdbcIncrementalScan with in-database
+                # pushdown) — bypasses the reader-based construction
+                self.scans[t.table] = (t, scans[t.table])
+                continue
             if t.table not in readers:
                 # reflection failure skips the table, not fatal (in_sql.rb:232-243)
                 log.warning("table %s has no reader; skipping", t.table)

@@ -175,3 +175,37 @@ def discover_jdbc_tables(
         )
     rows = read_jdbc(spark, url, q, properties).collect()
     return sorted(r[0] for r in rows if r[0].lower() not in skip)
+
+
+class JdbcIncrementalScan:
+    """First-class S1 scan over JDBC: the poll query executes IN the
+    database (incremental_query pushdown) — drop-in for
+    ``sources.incremental.IncrementalScan`` wherever the poll loop takes a
+    scan (``SQLInput(scans=...)``).
+
+    ``dialect``: 'limit' (PostgreSQL/MySQL/SQLite) or 'fetch'
+    (Derby/Oracle/DB2/SQL Server); quote per the target DB's identifier
+    case rules.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str,
+        update_column: str,
+        select_limit: int = 500,
+        properties: dict[str, str] | None = None,
+        dialect: str = "limit",
+        quote_identifiers: bool = False,
+    ):
+        self.update_column = update_column
+        self.select_limit = select_limit
+        self.tiebreak_column = None  # composite watermark: parquet path only
+        self._fetch = incremental_jdbc_reader(
+            spark, url, table, update_column, select_limit, properties,
+            dialect, quote_identifiers,
+        )
+
+    def batch_plan(self, last_value: Any | None, last_tiebreak: Any | None = None):
+        return self._fetch(last_value)

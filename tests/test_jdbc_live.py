@@ -104,3 +104,37 @@ def test_full_poll_loop_jdbc_to_jdbc(spark, derby_url, tmp_path):
 def test_discover_tables_derby_catalog(spark, derby_url):
     names = discover_jdbc_tables(spark, derby_url, DRIVER, dialect="derby")
     assert any(n.lower() == "events" for n in names)
+
+
+def test_pipeline_jdbc_to_jdbc_config(spark, derby_url, tmp_path):
+    """Config-driven pipeline over a real RDBMS both ways — the
+    reference's deployment shape, live."""
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    cfg = {
+        "source": {
+            "url": derby_url,
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "dialect": "fetch",
+            "quote_identifiers": True,
+            "select_limit": 150,
+            "state_file": str(tmp_path / "state.json"),
+            "tables": [{"table": "events", "update_column": "event_id"}],
+        },
+        "sink": {
+            "url": derby_url,
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "pool": 1,
+            "tables": [
+                {"table": "routed_events", "column_mapping": "event_id,event_type,value"}
+            ],
+        },
+        "logical_now": "2024-06-01 00:00:00",
+    }
+    pipe = Pipeline(spark, cfg)
+    assert pipe.run_once(drain=True) == {"events": 300}
+    out = read_jdbc(spark, derby_url, "routed_events", DRIVER)
+    assert out.count() == 300
+    assert sorted(c.lower() for c in out.columns) == ["event_id", "event_type", "value"]
+    # resume: second pipeline instance reads nothing
+    assert Pipeline(spark, cfg).run_once() == {"events": 0}
