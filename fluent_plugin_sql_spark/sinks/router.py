@@ -34,6 +34,27 @@ log = logging.getLogger(__name__)
 WriteFn = Callable[[DataFrame, str], None]
 
 
+def quarantine_time_fallback(
+    df: DataFrame,
+    tag_col: str = "tag",
+    flag_col: str = "_time_fallback",
+    suffix: str = "quarantine",
+) -> DataFrame:
+    """T3 companion: rows whose event time fell back to "now" get their
+    tag suffixed (``db.events`` → ``db.events.quarantine``) so a pattern
+    route like ``**.quarantine`` can divert them to a quarantine table for
+    inspection — the reference only logs a warning (in_sql.rb:120-125);
+    this makes the dirty stream routable."""
+    if flag_col not in df.columns:
+        return df
+    return df.withColumn(
+        tag_col,
+        F.when(
+            F.col(flag_col), F.concat_ws(".", F.col(tag_col), F.lit(suffix))
+        ).otherwise(F.col(tag_col)),
+    )
+
+
 def apply_column_mapping(df: DataFrame, mapping: list[tuple[str, str]]) -> DataFrame:
     """P3: project+rename per mapping pairs; unmapped columns are dropped
     (out_sql.rb:64-72).  Missing source columns become NULL — the

@@ -232,6 +232,18 @@ class SQLInput:
                 emitted[name] = -1
         return emitted
 
+    def reset_to(self, table: str, last_record: dict[str, Any] | None) -> None:
+        """Replay/backfill control: move a table's watermark to an
+        arbitrary point (``None`` → re-ingest from the beginning).  The
+        strict ``>`` predicate then replays everything after it — the
+        at-least-once contract makes downstream re-emission safe by
+        design (idempotent/upsert sinks absorb the duplicates)."""
+        if last_record is None:
+            self.state.last_records.pop(table, None)
+            self.state.update(table, None)
+        else:
+            self.state.update(table, last_record)
+
     def run_forever(self, max_cycles: int | None = None) -> None:
         """T1 trigger loop: sleep ``select_interval`` between cycles
         (in_sql.rb:255-278)."""

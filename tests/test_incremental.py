@@ -188,3 +188,24 @@ def test_composite_watermark_exact_resume_on_ties(spark, sf_dir, tmp_path):
     # state holds the composite pair
     st = StateStore(str(tmp_path / "state.json")).last_record("events")
     assert set(st) == {"ts_hour", "event_id"}
+
+
+def test_reset_to_replays_from_watermark(spark, sf_dir, tmp_path):
+    cfg = SQLInputConfig(
+        tables=[SourceTable(table="events", update_column="event_id")],
+        select_limit=10_000,
+        state_file=str(tmp_path / "state.json"),
+    )
+    counts = []
+    inp = SQLInput(
+        spark, cfg, {"events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: counts.append(df.count()), now=NOW,
+    )
+    inp.run_once(drain=True)
+    assert inp.run_once() == {"events": 0}
+    # replay the tail
+    inp.reset_to("events", {"event_id": 899})
+    assert inp.run_once() == {"events": 100}
+    # full backfill
+    inp.reset_to("events", None)
+    assert inp.run_once(drain=True)["events"] == 1000

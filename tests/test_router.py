@@ -124,3 +124,27 @@ def test_resilient_writer_no_fallback_reraises():
     fn = resilient_rows_writer(insert_batch, lambda r: None, enable_fallback=False)
     with pytest.raises(RuntimeError):
         fn([{"id": 1}])
+
+
+def test_quarantine_time_fallback_routing(spark):
+    from fluent_plugin_sql_spark.sinks.router import quarantine_time_fallback
+    from fluent_plugin_sql_spark.sources.incremental import resolve_event_time
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, None), (3, "garbage")], ["id", "raw"]
+    )
+    tagged = resolve_event_time(df, "raw", now="2024-06-01 00:00:00").withColumn(
+        "tag", F.lit("db.events")
+    )
+    routed_src = quarantine_time_fallback(tagged)
+    out, write = collect_writes()
+    cfg = SQLOutputConfig(
+        routes=[
+            SinkRoute(table="t_quarantine", pattern="**.quarantine"),
+            SinkRoute(table="t_clean"),
+        ],
+        remove_tag_prefix="db",
+    )
+    SQLOutput(cfg, write).write_batch(routed_src)
+    assert out["t_quarantine"] == [2, 3]  # NULL + unparseable diverted
+    assert out["t_clean"] == [1]
