@@ -175,3 +175,73 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustering counterpart
+    to hyperplane LSH.
+
+    Index build: ``num_centroids`` corpus vectors are picked
+    deterministically (smallest xxhash of id — stable across runs and
+    partitionings, no trained model to store) and every corpus vector is
+    assigned to its max-cosine centroid (one broadcast of the tiny
+    centroid set; assignment is a corpus map — no shuffle of the corpus).
+    Search: each query probes its ``nprobe`` nearest centroids' posting
+    lists only — candidates per query ≈ nprobe × |corpus|/num_centroids,
+    sublinear in corpus size.  Recall vs brute force is asserted in tests.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    centroids = (
+        c.withColumn("_h", F.xxhash64("match_id"))
+        .orderBy("_h")
+        .limit(num_centroids)
+        .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
+        .cache()
+    )
+
+    def assign(df, vcol, out_name, top_n):
+        scored = df.join(F.broadcast(centroids)).select(
+            "*", cosine(F.col(vcol), F.col("centvec")).alias("_cc")
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.desc("_cc"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_n)
+            .select(*df.columns, F.col("centroid_id").alias(out_name))
+        )
+
+    posting = assign(c, "cvec", "bucket", 1)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    probes = assign(q, "qvec", "bucket", nprobe)
+    scored = (
+        posting.join(
+            F.broadcast(probes),
+            (posting.bucket == probes.bucket) & (F.col("query_id") != F.col("match_id")),
+        )
+        .dropDuplicates(["query_id", "match_id"])
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )

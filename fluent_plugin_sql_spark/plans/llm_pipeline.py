@@ -268,3 +268,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (polynomial fold of token hashes)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+
+
+@query("ann_ivf_top5")  # approximate by construction → rows-only + recall test
+def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (deterministic centroid pick,
+    nprobe=3) — the clustering scale path beside hyperplane LSH; recall
+    vs brute force asserted in tests/test_llm_ops.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=3
+    )

@@ -93,3 +93,20 @@ def test_bruteforce_topk_is_sorted_and_excludes_self(spark):
     assert all(r["match_id"] != 3 for r in out)
     scores = [r["cos"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from fluent_plugin_sql_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["match_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx_rows = ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=3).collect()
+    approx = {(r["query_id"], r["match_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # nprobe=3 of 16 centroids scans ~19% of the corpus; recall must be
+    # far above that random floor
+    assert recall > 0.3, f"recall {recall}"
+    # results are deterministic across runs (stable centroid pick)
+    again = {(r["query_id"], r["match_id"]) for r in ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=3).collect()}
+    assert approx == again
