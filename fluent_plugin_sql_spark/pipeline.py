@@ -201,11 +201,20 @@ class Pipeline:
         src = config["source"]
         readers = build_readers(spark, src, self.in_cfg)
         scans = None if "path" in src else build_jdbc_scans(spark, src, self.in_cfg)
+        quarantine = bool(src.get("quarantine_time_fallback", False))
+
+        def emit(tag, df):
+            if quarantine:
+                from .sinks.router import quarantine_time_fallback
+
+                df = quarantine_time_fallback(df)
+            self.output.write_batch(df)
+
         self.input = SQLInput(
             spark,
             self.in_cfg,
             readers,
-            emit=lambda tag, df: self.output.write_batch(df),
+            emit=emit,
             now=config.get("logical_now"),
             scans=scans,
         )
