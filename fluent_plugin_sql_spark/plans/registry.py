@@ -18,10 +18,23 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query under ``name`` with an optional DuckDB oracle."""
+    """Register a query under ``name`` with an optional DuckDB oracle.
+
+    The registered callable pins the session timezone to UTC before
+    building the plan: the DuckDB oracle computes in naive-UTC, and the
+    harness may invoke queries on a session NOT built by our factory —
+    without the pin, a non-UTC session would shift every timestamp value.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = (fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        REGISTRY[name] = (wrapped, oracle)
         return fn
 
     return deco
