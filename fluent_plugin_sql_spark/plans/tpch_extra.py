@@ -450,3 +450,137 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s_name
         """
     )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total volume per year
+    (conditional-sum ratio over a multi-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity)
+           > (SELECT 0.0008 * sum(l_extendedprice * l_quantity) FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a global-aggregate fraction —
+    the scalar subquery becomes a broadcast of one row, not a rescan per
+    group."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * l_quantity)
+               > (SELECT 0.0008 * sum(l_extendedprice * l_quantity) FROM lineitem)
+        """
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: two-level aggregation — distribution of per-customer
+    order counts, preserving zero-order customers via the outer join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: view + max-over-view selection (the CTE computes once;
+    the max is a one-row broadcast back onto it)."""
+    register_views(spark, sf_dir, ["lineitem", "supplier"])
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
