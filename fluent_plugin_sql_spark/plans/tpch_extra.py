@@ -584,3 +584,41 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         """
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year over a 5-way join with
+    a LIKE part filter (supply cost proxied from retail price — the
+    driver schema has no partsupp table).  Completes the full set of 22
+    classic TPC-H plan shapes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
