@@ -193,12 +193,14 @@ def minhash_lsh_dup_pairs(
         .distinct()
         # candidates are small by LSH construction and consumed by TWO
         # broadcast joins below; each broadcast is planned as its own job,
-        # so an unmaterialized cache would recompute the signature
-        # pipeline per consumer.  cache + count materializes exactly once.
-        # No driver collect of data rows: this stays distributed.
-        .cache()
+        # so an unmaterialized plan would recompute the signature pipeline
+        # per consumer.  Eager localCheckpoint materializes exactly once,
+        # truncates lineage, and is freed on DataFrame GC — unlike a bare
+        # cache(), repeated calls in a long-lived poll-loop driver don't
+        # accumulate executor storage.  No driver collect: stays distributed.
+        .localCheckpoint(eager=True)
     )
-    candidates.count()
+    sig.unpersist()
     # verify ONLY candidate docs: restrict the CORPUS before shingling, so
     # exact string shingles are built for the candidate neighborhood, not
     # the whole corpus
@@ -223,29 +225,68 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
 
-    The sketch is one 60-bit value per document (constant space); pairing
-    here is the simple all-pairs comparison over sketches — at 100 TB,
-    block on simhash prefixes (split the 60 bits into max_hamming+1 blocks;
-    matching pairs must share ≥1 exact block — same inverted-index trick
-    as shingles).
+    The sketch is one 60-bit value per document (constant space).  Pairing
+    uses pigeonhole blocking: split the 60 bits into ``max_hamming + 1``
+    contiguous blocks — two sketches within hamming distance ``max_hamming``
+    differ in at most ``max_hamming`` blocks, so they must agree EXACTLY on
+    at least one block.  Candidates come from an equi-join on
+    (block_index, block_value) — a plain shuffle hash/sort-merge join the
+    optimizer can plan and AQE can skew-split — then the full 60-bit
+    hamming distance verifies each candidate.  Recall is exact (pigeonhole
+    is a guarantee, not a heuristic); work scales with block-bucket
+    collision counts, not n², so the plan survives 100×.
     """
+    nb = max_hamming + 1
     # materialize the token-hash arrays BEFORE the simhash projection:
     # the sketch makes 60 per-bit passes over `hs`, and without a
     # materialization barrier projection collapse substitutes the md5
     # transform into every pass (and into both self-join sides) → md5
     # recomputed 120× per doc (measured 79 s at sf0.1).
     hs = df.select(F.col(id_col).alias("doc"), token_hashes(text_col).alias("hs")).cache()
-    sk = hs.select("doc", simhash60_from_hashes("hs").alias("sk")).cache()
-    a, b = sk.alias("a"), sk.alias("b")
+    sk = hs.select("doc", simhash60_from_hashes("hs").alias("sk"))
+    # block keys: bits [bounds[i], bounds[i+1]) of the sketch, unpivoted to
+    # (doc, sk, blk_idx, blk_val) — stack() is a zero-shuffle generator
+    bounds = [i * 60 // nb for i in range(nb)] + [60]
+    block_cols = [
+        F.shiftright("sk", bounds[i])
+        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+        .alias(f"blk{i}")
+        for i in range(nb)
+    ]
+    stack_expr = (
+        f"stack({nb}, "
+        + ", ".join(f"{i}, blk{i}" for i in range(nb))
+        + ") as (blk_idx, blk_val)"
+    )
+    # localCheckpoint (eager): materialized once for both self-join sides
+    # with truncated lineage, and — unlike a bare cache() — the blocks are
+    # freed when the DataFrame is GC'd, so repeated calls in a long-lived
+    # poll-loop driver don't accumulate executor storage.  (On a real
+    # cluster with executor churn you would set a checkpoint dir and use
+    # reliable checkpoints instead.)
+    keyed = (
+        sk.select("doc", "sk", *block_cols)
+        .selectExpr("doc", "sk", stack_expr)
+        .localCheckpoint(eager=True)
+    )
+    hs.unpersist()
+    a, b = keyed.alias("a"), keyed.alias("b")
     ham = F.bit_count(F.col("a.sk").bitwiseXOR(F.col("b.sk")))
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .where(ham <= max_hamming)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             ham.alias("hamming"),
         )
+        # a close pair can agree on several blocks → one row per block hit
+        .distinct()
     )
 
 

@@ -96,7 +96,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_quantity % 5 AS qty_mod,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate,
-           sign(l_discount - 0.05) AS disc_sign
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
     FROM lineitem
     """,
 )
@@ -114,7 +114,10 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") % 5).alias("qty_mod"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        # Spark signum returns DOUBLE, DuckDB sign() TINYINT: the values are
+        # identical but the driver's value hash distinguishes 0.0 from 0, so
+        # both sides cast to INTEGER (r01's only hash mismatch was this column).
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
     )
 
 

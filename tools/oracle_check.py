@@ -20,7 +20,11 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # "f:" tag: the driver's exact value hash distinguishes 0.0 from 0
+        # (r01 math_functions failed on exactly that), so a float on one side
+        # vs an int on the other must mismatch here too; the 9-sig-fig
+        # formatting still tolerates sub-ULP float divergence.
+        return f"f:{v:.9g}"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, (list, tuple)):
