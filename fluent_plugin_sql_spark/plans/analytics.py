@@ -85,9 +85,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-K.
-    ``customer`` post-filter is small → broadcast to both joins; the
-    final ORDER+LIMIT is TakeOrderedAndProject (no global sort).
-    Tie-broken on l_orderkey so the LIMIT is deterministic."""
+    customer and orders both scale linearly with SF, so NO forced
+    broadcast hints: AQE converts either join to broadcast when the
+    built side is actually small (as it is at test SF) and falls back
+    to shuffle joins on the keys at 100× — a forced broadcast of the
+    date-filtered orders (~95% retained) would OOM the build side at
+    scale.  The final ORDER+LIMIT is TakeOrderedAndProject (no global
+    sort).  Tie-broken on l_orderkey so the LIMIT is deterministic."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -97,7 +101,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -126,9 +130,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join.  region/nation/supplier/customer
-    are dimension-sized → broadcast; only lineitem⋈orders shuffles, on the
-    join key, once."""
+    """TPC-H Q5 shape: 6-way star join.  Forced broadcasts ONLY on the
+    true constant-size dimensions (nation=25, region=5 rows at every SF);
+    supplier and customer scale linearly with SF, so their joins carry no
+    hint — AQE broadcasts them while they are small and shuffle-joins on
+    the keys at 100×, where a forced broadcast would OOM the build side."""
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     s = _t(spark, sf_dir, "supplier")
@@ -144,8 +150,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == dim.s_nationkey))
+        .join(dim, li.l_suppkey == dim.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == dim.s_nationkey))
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
