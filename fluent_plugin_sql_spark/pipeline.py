@@ -63,10 +63,8 @@ def load_config(path: str) -> dict[str, Any]:
     return json.loads(text)
 
 
-DIALECTS = {
-    "postgresql": "limit", "mysql": "limit", "sqlite": "limit",
-    "derby": "fetch", "oracle": "fetch", "db2": "fetch", "mssql": "fetch",
-}
+# Dialect resolution lives in sources.jdbc.DIALECTS (adapter names map
+# directly to row-cap/escaping/quoting rules).
 
 
 def jdbc_url(src: dict[str, Any]) -> str:
@@ -76,9 +74,22 @@ def jdbc_url(src: dict[str, Any]) -> str:
     if "url" in src:
         return src["url"]
     adapter = src.get("adapter", "postgresql")
+    if "socket" in src:
+        # reference `socket` param (in_sql.rb:41): unix-socket connections
+        # have no portable JDBC equivalent (driver-specific socketFactory
+        # plugins only) — fail loudly instead of silently ignoring it.
+        raise ValueError(
+            "unix 'socket' connections are not supported over JDBC; "
+            "use host/port (or an explicit 'url' with a driver-specific "
+            "socketFactory)"
+        )
+    scheme = {
+        "postgres": "postgresql", "postgresql": "postgresql",
+        "mysql": "mysql", "mysql2": "mysql", "sqlite": "sqlite",
+    }.get(adapter, adapter)
     host = src.get("host", "localhost")
-    port = src.get("port") or {"postgresql": 5432, "mysql": 3306}.get(adapter, 5432)
-    return f"jdbc:{adapter}://{host}:{port}/{src['database']}"
+    port = src.get("port") or {"postgresql": 5432, "mysql": 3306}.get(scheme, 5432)
+    return f"jdbc:{scheme}://{host}:{port}/{src['database']}"
 
 
 def build_input_config(src: dict[str, Any]) -> SQLInputConfig:
@@ -152,6 +163,11 @@ def _jdbc_props(block: dict[str, Any]) -> dict[str, str]:
                           ("driver", "driver")]
         if k in block
     }
+    # reference `schema_search_path` (in_sql.rb:43): PostgreSQL schema
+    # scoping.  pgJDBC's equivalent is the `currentSchema` connection
+    # property, which accepts the same comma-separated search path.
+    if "schema_search_path" in block:
+        props["currentSchema"] = str(block["schema_search_path"])
     return props
 
 
@@ -161,7 +177,7 @@ def build_jdbc_scans(spark: SparkSession, src: dict[str, Any], cfg: SQLInputConf
     from .sources.jdbc import JdbcIncrementalScan
 
     url = jdbc_url(src)
-    dialect = src.get("dialect") or DIALECTS.get(src.get("adapter", "postgresql"), "limit")
+    dialect = src.get("dialect") or src.get("adapter", "postgresql")
     return {
         t.table: JdbcIncrementalScan(
             spark, url, t.table, t.resolve_update_column(), cfg.select_limit,

@@ -78,6 +78,20 @@ def route_expr(routes: list[SinkRoute], default_table: str, tag_col: str = "tag"
     return F.lit(default_table) if expr is None else expr.otherwise(F.lit(default_table))
 
 
+def route_index_expr(routes: list[SinkRoute], tag_col: str = "tag") -> Column:
+    """Same CASE WHEN chain, but valued with the ROUTE's position (-1 for
+    the default route).  The writer slices on this, not the table name:
+    two routes may target the SAME table with different column_mappings
+    (e.g. a pattern route plus the default), and each matched slice must
+    go through its own route's mapping (out_sql.rb:226-237 applies each
+    <table> section's mapping independently)."""
+    expr: Column | None = None
+    for i, r in enumerate(routes):
+        cond = F.col(tag_col).rlike(r.pattern_regex())
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    return F.lit(-1) if expr is None else expr.otherwise(F.lit(-1))
+
+
 class SQLOutput:
     """The routed sink engine (reference SQLOutput, out_sql.rb:151-237)."""
 
@@ -99,33 +113,32 @@ class SQLOutput:
                 ),
             )
         return out.withColumn(
-            "_route_table",
-            route_expr(self.config.pattern_routes, self.config.default_route.table, tag_col),
+            "_route_idx",
+            route_index_expr(self.config.pattern_routes, tag_col),
         )
 
     def write_batch(self, df: DataFrame, tag_col: str = "tag") -> dict[str, int]:
         """Route one micro-batch/chunk to its tables (out_sql.rb:226-237).
 
         The routed frame is cached once (bounded: one micro-batch), then
-        each route writes its slice — N small writes off one shared scan,
-        not N rescans of the source.
+        each ROUTE writes its slice through its OWN column_mapping — N
+        small writes off one shared scan, not N rescans of the source.
+        Counts aggregate per table (two routes may share a table).
         """
         routed = self.prepare(df, tag_col).cache()
         written: dict[str, int] = {}
         try:
-            tables = [r.table for r in self.config.pattern_routes]
-            if self.config.default_route.table not in tables:
-                tables.append(self.config.default_route.table)
-            route_by_table = {r.table: r for r in self.config.routes}
-            for table in tables:
-                part = routed.where(F.col("_route_table") == table).drop("_route_table")
-                mapping = route_by_table[table].mapping_pairs()
+            slices = list(enumerate(self.config.pattern_routes))
+            slices.append((-1, self.config.default_route))
+            for idx, route in slices:
+                part = routed.where(F.col("_route_idx") == idx).drop("_route_idx")
+                mapping = route.mapping_pairs()
                 if mapping:
                     part = apply_column_mapping(part, mapping)
                 n = part.count()
                 if n:
-                    self.write(part, table)
-                written[table] = n
+                    self.write(part, route.table)
+                written[route.table] = written.get(route.table, 0) + n
             return written
         finally:
             routed.unpersist()

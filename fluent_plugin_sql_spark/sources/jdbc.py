@@ -16,13 +16,55 @@ the matching ``dialect`` arguments.
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any
+from typing import Any, NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def sql_literal(value: Any) -> str:
-    """Render a Python value as a SQL literal for pushdown composition."""
+class Dialect(NamedTuple):
+    """SQL-generation rules that differ per RDBMS (reference adapter param,
+    in_sql.rb:33): row-cap syntax, string-literal escaping, identifier
+    quote character."""
+
+    name: str
+    row_cap: str  # 'limit' (LIMIT n) or 'fetch' (FETCH FIRST n ROWS ONLY)
+    backslash_escapes: bool  # MySQL default: backslash starts an escape
+    quote_char: str  # identifier quoting: '"' ANSI, '`' MySQL
+
+
+DIALECTS: dict[str, Dialect] = {
+    # bare row-cap styles kept for backward compatibility
+    "limit": Dialect("limit", "limit", False, '"'),
+    "fetch": Dialect("fetch", "fetch", False, '"'),
+    # named adapters (reference supports every ActiveRecord adapter;
+    # these are the ones its CI exercises plus the ANSI mainstays)
+    "postgres": Dialect("postgres", "limit", False, '"'),
+    "postgresql": Dialect("postgresql", "limit", False, '"'),
+    "mysql": Dialect("mysql", "limit", True, "`"),
+    "mysql2": Dialect("mysql2", "limit", True, "`"),
+    "sqlite": Dialect("sqlite", "limit", False, '"'),
+    "derby": Dialect("derby", "fetch", False, '"'),
+    "oracle": Dialect("oracle", "fetch", False, '"'),
+    "db2": Dialect("db2", "fetch", False, '"'),
+    "mssql": Dialect("mssql", "fetch", False, '"'),
+}
+
+
+def resolve_dialect(name: str | Dialect) -> Dialect:
+    if isinstance(name, Dialect):
+        return name
+    return DIALECTS.get(name, DIALECTS["limit"])
+
+
+def sql_literal(value: Any, dialect: str | Dialect = "limit") -> str:
+    """Render a Python value as a SQL literal for pushdown composition.
+
+    The value is DATA-derived (the watermark = last emitted row's
+    update_column), so escaping must match the target dialect exactly:
+    besides doubling single quotes, backslash-escaping dialects (MySQL
+    without NO_BACKSLASH_ESCAPES) need backslashes doubled too — a value
+    ending in ``\\'`` would otherwise terminate the literal early and
+    inject into every subsequent poll query."""
     if value is None:
         return "NULL"
     if isinstance(value, bool):
@@ -33,7 +75,10 @@ def sql_literal(value: Any) -> str:
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"
-    s = str(value).replace("'", "''")
+    s = str(value)
+    if resolve_dialect(dialect).backslash_escapes:
+        s = s.replace("\\", "\\\\")
+    s = s.replace("'", "''")
     return f"'{s}'"
 
 
@@ -42,7 +87,7 @@ def incremental_query(
     update_column: str,
     last_value: Any | None,
     limit: int,
-    dialect: str = "limit",
+    dialect: str | Dialect = "limit",
     quote_identifiers: bool = False,
 ) -> str:
     """The exact reference query shape (README.md:34), embedded as a
@@ -50,24 +95,28 @@ def incremental_query(
     total pushdown, same as the reference's ActiveRecord relation
     (in_sql.rb:130-135).
 
-    ``dialect``: row-limit syntax — ``limit`` (PostgreSQL/MySQL/SQLite)
-    or ``fetch`` (ANSI: Derby/Oracle/DB2/SQL Server ≥2012).
-    ``quote_identifiers``: wrap COLUMN names in ANSI double quotes —
-    needed when the table was created by Spark's JDBC writer, which
-    quotes column identifiers (preserving lowercase) but not the table
-    name, on a DB that uppercases unquoted identifiers (Derby/Oracle/DB2).
+    ``dialect``: a name from :data:`DIALECTS` — an adapter name
+    ('postgres', 'mysql', 'derby', ...) or a bare row-cap style
+    ('limit'/'fetch') — controlling row-cap syntax, literal escaping,
+    and the identifier quote character.
+    ``quote_identifiers``: wrap COLUMN names in the dialect's quote
+    character — needed when the table was created by Spark's JDBC
+    writer, which quotes column identifiers (preserving lowercase) but
+    not the table name, on a DB that uppercases unquoted identifiers
+    (Derby/Oracle/DB2).
     """
+    d = resolve_dialect(dialect)
 
     def q(ident: str) -> str:
-        return f'"{ident}"' if quote_identifiers else ident
+        return f"{d.quote_char}{ident}{d.quote_char}" if quote_identifiers else ident
 
     where = (
-        f" WHERE {q(update_column)} > {sql_literal(last_value)}"
+        f" WHERE {q(update_column)} > {sql_literal(last_value, d)}"
         if last_value is not None
         else ""
     )
     cap = (
-        f"FETCH FIRST {limit} ROWS ONLY" if dialect == "fetch" else f"LIMIT {limit}"
+        f"FETCH FIRST {limit} ROWS ONLY" if d.row_cap == "fetch" else f"LIMIT {limit}"
     )
     return (
         f"(SELECT * FROM {table}{where} "

@@ -14,10 +14,41 @@ this store; this class serves the batch-incremental mode.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import tempfile
+from decimal import Decimal
 from typing import Any
+
+
+def _encode_value(v: Any) -> Any:
+    """Type-tagged JSON encoding for watermark values: a restart must
+    resume with the SAME predicate typing (a timestamp watermark coming
+    back as a string would compare a timestamp column against a string
+    literal — implicit-cast roulette on strict dialects)."""
+    if isinstance(v, _dt.datetime):
+        return {"$t": "timestamp", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"$t": "date", "v": v.isoformat()}
+    if isinstance(v, Decimal):
+        return {"$t": "decimal", "v": str(v)}
+    if v is None or isinstance(v, (str, int, float, bool)):
+        return v
+    return {"$t": "str", "v": str(v)}
+
+
+def _decode_value(v: Any) -> Any:
+    if isinstance(v, dict) and "$t" in v:
+        t, s = v["$t"], v["v"]
+        if t == "timestamp":
+            return _dt.datetime.fromisoformat(s)
+        if t == "date":
+            return _dt.date.fromisoformat(s)
+        if t == "decimal":
+            return Decimal(s)
+        return s
+    return v
 
 
 class StateStore:
@@ -32,7 +63,10 @@ class StateStore:
                 text = f.read().strip()
             # empty state file is valid and means "no state" (in_sql.rb:291-295)
             data = json.loads(text) if text else {}
-            self.last_records = data.get("last_records", {})
+            self.last_records = {
+                table: {k: _decode_value(v) for k, v in rec.items()}
+                for table, rec in data.get("last_records", {}).items()
+            }
 
     def last_record(self, table: str) -> dict[str, Any] | None:
         return self.last_records.get(table)
@@ -55,8 +89,12 @@ class StateStore:
         d = os.path.dirname(os.path.abspath(self.path)) or "."
         fd, tmp = tempfile.mkstemp(dir=d, prefix=".state.", suffix=".tmp")
         try:
+            encoded = {
+                table: {k: _encode_value(v) for k, v in rec.items()}
+                for table, rec in self.last_records.items()
+            }
             with os.fdopen(fd, "w") as f:
-                json.dump({"last_records": self.last_records}, f, default=str)
+                json.dump({"last_records": encoded}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self.path)

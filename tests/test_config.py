@@ -55,3 +55,20 @@ def test_composite_pk_rejected():
     assert SourceTable(table="t", primary_key=["a"]).resolve_update_column() == "a"
     assert SourceTable(table="t", primary_key="id").resolve_update_column() == "id"
     assert SourceTable(table="t", update_column="u", primary_key=["a", "b"]).resolve_update_column() == "u"
+
+
+def test_jdbc_url_adapter_aliases_and_socket_rejection():
+    from fluent_plugin_sql_spark.pipeline import jdbc_url
+
+    assert (
+        jdbc_url({"adapter": "postgres", "host": "h", "database": "d"})
+        == "jdbc:postgresql://h:5432/d"
+    )
+    assert (
+        jdbc_url({"adapter": "mysql2", "host": "h", "database": "d"})
+        == "jdbc:mysql://h:3306/d"
+    )
+    assert jdbc_url({"url": "jdbc:derby:/tmp/x;create=true"}).startswith("jdbc:derby:")
+    # reference `socket` param (in_sql.rb:41) has no JDBC equivalent
+    with pytest.raises(ValueError, match="socket"):
+        jdbc_url({"adapter": "mysql", "socket": "/var/run/mysqld.sock", "database": "d"})

@@ -152,6 +152,32 @@ def test_state_store_tolerates_empty_file(tmp_path):
     assert StateStore(str(p)).last_record("x") == {"id": 7}
 
 
+def test_state_store_roundtrips_watermark_types(tmp_path):
+    """ADVICE r1: typed watermarks (datetime/date/Decimal) must come back
+    with the SAME type after restart — a timestamp watermark reloaded as a
+    string would change the scan predicate's comparison semantics on
+    strict dialects."""
+    import datetime as dt
+    from decimal import Decimal
+
+    p = tmp_path / "s.json"
+    rec = {
+        "ts": dt.datetime(2024, 3, 1, 10, 30, 0, 123456),
+        "d": dt.date(2024, 3, 1),
+        "amount": Decimal("12.3400"),
+        "id": 7,
+        "name": "x'y\\z",
+        "ratio": 0.5,
+        "flag": True,
+        "missing": None,
+    }
+    StateStore(str(p)).update("t", rec)
+    loaded = StateStore(str(p)).last_record("t")
+    assert loaded == rec
+    for k in rec:
+        assert type(loaded[k]) is type(rec[k]), k
+
+
 def test_composite_watermark_exact_resume_on_ties(spark, sf_dir, tmp_path):
     """Engine extension: with a non-unique update column (hour-truncated
     ts) and a unique tiebreak, draining in small batches must emit every

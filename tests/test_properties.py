@@ -91,3 +91,61 @@ def test_incremental_query_always_strict_greater(last, limit):
     q = incremental_query("t", "c", last, limit)
     assert f"c > {last}" in q and f"LIMIT {limit}" in q
     assert ">=" not in q  # ties must never be re-read (T2)
+
+
+def _mysql_unquote(lit: str) -> str:
+    """Decode a MySQL single-quoted literal by MySQL's rules (backslash
+    starts an escape, '' is a quote).  Raises if the literal terminates
+    early — i.e. if un-escaped data could inject into the query."""
+    assert lit[0] == "'"
+    out, i = [], 1
+    while True:
+        ch = lit[i]
+        if ch == "\\":
+            out.append(lit[i + 1])
+            i += 2
+        elif ch == "'":
+            if i + 1 < len(lit) and lit[i + 1] == "'":
+                out.append("'")
+                i += 2
+            else:
+                assert i == len(lit) - 1, f"literal terminated early: {lit!r}"
+                return "".join(out)
+        else:
+            out.append(ch)
+            i += 1
+
+
+@given(st.text(min_size=0, max_size=30))
+def test_sql_literal_mysql_roundtrip_no_injection(s):
+    """Data-derived watermarks must round-trip through MySQL escaping:
+    a value ending in \\' must not terminate the literal early (ADVICE
+    r1: data-driven SQL injection into every subsequent poll query)."""
+    assert _mysql_unquote(sql_literal(s, "mysql")) == s
+
+
+def test_sql_literal_backslash_dialects():
+    # MySQL: backslash doubled; standard dialects: left alone
+    assert sql_literal("a\\'b", "mysql") == "'a\\\\''b'"
+    assert sql_literal("a\\'b", "postgres") == "'a\\''b'"
+    assert sql_literal("a\\'b") == "'a\\''b'"
+
+
+def test_incremental_query_dialects():
+    q_pg = incremental_query("logs", "id", 42, 500, "postgres", True)
+    assert q_pg == '(SELECT * FROM logs WHERE "id" > 42 ORDER BY "id" ASC LIMIT 500) AS fpss_src'
+    q_my = incremental_query("logs", "id", 42, 500, "mysql", True)
+    assert q_my == "(SELECT * FROM logs WHERE `id` > 42 ORDER BY `id` ASC LIMIT 500) AS fpss_src"
+    q_der = incremental_query("logs", "id", 42, 500, "derby", True)
+    assert "FETCH FIRST 500 ROWS ONLY" in q_der and '"id"' in q_der
+
+
+def test_schema_search_path_maps_to_current_schema():
+    from fluent_plugin_sql_spark.pipeline import _jdbc_props
+
+    props = _jdbc_props(
+        {"adapter": "postgresql", "username": "u", "password": "p",
+         "schema_search_path": "audit,public"}
+    )
+    assert props["currentSchema"] == "audit,public"
+    assert _jdbc_props({"adapter": "postgresql"}).get("currentSchema") is None

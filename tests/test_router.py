@@ -95,6 +95,28 @@ def test_routed_mapping_per_table(spark, tagged_df):
     assert writes["t_default"] == (["tag", "id", "v"], 2)
 
 
+def test_two_routes_same_table_keep_own_mappings(spark, tagged_df):
+    """ADVICE r1: a pattern route and the default route targeting the SAME
+    table must each apply their OWN column_mapping (the reference applies
+    each matched <table> section's mapping) — not collapse to one."""
+    writes = []
+
+    def write(df, table):
+        writes.append((table, df.columns, df.count()))
+
+    cfg = SQLOutputConfig(
+        routes=[
+            SinkRoute(table="t_shared", pattern="clicks", column_mapping="id:click_id"),
+            SinkRoute(table="t_shared", column_mapping="id,value:v"),
+        ],
+        remove_tag_prefix="db",
+    )
+    counts = SQLOutput(cfg, write).write_batch(tagged_df)
+    assert ("t_shared", ["click_id"], 2) in writes  # clicks slice, its mapping
+    assert ("t_shared", ["id", "v"], 2) in writes  # default slice, its mapping
+    assert counts == {"t_shared": 4}  # per-table counts aggregate
+
+
 def test_resilient_writer_bulk_then_row_fallback():
     # out_sql.rb:103-136 / test_out_sql.rb:83-119: bulk raises → one-by-one,
     # poison row retried num_retries times then dropped.
