@@ -115,7 +115,8 @@ def test_pipeline_jdbc_to_jdbc_config(spark, derby_url, tmp_path):
         "source": {
             "url": derby_url,
             "driver": "org.apache.derby.jdbc.EmbeddedDriver",
-            "dialect": "fetch",
+            # named adapter dialect (resolves row-cap FETCH + ANSI quoting)
+            "dialect": "derby",
             "quote_identifiers": True,
             "select_limit": 150,
             "state_file": str(tmp_path / "state.json"),
