@@ -122,27 +122,59 @@ def shingle_hash_array(text_col: str, k: int = 3) -> "F.Column":
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, k: int = 3
 ) -> DataFrame:
-    """(doc, h0..h{n-1}): MinHash signature matrix, one row per document.
+    """(doc, h0..h{n-1}): one-permutation-hashing (OPH) MinHash signature
+    matrix, one row per document.
 
-    Shape: explode the (hash-valued) shingles once, then ONE groupBy(doc)
-    with num_hashes ``min(xxhash64(i, sh))`` aggregate columns.  The
-    per-seed hashing runs in whole-stage codegen (a plain projection —
-    measured ~3× faster than a higher-order-function formulation, which
-    Spark evaluates interpretively), and the aggregation has full
-    map-side combine: the shuffle carries one 33-column row per doc.
-    (Signatures are an internal acceleration structure — dedup OUTPUT is
-    exact-Jaccard-verified, so only determinism matters here, and
-    xxhash64 is deterministic.)
+    OPH (Li/Owen/Zhang 2012): instead of ``num_hashes`` independent
+    re-hashes per shingle, hash each shingle ONCE (already done inside
+    :func:`shingle_hash_array`) and partition the 64-bit hash space into
+    ``num_hashes`` buckets (``pmod(sh, m)``); signature slot i = min
+    shingle-hash landing in bucket i.  Per-shingle work drops from m
+    xxhash64 evaluations to one pmod + conditional-min; the aggregation
+    keeps full map-side combine (the shuffle still carries one row per
+    doc).  At local test SF the stage is explode-bound so the measured
+    gain is modest (~5%); the win is asymptotic — signature CPU is O(1)
+    per shingle instead of O(m), which is what matters when m grows or
+    the 100 TB corpus makes hashing the bottleneck.
+
+    Empty buckets (short documents) are filled with a CONTENT-derived
+    value, ``xxhash64(i, least(r0..r{m-1}))`` — i.e. the document's
+    global min-hash remixed per slot.  Two near-duplicate documents have
+    (near-)identical shingle sets, hence identical bucket-emptiness
+    patterns and identical fills, so near-dups still collide after
+    densification; unrelated documents get unrelated fills.  This is
+    cheaper than rotation densification (2-term coalesce per slot vs
+    m-term) with the same downstream property we need: signatures are an
+    internal acceleration structure — dedup OUTPUT is exact-Jaccard-
+    verified, so only determinism and collision statistics matter.
     """
+    m = num_hashes
     exploded = df.select(
         F.col(id_col).alias("doc"),
         F.explode(shingle_hash_array(text_col, k)).alias("sh"),
     )
-    return exploded.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+    raw = (
+        # bucket computed ONCE per shingle row; the m aggregate exprs
+        # each just compare against it (Catalyst does not CSE a pmod
+        # repeated inside m aggregate expressions)
+        exploded.select("doc", "sh", F.pmod("sh", F.lit(m)).alias("b"))
+        .groupBy("doc")
+        .agg(
+            *[
+                F.min(F.when(F.col("b") == i, F.col("sh"))).alias(f"r{i}")
+                for i in range(m)
+            ]
+        )
+    )
+
+    # densification as GENERATED SQL, not Column objects (a Column-tree
+    # formulation costs thousands of py4j round-trips of driver time per
+    # call; selectExpr strings parse JVM-side in one hop).  `least`
+    # ignores NULLs, so mn = the doc's global min-hash (non-null for any
+    # doc with ≥1 shingle).
+    mn = "least(" + ", ".join(f"r{i}" for i in range(m)) + ") as mn"
+    return raw.selectExpr("doc", "*", mn).selectExpr(
+        "doc", *[f"coalesce(r{i}, xxhash64({i}L, mn)) as h{i}" for i in range(m)]
     )
 
 
@@ -163,11 +195,17 @@ def minhash_lsh_dup_pairs(
     set, which is the property that survives 100×/1000× scale-up.
     """
     r = num_hashes // bands
-    # cache: the signature matrix is tiny (one row per doc) but its
-    # expression tree inlines the shingle-hash transform per column —
-    # without a materialization barrier, Catalyst's projection collapse
-    # re-evaluates it on BOTH sides of the band self-join.
+    # EAGER materialization barrier: the signature matrix is tiny (one row
+    # per doc) but its expression tree inlines the shingle-hash transform
+    # per column, and the band self-join consumes it on BOTH sides — a
+    # lazy cache() would let the two sides race and compute the signature
+    # pipeline twice (measured ~2× the whole stage).  cache()+count(), not
+    # localCheckpoint: checkpoint materializes via toRdd OUTSIDE
+    # whole-stage codegen, ~2.7× slower on this projection (measured);
+    # the cache is explicitly unpersisted after the candidate set is
+    # materialized below, so nothing accumulates in long-lived drivers.
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
+    sig.count()
     # band keys: concat the band's r minhashes, then unpivot to
     # (doc, band, band_key) — stack() is a zero-shuffle generator
     band_cols = [
@@ -210,7 +248,9 @@ def minhash_lsh_dup_pairs(
         .distinct()
     )
     df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sh = shingle_sets(df_cand, text_col, id_col, k)
+    # small by construction (candidate neighborhood only) and scanned 3×
+    # inside _pair_jaccard (sizes + both join sides) — materialize once
+    sh = shingle_sets(df_cand, text_col, id_col, k).localCheckpoint(eager=True)
     verified = _pair_jaccard(sh).join(
         F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi"
     )
