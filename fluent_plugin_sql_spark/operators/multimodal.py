@@ -1,12 +1,14 @@
 """Multimodal column plumbing (north star: image/audio/video as opaque
 binary columns with typed metadata).
 
-The container has no image/audio codecs, so DECODING is stubbed — either
-raising ``NotImplementedError`` (strict mode) or producing a clearly-
-marked deterministic fake (test mode).  Everything Spark-side is real and
-tested: the schema contract, the Arrow-batched ``mapInPandas`` plumbing,
-batch shapes, and partitioning behavior — swap ``_decode_stub`` for a
-real codec (PIL/ffmpeg) and nothing else changes.
+Header-parsed formats are decoded FOR REAL with stdlib-only parsers —
+BMP, PPM (P6), PNG (IHDR), and WAV (RIFF fmt chunk) need no codec
+library for dimensions/channels/sample-rate extraction.  Compressed
+pixel DATA decode (JPEG/H.264/...) still needs a codec the container
+lacks: strict mode raises ``NotImplementedError`` for those formats
+only; fake mode derives deterministic dimensions so the Spark-side
+plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
+batch shapes, partitioning) is exercised end-to-end either way.
 
 Scale notes: binary payloads ride in parquet as plain BINARY columns;
 ``spark.sql.files.maxPartitionBytes`` bounds scan-task size, and the
@@ -65,14 +67,85 @@ def attach_binary(df: DataFrame, source_col: str, media_type: str = "image", fmt
     )
 
 
-def _decode_stub(payload: bytes, strict: bool) -> tuple[int, int, int]:
-    """STUB: stand-in for a real image decode (no codec libs in this
-    container).  strict mode raises; fake mode derives deterministic
-    dimensions from the payload checksum so tests are reproducible."""
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """Stdlib-only image header parse → (format, width, height, channels),
+    or None when the format needs a real codec.  All three formats store
+    dimensions in plain header fields — no pixel decompression involved."""
+    import struct
+
+    if payload[:2] == b"BM" and len(payload) >= 30:
+        # BITMAPINFOHEADER: int32 width @18, int32 height @22 (may be
+        # negative = top-down), uint16 bits-per-pixel @28
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = abs(struct.unpack_from("<i", payload, 22)[0])
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return ("bmp", width, height, max(1, bpp // 8))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26:
+        # IHDR is always the first chunk: uint32be width @16, height @20,
+        # color type @25 → channel count
+        width, height = struct.unpack_from(">II", payload, 16)
+        color_type = payload[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return ("png", width, height, channels)
+    if payload[:2] == b"P6":
+        # PPM: ASCII "P6 <w> <h> <maxval>", '#' comments allowed
+        fields: list[int] = []
+        i, n = 2, len(payload)
+        while i < n and len(fields) < 3:
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < n and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < n and payload[j : j + 1].isdigit():
+                    j += 1
+                fields.append(int(payload[i:j]))
+                i = j
+            else:
+                return None
+        if len(fields) == 3:
+            return ("ppm", fields[0], fields[1], 3)
+    return None
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """RIFF/WAVE fmt+data chunk walk → (channels, sample_rate_hz,
+    bits_per_sample, n_samples), or None if not a WAV."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    channels = rate = bits = data_size = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= n:
+            channels, rate = struct.unpack_from("<HI", payload, pos + 10)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if None in (channels, rate, bits, data_size) or not channels or not bits:
+        return None
+    n_samples = data_size // (channels * (bits // 8 or 1))
+    return (channels, rate, bits, n_samples)
+
+
+def _decode_image(payload: bytes, strict: bool) -> tuple[int, int, int]:
+    """Real header parse where stdlib suffices; compressed formats fall
+    back to strict-raise or the deterministic fake."""
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return parsed[1], parsed[2], parsed[3]
     if strict:
         raise NotImplementedError(
-            "image decode requires a codec library (PIL/libvips) not present "
-            "in this environment; wire it in here"
+            "pixel-data decode for this format requires a codec library "
+            "(PIL/libvips) not present in this environment; BMP/PPM/PNG "
+            "headers are parsed natively"
         )
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 240
@@ -90,7 +163,7 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", strict: bool = False) -
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_decode_stub(p, strict) for p in pdf["payload"]]
+            dims = [_decode_image(p, strict) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -103,6 +176,48 @@ def decode_images(df: DataFrame, id_col: str = "doc_id", strict: bool = False) -
             yield out
 
     return df.select(id_col, "payload").mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio(df: DataFrame, id_col: str = "doc_id", strict: bool = True) -> DataFrame:
+    """Real WAV header decode (stdlib RIFF chunk walk) over the same
+    Arrow-batched ``mapInPandas`` plumbing as :func:`decode_images`.
+    Non-WAV payloads raise in strict mode, are dropped otherwise."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                parsed = parse_wav_header(p)
+                if parsed is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed-audio decode requires a codec library; "
+                            "WAV headers are parsed natively"
+                        )
+                    continue
+                ch, rate, bits, n_samples = parsed
+                rows.append((int(doc_id), ch, rate, bits, n_samples, n_samples / rate))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "sample_rate_hz",
+                    "bits_per_sample", "n_samples", "duration_s",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, DECODED_AUDIO_SCHEMA)
 
 
 def sample_frames(

@@ -235,3 +235,37 @@ def test_reset_to_replays_from_watermark(spark, sf_dir, tmp_path):
     # full backfill
     inp.reset_to("events", None)
     assert inp.run_once(drain=True)["events"] == 1000
+
+
+def test_eventtime_ns_to_us_truncation_boundary(spark, tmp_path):
+    """Fidelity pin for the reference's ns-resolution EventTime
+    (ChangeLog:21): Spark timestamps are µs, so sub-µs precision is LOST
+    by design — this test pins the exact loss semantics: floor division
+    (truncation toward zero for positive epochs), identical to DuckDB's
+    ns→µs cast, never rounding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_sql_spark.io import load_table
+
+    base = 1_700_000_000_000_000_000  # 2023-11-14T22:13:20Z in ns
+    ns_values = [
+        base,          # exact µs boundary
+        base + 1,      # 1 ns past      → truncates DOWN
+        base + 999,    # 999 ns past    → truncates DOWN (not rounded up)
+        base + 1_000,  # next µs        → exact
+        base + 1_999,  # 1.999 µs past  → 1 µs
+    ]
+    d = tmp_path / "ns_tbl"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array(range(5), pa.int64()),
+                  "ts": pa.array(ns_values, pa.timestamp("ns"))}),
+        str(d / "events.parquet"),
+    )
+    rows = load_table(spark, str(d), "events").orderBy("id").collect()
+    micros = [r["ts"].microsecond for r in rows]
+    # all five collapse onto exactly two µs values: :20.000000 and :20.000001
+    assert micros == [0, 0, 0, 1, 1]
+    assert rows[1]["ts"] == rows[0]["ts"]  # 1 ns past boundary == boundary
+    assert rows[4]["ts"] == rows[3]["ts"]  # .999 µs truncated, not rounded

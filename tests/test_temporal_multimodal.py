@@ -76,6 +76,61 @@ class TestMultimodal:
         for w, h, c, n in out1.values():
             assert 16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 4 and n == w * h * c
 
+    @staticmethod
+    def _bmp(w, h, bpp=24):
+        import struct
+
+        # minimal BITMAPINFOHEADER, no pixel data needed for header parse
+        return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+                + struct.pack("<IiiHH", 40, w, -h, 1, bpp) + b"\x00" * 24)
+
+    @staticmethod
+    def _png(w, h, color_type=6):
+        import struct
+
+        ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + b"\x00" * 4)
+
+    @staticmethod
+    def _wav(channels=2, rate=16000, bits=16, n_samples=8000):
+        import struct
+
+        data = b"\x00" * (n_samples * channels * (bits // 8))
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_real_header_decode_strict(self, spark):
+        """BMP/PPM/PNG headers decode FOR REAL (stdlib parsers) — strict
+        mode no longer raises for these formats."""
+        from fluent_plugin_sql_spark.operators.multimodal import parse_image_header
+
+        rows = [
+            (1, self._bmp(640, 480)),
+            (2, self._png(32, 64, color_type=2)),
+            (3, b"P6\n# cmt\n123 77\n255\n" + b"\x00" * 10),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in decode_images(df, strict=True).collect()}
+        assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (640, 480, 3)
+        assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (32, 64, 3)
+        assert (out[3]["width"], out[3]["height"], out[3]["channels"]) == (123, 77, 3)
+        assert parse_image_header(b"\xff\xd8\xff\xe0 jpeg") is None  # needs codec
+
+    def test_real_wav_decode_strict(self, spark):
+        from fluent_plugin_sql_spark.operators.multimodal import decode_audio
+
+        df = spark.createDataFrame(
+            [(7, self._wav(channels=2, rate=16000, bits=16, n_samples=8000))],
+            "doc_id long, payload binary",
+        )
+        r = decode_audio(df, strict=True).first()
+        assert (r["channels"], r["sample_rate_hz"], r["bits_per_sample"]) == (2, 16000, 16)
+        assert r["n_samples"] == 8000 and abs(r["duration_s"] - 0.5) < 1e-9
+
     def test_sample_frames_bounded(self, spark):
         d = attach_binary(load_table(spark, SF, "documents").limit(10), "text")
         frames = sample_frames(d, max_frames=4)
