@@ -5,8 +5,12 @@ CASE bucket counts (q12), promo share (q14), distinct-supplier counts with
 NOT IN (q16), grouped-HAVING IN (q18), disjunctive join predicates (q19),
 and per-group-min scalar subqueries (q2 flavor).
 
-All joins hint broadcast on dimension sides; aggregates rely on partial
-aggregation; every LIMIT is deterministically tie-broken.
+Broadcast hints appear ONLY on constant-size dimensions (nation/region)
+and one-row scalar aggregates; customer/supplier/part/orders scale
+linearly with SF, so their joins carry no hint — AQE broadcasts them
+while small and shuffle-joins at 100×, where a forced broadcast would
+OOM the build side.  Aggregates rely on partial aggregation; every LIMIT
+is deterministically tie-broken.
 """
 
 from __future__ import annotations
@@ -105,8 +109,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
@@ -144,8 +148,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -209,7 +213,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -239,7 +243,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -272,7 +276,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
@@ -314,7 +318,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 40)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond1 | cond2 | cond3)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -399,14 +403,14 @@ def q20_nested_semijoins(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_lines = li.where(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    ).join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+    ).join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
     big_suppliers = (
         promo_lines.groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("q"))
         .where(F.col("q") > 500)
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
-    return s.join(F.broadcast(big_suppliers), "s_suppkey", "left_semi").select(
+    return s.join(big_suppliers, "s_suppkey", "left_semi").select(
         "s_suppkey", "s_name"
     )
 
@@ -485,7 +489,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -615,8 +619,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))

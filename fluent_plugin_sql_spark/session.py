@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: a selective fact-fact join
+        # (q18/q21 shape) builds a bloom filter on the filtered side and
+        # prunes the big side's scan before the shuffle.  Size thresholds
+        # (creationSideThreshold / applicationSideScanSizeThreshold) keep
+        # it a no-op on small inputs; it engages exactly where it pays —
+        # 100 TB fact tables.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -124,3 +124,33 @@ def test_pandas_udf_uses_arrow_not_batch_eval(spark):
     plan = plan_of(pandas_udf_scalar_discount(spark, SF))
     assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_filter_prunes_fact_fact_join(spark):
+    """Runtime bloom-filter join pruning (q18/q21 fact-fact shape): the
+    selective orders side builds a bloom filter that prunes lineitem's
+    scan BEFORE the shuffle.  Thresholds are lowered here because the
+    test tables are tiny; at 100 TB the session defaults engage it on
+    exactly this plan shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(F.col("o_totalprice") > 400000)
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "might_contain" in plan  # filter applied on the big side
+        assert "bloom_filter_agg" in plan  # built from the selective side
+        j.collect()  # and the pruned plan actually runs
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
