@@ -45,6 +45,7 @@ from collections.abc import Callable
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .config import SinkRoute, SourceTable, SQLInputConfig, SQLOutputConfig
 from .session import get_spark
@@ -211,6 +212,7 @@ class Pipeline:
 
     def __init__(self, spark: SparkSession, config: dict[str, Any]):
         self.spark = spark
+        self.config = config
         self.in_cfg = build_input_config(config["source"])
         self.out_cfg = build_output_config(config["sink"])
         self.output = SQLOutput(self.out_cfg, build_writer(spark, config["sink"]))
@@ -240,6 +242,42 @@ class Pipeline:
 
     def run_forever(self) -> None:
         self.input.run_forever()
+
+    def run_streaming(self, checkpoint_dir: str, trigger_seconds: int | None = None):
+        """Continuous mode on Spark's own engine: each source table tails
+        through the streaming-native incremental source (offsets in the
+        Spark checkpoint, NOT the engine StateStore), every micro-batch
+        routes through the same tag-routed sink as batch mode.  Returns
+        the list of running ``StreamingQuery`` handles.
+
+        Single-table parquet sources only (the streaming source reads one
+        table per query); JDBC sources keep the poll-loop mode."""
+        src = self.config["source"]
+        if "path" not in src:
+            raise ValueError("run_streaming requires a parquet-dir source (path:)")
+        from .sources.stream_source import incremental_stream
+
+        queries = []
+        for t in self.in_cfg.tables:
+            df = incremental_stream(
+                self.spark,
+                f"{src['path']}/{t.table}.parquet",
+                t.resolve_update_column(),
+                self.in_cfg.select_limit,
+            )
+            tag = self.in_cfg.tag_for(t)
+
+            def handle(batch_df: DataFrame, epoch_id: int, _tag: str = tag) -> None:
+                self.output.write_batch(batch_df.withColumn("tag", F.lit(_tag)))
+
+            writer = (
+                df.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", f"{checkpoint_dir}/{t.table}")
+            )
+            if trigger_seconds:
+                writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+            queries.append(writer.start())
+        return queries
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -281,3 +281,151 @@ def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=3
     )
+
+
+def _ngram_strings(text_col: str, n: int):
+    """Non-distinct word n-grams as strings (repetition analysis needs
+    multiplicity, unlike dedup shingles)."""
+    toks = TX.tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "text_repetition_signals",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+           FROM c2 GROUP BY 1),
+    g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) x),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    s3 AS (SELECT doc_id,
+                  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+                    AS dup_trigram_frac
+           FROM c3 GROUP BY 1)
+    SELECT s2.doc_id, top_bigram_frac, dup_trigram_frac
+    FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: most-frequent-bigram mass
+    and duplicated-trigram mass per document.  Shape: explode n-grams →
+    two map-side-combined aggregations (per (doc, gram), then per doc) —
+    both shuffles are on keys, nothing is quadratic, and the gram counts
+    shrink to one row per doc before the join."""
+    d = _docs(spark, sf_dir)
+    g2 = d.select("doc_id", F.explode(_ngram_strings("text", 2)).alias("g"))
+    s2 = (
+        g2.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    )
+    g3 = d.select("doc_id", F.explode(_ngram_strings("text", 3)).alias("g"))
+    s3 = (
+        g3.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return s2.join(s3, "doc_id").select("doc_id", "top_bigram_frac", "dup_trigram_frac")
+
+
+@query(
+    "quality_filter_verdicts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+             round(len(list_filter(toks, x -> list_contains(
+                 {TX.STOPWORDS!r}::VARCHAR[], x))) * 1.0 / len(toks), 6) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, n AS n_tokens, ttr, stop_ratio,
+           concat_ws(',',
+             CASE WHEN n < 30 THEN 'too_short' END,
+             CASE WHEN ttr < 0.4 THEN 'low_diversity' END,
+             CASE WHEN stop_ratio > 0.35 THEN 'stopword_heavy' END
+           ) AS reasons,
+           (n >= 30 AND ttr >= 0.4 AND stop_ratio <= 0.35) AS keep
+    FROM s
+    """,
+)
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style document filter: deterministic per-row rules over
+    cheap lexical signals, emitting keep + comma-joined reasons — one
+    codegen projection, no shuffle, trivially 100 TB-safe."""
+    d = _docs(spark, sf_dir)
+    n = TX.token_count("text")
+    ttr = TX.type_token_ratio("text")
+    stop = TX.stopword_ratio("text")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ttr.alias("ttr"),
+        stop.alias("stop_ratio"),
+        F.concat_ws(
+            ",",
+            F.when(n < 30, "too_short"),
+            F.when(ttr < 0.4, "low_diversity"),
+            F.when(stop > 0.35, "stopword_heavy"),
+        ).alias("reasons"),
+        ((n >= 30) & (ttr >= 0.4) & (stop <= 0.35)).alias("keep"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g5 AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4] AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) x),
+    bench AS (SELECT DISTINCT g FROM g5 WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, g FROM g5 WHERE doc_id >= 20),
+    sizes AS (SELECT doc_id, count(*) AS n FROM corpus GROUP BY 1),
+    hits AS (SELECT c.doc_id, count(*) AS n_hits
+             FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1)
+    SELECT h.doc_id, n_hits, round(n_hits * 1.0 / s.n, 6) AS contaminated_frac
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing 5-gram
+    spans with a benchmark set (here: doc_id < 20 stands in for the
+    benchmark suite).  Scale shape: the benchmark's distinct n-gram set
+    is SMALL → broadcast to the corpus-side inverted index; the corpus
+    never self-joins and never shuffles beyond its per-doc aggregation."""
+    from ..operators.dedup import shingle_sets
+
+    d = _docs(spark, sf_dir)
+    g5 = shingle_sets(d, "text", "doc_id", k=5)
+    bench = g5.where(F.col("doc") < 20).select("shingle").distinct()
+    corpus = g5.where(F.col("doc") >= 20)
+    sizes = corpus.groupBy("doc").agg(F.count("*").alias("n"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        hits.join(sizes, "doc")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n"), 6).alias("contaminated_frac"),
+        )
+    )

@@ -122,3 +122,46 @@ def test_streaming_agg_over_incremental_source(spark, table_dir, tmp_path):
     q.awaitTermination(30)
     assert abs(spark.sql("SELECT sum(total) s FROM tail3").first()["s"]
                - sum(i * 1.5 for i in range(250))) < 1e-6
+
+
+def test_pipeline_streaming_mode_end_to_end(spark, table_dir, tmp_path):
+    """Config-driven continuous mode: streaming-native source → tag
+    router → parquet sink, offsets in the Spark checkpoint."""
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # single-file parquet table, reference layout {path}/{table}.parquet
+    _write_rows(str(src_dir / "events.parquet"), range(500))
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "tag_prefix": "db",
+            "select_limit": 200,
+            "tables": [{"table": "events", "update_column": "event_id"}],
+        },
+        "sink": {
+            "path": str(out),
+            "tables": [{"table": "routed_events"}],
+        },
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "routed_events")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 60 and done() < 500:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = spark.read.parquet(str(out / "routed_events"))
+    assert got.count() == 500
+    assert got.select("tag").distinct().collect()[0]["tag"] == "db.events"
+    assert got.select(F.countDistinct("event_id")).first()[0] == 500
