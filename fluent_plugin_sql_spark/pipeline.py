@@ -35,6 +35,8 @@ sink:
 ```
 
 Run:  ``python -m fluent_plugin_sql_spark.pipeline config.yaml [--once]``
+(or ``--stream <checkpoint_dir>`` for continuous mode on Spark's streaming
+engine — offsets live in the Spark checkpoint instead of ``state_file``).
 """
 
 from __future__ import annotations
@@ -286,10 +288,16 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__)
         return 2
     once = "--once" in args
+    stream = None
+    if "--stream" in args:  # --stream <checkpoint_dir>: continuous mode
+        stream = args[args.index("--stream") + 1]
     cfg = load_config(args[0])
     spark = get_spark("fpss-pipeline")
     pipe = Pipeline(spark, cfg)
-    if once:
+    if stream:
+        for q in pipe.run_streaming(stream):
+            q.awaitTermination()
+    elif once:
         print(json.dumps(pipe.run_once()))
     else:
         pipe.run_forever()

@@ -170,3 +170,36 @@ def type_degradation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id_str"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
     )
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log → current-state materialization (the canonical consumer
+    of this engine's incremental feed): latest record per key via
+    row_number()=1 with a deterministic event_id tie-break.  One shuffle
+    on the key; Spark plans a partial top-1 per partition before the
+    exchange (WindowGroupLimit), so the shuffle carries candidate heads,
+    not the whole change-log — the upsert-compaction shape at any scale."""
+    from pyspark.sql.window import Window
+
+    df = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        df.select(
+            "user_id", "event_id", "ts", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
