@@ -252,3 +252,51 @@ class SQLInput:
             _time.sleep(self.config.select_interval)
             self.run_once()
             cycles += 1
+
+
+def snapshot_bootstrap(
+    df,
+    update_column: str,
+    emit,
+    tag: str,
+    state: "StateStore | None" = None,
+    table: str | None = None,
+    tiebreak_column: str | None = None,
+):
+    """Snapshot-then-tail bootstrap: bulk-load the CURRENT table contents
+    once, then hand off to the incremental tail with no gap and no
+    overlap.
+
+    The watermark is computed from the SNAPSHOT itself (its max
+    update_column [+ tiebreak]), not from the live table — rows arriving
+    while the snapshot streams out are strictly above it, so the first
+    incremental poll picks up exactly where the snapshot ends.  This is
+    the standard CDC bootstrap (initial load + change tail) the reference
+    lacks: its only options are "read everything through the poll loop"
+    or start mid-stream.
+
+    ``df`` should be a partitioned bulk read at scale (parquet scan or
+    ``read_jdbc(partition_column=...)`` range slicing) — the snapshot is
+    the one full-table pass, so it must parallelize.  Returns the
+    watermark record ``{update_column: max[, tiebreak: max-at-max]}``
+    (also persisted to ``state`` under ``table`` when given, so a
+    subsequent ``SQLInput.run_once`` resumes from it).
+    """
+    from pyspark.sql import functions as F
+
+    emit(tag, df)
+    if tiebreak_column:
+        tail = (
+            df.orderBy(F.desc(update_column), F.desc(tiebreak_column))
+            .select(update_column, tiebreak_column)
+            .limit(1)
+            .collect()
+        )
+    else:
+        tail = df.orderBy(F.desc(update_column)).select(update_column).limit(1).collect()
+    if not tail:
+        return None  # empty table: tail starts from the beginning
+    record = tail[0].asDict()
+    if state is not None and table is not None:
+        state.update(table, record)
+    return record

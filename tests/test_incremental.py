@@ -269,3 +269,48 @@ def test_eventtime_ns_to_us_truncation_boundary(spark, tmp_path):
     assert micros == [0, 0, 0, 1, 1]
     assert rows[1]["ts"] == rows[0]["ts"]  # 1 ns past boundary == boundary
     assert rows[4]["ts"] == rows[3]["ts"]  # .999 µs truncated, not rounded
+
+
+def test_snapshot_bootstrap_then_incremental_handoff(spark, sf_dir, tmp_path):
+    """CDC bootstrap: one bulk snapshot emit, watermark captured FROM the
+    snapshot and persisted, and the subsequent incremental poll reads
+    exactly nothing until the table actually grows."""
+    from fluent_plugin_sql_spark.sources.incremental import snapshot_bootstrap
+
+    state_file = str(tmp_path / "state.json")
+    emitted = []
+    df_events = events_reader(spark, sf_dir)()
+    total = df_events.count()
+    max_id = df_events.agg(F.max("event_id")).first()[0]
+
+    rec = snapshot_bootstrap(
+        df_events, "event_id",
+        emit=lambda tag, d: emitted.append((tag, d.count())),
+        tag="db.events",
+        state=StateStore(state_file), table="events",
+    )
+    assert emitted == [("db.events", total)]
+    assert rec == {"event_id": max_id}
+
+    # handoff: the poll loop resumes from the snapshot watermark
+    cfg = SQLInputConfig(
+        tables=[SourceTable(table="events", update_column="event_id")],
+        select_limit=100, state_file=state_file,
+    )
+    inp = SQLInput(
+        spark, cfg, {"events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: emitted.append((tag, df.count())),
+        state=StateStore(state_file), now=NOW,
+    )
+    assert inp.run_once()["events"] == 0  # no gap, no overlap
+
+    # the table grows → only the new rows flow
+    grown = lambda: df_events.unionByName(
+        df_events.limit(5).withColumn("event_id", F.col("event_id") + max_id + 1)
+    )
+    inp2 = SQLInput(
+        spark, cfg, {"events": grown},
+        emit=lambda tag, df: emitted.append((tag, df.count())),
+        state=StateStore(state_file), now=NOW,
+    )
+    assert inp2.run_once()["events"] == 5

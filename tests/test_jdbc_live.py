@@ -139,3 +139,46 @@ def test_pipeline_jdbc_to_jdbc_config(spark, derby_url, tmp_path):
     assert sorted(c.lower() for c in out.columns) == ["event_id", "event_type", "value"]
     # resume: second pipeline instance reads nothing
     assert Pipeline(spark, cfg).run_once() == {"events": 0}
+
+
+def test_idempotent_sink_effectively_once(spark, derby_url):
+    """Effectively-once epoch protocol against live Derby: a fully
+    redelivered epoch is skipped; a partially-written crashed epoch is
+    cleaned up and rewritten exactly once."""
+    from fluent_plugin_sql_spark.sinks.exactly_once import (
+        EpochMarkerStore,
+        idempotent_jdbc_writer,
+    )
+
+    events = load_table(spark, SF, "events").limit(100).select(
+        "event_id", "event_type", "value"
+    )
+    handle = idempotent_jdbc_writer(
+        spark, derby_url, "eo_events", DRIVER, num_partitions=1, dialect="derby"
+    )
+    handle(events, 1)
+    handle(events, 1)  # foreachBatch redelivery of a committed epoch
+    back = read_jdbc(spark, derby_url, "eo_events", DRIVER)
+    assert back.count() == 100  # not 200
+
+    # crash mid-epoch: 30 rows of epoch 2 landed, marker never written
+    write_jdbc(
+        events.limit(30).withColumn("_epoch", F.lit(2)),
+        derby_url, "eo_events", DRIVER, num_partitions=1,
+    )
+    handle(events, 2)  # retry must clear the 30 partials, then write 100
+    back = read_jdbc(spark, derby_url, "eo_events", DRIVER)
+    assert back.count() == 200
+    per_epoch = {
+        r["_epoch"]: r["n"]
+        for r in back.groupBy("_epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_epoch == {1: 100, 2: 100}
+
+    # marker store state is what makes restarts idempotent
+    store = EpochMarkerStore(spark, derby_url, DRIVER, dialect="derby")
+    assert store.committed("eo_events", 1) and store.committed("eo_events", 2)
+    assert not store.committed("eo_events", 3)
+
+    with pytest.raises(ValueError, match="identifier"):
+        store.committed("eo_events; DROP TABLE x", 1)
