@@ -195,17 +195,7 @@ def minhash_lsh_dup_pairs(
     set, which is the property that survives 100×/1000× scale-up.
     """
     r = num_hashes // bands
-    # EAGER materialization barrier: the signature matrix is tiny (one row
-    # per doc) but its expression tree inlines the shingle-hash transform
-    # per column, and the band self-join consumes it on BOTH sides — a
-    # lazy cache() would let the two sides race and compute the signature
-    # pipeline twice (measured ~2× the whole stage).  cache()+count(), not
-    # localCheckpoint: checkpoint materializes via toRdd OUTSIDE
-    # whole-stage codegen, ~2.7× slower on this projection (measured);
-    # the cache is explicitly unpersisted after the candidate set is
-    # materialized below, so nothing accumulates in long-lived drivers.
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
-    sig.count()
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
     # band keys: concat the band's r minhashes, then unpivot to
     # (doc, band, band_key) — stack() is a zero-shuffle generator
     band_cols = [
@@ -218,27 +208,39 @@ def minhash_lsh_dup_pairs(
         + ") as (band, band_key)"
     )
     band_keys = sig.select("doc", *band_cols).selectExpr("doc", stack_expr)
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
+    # candidate pairs by BUCKET EXPANSION, not a band self-join: group the
+    # band keys into buckets and explode each bucket's doc list into its
+    # i<j pairs.  ONE key-shuffle total (a self-join shuffles both sides
+    # and needs the signature pipeline materialized up front to avoid
+    # double computation); bucket sizes — hence per-task pair fan-out —
+    # are bounded by the banding construction, which is the property that
+    # survives 100×.  The tiny per-bucket pair expansion runs as an
+    # (interpreted) nested HOF over arrays of a few doc ids.
+    buckets = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.collect_list("doc").alias("docs"))
+        .where(F.size("docs") > 1)
+    )
+    # NB: element access ds[i] is 0-BASED in Spark SQL while slice() is
+    # 1-based — doc_a is element i, its partners are elements i+1..n-1
+    pair_expr = """
+        explode(flatten(transform(sequence(0, size(ds)-2),
+                i -> transform(slice(ds, i+2, size(ds)-i-1),
+                               x -> struct(ds[i] as doc_a, x as doc_b))))) as p
+    """.replace("ds", "array_sort(docs)")
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        buckets.selectExpr(pair_expr)
+        .select("p.doc_a", "p.doc_b")
         .distinct()
-        # candidates are small by LSH construction and consumed by TWO
-        # broadcast joins below; each broadcast is planned as its own job,
-        # so an unmaterialized plan would recompute the signature pipeline
-        # per consumer.  Eager localCheckpoint materializes exactly once,
-        # truncates lineage, and is freed on DataFrame GC — unlike a bare
-        # cache(), repeated calls in a long-lived poll-loop driver don't
-        # accumulate executor storage.  No driver collect: stays distributed.
+        # consumed by TWO broadcast joins below; each broadcast plans as
+        # its own job, so an unmaterialized plan would recompute the whole
+        # signature pipeline per consumer.  Eager localCheckpoint
+        # materializes exactly once, truncates lineage, and is freed on
+        # DataFrame GC (a bare cache() would accumulate executor storage
+        # across calls in a long-lived poll-loop driver).  No driver
+        # collect: stays distributed.
         .localCheckpoint(eager=True)
     )
-    sig.unpersist()
     # verify ONLY candidate docs: restrict the CORPUS before shingling, so
     # exact string shingles are built for the candidate neighborhood, not
     # the whole corpus
