@@ -429,3 +429,56 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n"), 6).alias("contaminated_frac"),
         )
     )
+
+
+@query(
+    "llm_prep_pipeline",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    quality AS (
+      SELECT doc_id, text FROM t
+      WHERE len(toks) >= 30
+        AND round(len(list_distinct(toks)) * 1.0 / len(toks), 6) >= 0.4
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ),
+    split AS (
+      SELECT d.doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM deduped d
+    )
+    SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM split GROUP BY split
+    """,
+)
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep COMPOSITION: quality filter → exact
+    dedup (keep lowest id per content hash) → deterministic content-
+    addressed split, summarized per split.  One pipeline, three of the
+    engine's stages chained — Catalyst fuses the filter into the scan,
+    the dedup is one hash-shuffle with map-side combine, the split is a
+    pure projection; nothing materializes between stages."""
+    from ..functions import text as _TX
+    from .sampling import train_test_split
+
+    d = _docs(spark, sf_dir)
+    quality = d.where(
+        (_TX.token_count("text") >= 30) & (_TX.type_token_ratio("text") >= 0.4)
+    )
+    deduped = (
+        quality.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        train_test_split(deduped, "doc_id", test_pct=10)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

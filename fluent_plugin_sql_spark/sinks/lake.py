@@ -51,3 +51,49 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction for append-heavy parquet sinks (a streaming
+    ``foreachBatch``/file sink accretes one file per micro-batch per
+    partition — thousands of tiny files kill scan planning long before
+    they kill I/O).
+
+    Rewrites the directory to ``ceil(rows / target_rows_per_file)`` files
+    (optionally sorted, so downstream range predicates benefit from
+    parquet row-group min/max pruning), staging into a sibling directory
+    and atomically renaming.  The swap window is a directory rename —
+    concurrent READERS of the old listing are fine; pause writers (or
+    compact between polls) since appends during compaction would be lost.
+    Returns the new file count.
+
+    At real scale this is the nightly-compaction shape; table formats
+    (Delta/Iceberg OPTIMIZE) do the same rewrite transactionally.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if sort_cols:
+        # repartitionByRange + sortWithinPartitions → globally range-
+        # clustered files, ideal for min/max pruning on sort_cols
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    staging = path.rstrip("/") + ".__compact_tmp__"
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_files

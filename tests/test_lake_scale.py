@@ -79,3 +79,50 @@ def test_scd2_apply_versions(spark):
     assert rows[(1, "alice_old")] == (False, False)  # stays historical
     assert rows[(1, "alice_new")] == (True, True)  # new current version
     assert out.count() == 4
+
+
+def test_compact_parquet_dir_preserves_rows_and_prunes(spark, tmp_path):
+    """Compaction: many micro-batch files → few sorted files, same rows,
+    and range-clustered files give parquet min/max pruning on the sort
+    column."""
+    import glob
+
+    from fluent_plugin_sql_spark.sinks.lake import compact_parquet_dir
+
+    path = str(tmp_path / "sink")
+    # simulate 20 micro-batch appends (one file each)
+    for i in range(20):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id AS event_id", "id * 1.5 AS value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    assert len(glob.glob(f"{path}/*.parquet")) == 20
+    before = spark.read.parquet(path)
+    before_sum = before.agg({"value": "sum"}).first()[0]
+
+    n_files = compact_parquet_dir(
+        spark, path, target_rows_per_file=500, sort_cols=["event_id"]
+    )
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n_files == 4
+    after = spark.read.parquet(path)
+    assert after.count() == 2000
+    assert abs(after.agg({"value": "sum"}).first()[0] - before_sum) < 1e-9
+    # range clustering: each file's event_id span is disjoint
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint → min/max pruning works
