@@ -96,6 +96,12 @@ class SourceTable:
     tiebreak_column: str | None = None
     time_column: str | None = None
     time_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSSxx"  # ≙ '%Y-%m-%d %H:%M:%S.%6N%z'
+    # engine extension: explicit PARSE pattern for non-standard time
+    # columns (Spark datetime pattern).  The reference's Time.parse and
+    # Spark's try_cast both accept standard ISO/zone forms without this;
+    # set it only for layouts like 'dd/MM/yyyy HH:mm:ss'.  Rows the
+    # pattern rejects still fall back leniently (T3).
+    time_parse_format: str | None = None
     primary_key: str | list[str] | None = None
 
     def resolved_tag(self) -> str:

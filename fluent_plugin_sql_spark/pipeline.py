@@ -103,6 +103,7 @@ def build_input_config(src: dict[str, Any]) -> SQLInputConfig:
             update_column=t.get("update_column"),
             tiebreak_column=t.get("tiebreak_column"),
             time_column=t.get("time_column"),
+            time_parse_format=t.get("time_parse_format"),
             primary_key=t.get("primary_key"),
         )
         for t in src.get("tables", [])

@@ -91,19 +91,31 @@ class IncrementalScan:
 
 
 def resolve_event_time(
-    df: DataFrame, time_column: str | None, now: Any | None = None
+    df: DataFrame,
+    time_column: str | None,
+    now: Any | None = None,
+    parse_format: str | None = None,
 ) -> DataFrame:
     """T3/F2: add a ``time`` column from ``time_column`` with lenient
     parsing — NULL/unparseable values fall back to "now" and are flagged
     (the reference logs a warning and substitutes wall clock,
     in_sql.rb:118-126; we keep a ``_time_fallback`` flag column so the
-    behavior is testable and auditable instead of log-only)."""
+    behavior is testable and auditable instead of log-only).
+
+    ``parse_format``: optional explicit Spark datetime pattern tried
+    FIRST (for non-standard layouts); the standard lenient cast remains
+    as a second chance before the now-fallback."""
     now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     if time_column is None:
         return df.withColumn("time", now_expr).withColumn(
             "_time_fallback", F.lit(True)
         )
     parsed = F.col(time_column).try_cast("timestamp")
+    if parse_format is not None:
+        parsed = F.coalesce(
+            F.try_to_timestamp(F.col(time_column).cast("string"), F.lit(parse_format)),
+            parsed,
+        )
     return df.withColumn("_time_fallback", parsed.isNull()).withColumn(
         "time", F.coalesce(parsed, now_expr)
     )
@@ -188,7 +200,10 @@ class SQLInput:
             else None
         )
         batch = scan.batch_plan(last_value, last_tie)
-        batch = resolve_event_time(batch, table.time_column, self.now)
+        batch = resolve_event_time(
+            batch, table.time_column, self.now,
+            getattr(table, "time_parse_format", None),
+        )
         batch = batch.withColumn("tag", F.lit(self.config.tag_for(table)))
         # the batch is ≤ select_limit rows by construction — caching it is
         # O(limit) regardless of table size, so emit and checkpoint see the

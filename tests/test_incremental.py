@@ -314,3 +314,32 @@ def test_snapshot_bootstrap_then_incremental_handoff(spark, sf_dir, tmp_path):
         state=StateStore(state_file), now=NOW,
     )
     assert inp2.run_once()["events"] == 5
+
+
+def test_custom_time_parse_format(spark):
+    """Reference custom-time scenario (test_in_sql_with_custom_time.rb):
+    ms+zone timestamps parse, NULL and garbage fall back to now — plus
+    the engine extension: an explicit pattern for non-standard layouts
+    that try_cast alone cannot read."""
+    from fluent_plugin_sql_spark.sources.incremental import resolve_event_time
+
+    # the reference's own fixture values (zone-offset form) parse via the
+    # standard lenient cast, no pattern needed
+    df = spark.createDataFrame(
+        [("2020-08-27 15:00:16.100758000 -0400",), (None,), ("foo",)], ["t"]
+    )
+    out = resolve_event_time(df, "t", now=NOW).collect()
+    assert out[0]["time"] == dt.datetime(2020, 8, 27, 19, 0, 16, 100758)  # → UTC
+    assert not out[0]["_time_fallback"]
+    assert out[1]["time"] == NOW and out[1]["_time_fallback"]
+    assert out[2]["time"] == NOW and out[2]["_time_fallback"]
+
+    # non-standard layout: pattern tried first, cast second, now last
+    df2 = spark.createDataFrame(
+        [("27/08/2020 15:00:16",), ("2024-01-01 10:00:00",), ("junk",)], ["t"]
+    )
+    out2 = resolve_event_time(df2, "t", now=NOW, parse_format="dd/MM/yyyy HH:mm:ss").collect()
+    assert out2[0]["time"] == dt.datetime(2020, 8, 27, 15, 0, 16)
+    assert not out2[0]["_time_fallback"]
+    assert out2[1]["time"] == dt.datetime(2024, 1, 1, 10, 0)  # cast fallback
+    assert out2[2]["time"] == NOW and out2[2]["_time_fallback"]
