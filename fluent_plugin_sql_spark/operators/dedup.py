@@ -395,3 +395,57 @@ def embedding_dup_pairs(
         return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cos": cos[keep]})
 
     return exploded.groupBy("grp").applyInPandas(block_cosine, out_schema)
+
+
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, cluster_id), with
+    cluster_id = the smallest doc id in the component.  This is the step
+    that turns PAIR output (minhash/simhash/jaccard) into dedup decisions:
+    keep cluster_id, drop the rest of its component.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are small and dense,
+    so typically 2-4).  Each round is one shuffle-on-key join; lineage is
+    truncated per round with an eager localCheckpoint so the loop's plan
+    doesn't grow (the standard Spark iterative-algorithm pattern).  The
+    driver only inspects a 1-row convergence count, never the data.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_id"))

@@ -482,3 +482,45 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    shared AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → connected components → cluster ids (keep the
+    min-id doc per cluster, drop the rest).  Spark side: iterative
+    min-label propagation over the LSH-verified pair graph; oracle side:
+    recursive-CTE transitive closure over the identical pair set."""
+    from ..operators.dedup import dup_clusters
+
+    pairs = minhash_lsh_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
+    )
+    return dup_clusters(pairs)

@@ -110,3 +110,17 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # results are deterministic across runs (stable centroid pick)
     again = {(r["query_id"], r["match_id"]) for r in ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=3).collect()}
     assert approx == again
+
+
+def test_dup_clusters_connected_components(spark):
+    """Min-label propagation must find full components, not just direct
+    neighbors: a 4-chain (1-2, 2-3, 3-4) all labels to 1; disjoint pair
+    keeps its own min; triangle converges in one round."""
+    from fluent_plugin_sql_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
