@@ -524,3 +524,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
     )
     return dup_clusters(pairs)
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             doc_id % 8 AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS start_chunk,
+           CAST(floor((cum - 1) / 2048) AS BIGINT) AS end_chunk
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents
+    concatenate in deterministic order and split into fixed 2048-token
+    chunks; each doc's (start_chunk, end_chunk) says which training
+    sequences it lands in.  Packing is SHARD-LOCAL (hash of doc_id):
+    the running-sum window partitions by shard, so no global single-task
+    window exists and shards pack independently on their own executors —
+    the layout real tokenizer pipelines use at corpus scale."""
+    from pyspark.sql.window import Window
+
+    max_len = 2048
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.pmod("doc_id", F.lit(8)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / max_len).alias("start_chunk"),
+        F.floor((F.col("cum") - 1) / max_len).alias("end_chunk"),
+    )
