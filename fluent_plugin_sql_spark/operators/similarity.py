@@ -245,3 +245,92 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_centroids: int = 16,
+) -> None:
+    """Persist an IVF index (centroids + posting lists) to parquet so the
+    build cost amortizes across query batches — at corpus scale the
+    assignment pass is the expensive part, and a nightly index serves
+    every search until the next rebuild.
+
+    Layout: ``{path}/centroids`` (centroid_id, centvec) and
+    ``{path}/postings`` (bucket, match_id, cvec) — postings are
+    PARTITIONED BY bucket, so a probe reads only its buckets' directories
+    (partition pruning does the posting-list lookup)."""
+    from pyspark.sql import Window
+
+    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    centroids = (
+        c.withColumn("_h", F.xxhash64("match_id"))
+        .orderBy("_h")
+        .limit(num_centroids)
+        .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent = F.broadcast(
+        centroids.withColumnRenamed("centvec", "centvec_b")
+    )
+    scored = c.join(cent).select(
+        "match_id", "cvec", "centroid_id",
+        cosine(F.col("cvec"), F.col("centvec_b")).alias("_cc"),
+    )
+    w = Window.partitionBy("match_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
+    posting = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("centroid_id").alias("bucket"), "match_id", "cvec")
+    )
+    posting.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index: probe each query's ``nprobe``
+    nearest centroids and scan ONLY those posting-list partitions (the
+    bucket filter prunes at the parquet partition level — the on-disk
+    analogue of an inverted-file lookup)."""
+    from pyspark.sql import Window
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    posting = spark.read.parquet(f"{index_path}/postings")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored_q = q.join(F.broadcast(centroids)).select(
+        "query_id", "qvec", "centroid_id",
+        cosine(F.col("qvec"), F.col("centvec")).alias("_cc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
+    probes = (
+        scored_q.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("bucket"))
+    )
+    scored = (
+        posting.join(
+            F.broadcast(probes),
+            (posting.bucket == probes.bucket) & (F.col("query_id") != F.col("match_id")),
+        )
+        .dropDuplicates(["query_id", "match_id"])
+        .select(
+            "query_id", "match_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )

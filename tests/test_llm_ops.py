@@ -124,3 +124,32 @@ def test_dup_clusters_connected_components(spark):
     )
     got = {r["doc"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_index_persistence_matches_inline(spark, tmp_path):
+    """A persisted IVF index must return the same results as the inline
+    build (same deterministic centroids), and the probe scan must prune
+    to the probed bucket partitions."""
+    from fluent_plugin_sql_spark.io import load_table
+    from fluent_plugin_sql_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    inline = {
+        (r["query_id"], r["rank"]): r["match_id"]
+        for r in ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=2).collect()
+    }
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_centroids=8)
+    from_index = ivf_topk_from_index(spark, idx, queries, k=5, nprobe=2)
+    got = {
+        (r["query_id"], r["rank"]): r["match_id"] for r in from_index.collect()
+    }
+    assert got == inline
+    # partition pruning: the postings scan carries a bucket filter
+    plan = from_index._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
