@@ -153,3 +153,31 @@ def test_ivf_index_persistence_matches_inline(spark, tmp_path):
     # partition pruning: the postings scan carries a bucket filter
     plan = from_index._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+
+
+def test_minhash_short_docs_densification_collides(spark):
+    """OPH densification edge: documents far shorter than the slot count
+    (most buckets empty) must still produce defined signatures, and
+    identical short docs must collide in every band (content-derived
+    fills are equal for equal shingle sets)."""
+    from fluent_plugin_sql_spark.operators.dedup import (
+        minhash_lsh_dup_pairs,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),        # 2 shingles << 24 slots
+        (2, "alpha beta gamma delta"),        # identical → must pair
+        (3, "omega psi chi phi upsilon tau"),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, "text", "doc_id", num_hashes=24, k=3).collect()
+    assert len(sig) == 3
+    for r in sig:
+        assert all(r[f"h{i}"] is not None for i in range(24))  # densified
+    by_doc = {r["doc"]: tuple(r[f"h{i}"] for i in range(24)) for r in sig}
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+
+    pairs = minhash_lsh_dup_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
