@@ -571,3 +571,29 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum") - F.col("n_tokens")) / max_len).alias("start_chunk"),
         F.floor((F.col("cum") - 1) / max_len).alias("end_chunk"),
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level heavy hitters: explode → count → top-20.  The
+    aggregation partial-combines map-side (the shuffle carries one row
+    per DISTINCT token per partition, not per occurrence) and the final
+    ORDER+LIMIT is TakeOrderedAndProject — at 100 TB the vocabulary, not
+    the corpus, bounds the shuffle."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )

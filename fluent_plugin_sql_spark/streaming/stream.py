@@ -106,3 +106,19 @@ def stream_to_sql_output(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dedup_stream(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state is O(keys per watermark window), not
+    O(all keys ever) — the at-least-once poll source upstream can
+    re-deliver a batch after a crash and downstream still sees each row
+    once.  (Plain ``dropDuplicates`` on a stream never evicts — unbounded
+    state; this is the scale-safe form.)"""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

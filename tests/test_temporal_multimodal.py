@@ -216,3 +216,39 @@ class TestStreaming:
             q.stop()
         total = sum(written.values())
         assert total == 100 and written.get("clicks", 0) > 0
+
+
+class TestStreamingDedup:
+    def test_dedup_stream_drops_redelivered_rows(self, spark, tmp_path):
+        """At-least-once upstream redelivery → exactly-once downstream:
+        the same rows arriving in a later micro-batch (inside the
+        watermark) are dropped, and state stays watermark-bounded."""
+        from fluent_plugin_sql_spark.streaming.stream import (
+            dedup_stream,
+            stream_from_parquet_dir,
+        )
+
+        events = load_table(spark, SF, "events").limit(200).select(
+            "event_id", "ts", "value"
+        )
+        src = str(tmp_path / "src")
+        # file 1 = the original batch; file 2 = a redelivery of half of it
+        events.coalesce(1).write.parquet(src)
+        events.limit(100).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        assert spark.read.parquet(src).count() == 300  # dupes present
+
+        stream = stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=1)
+        q = (
+            dedup_stream(stream, ["event_id"], ts_col="ts", watermark="365 days")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.sql("SELECT event_id FROM dedup_out").collect()
+        assert len(out) == 200
+        assert len({r["event_id"] for r in out}) == 200
