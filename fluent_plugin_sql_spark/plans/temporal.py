@@ -195,3 +195,81 @@ def interval_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "funnel_click_to_purchase",
+    oracle="""
+    SELECT p.user_id,
+           count(DISTINCT p.event_id) AS n_conversions,
+           min(p.ts) AS first_conversion_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step analysis: purchases preceded by a click from the same
+    user within 1 hour.  Shape: both sides pre-filter to their step (the
+    filters reach the parquet scan), then one equi-join on user_id with a
+    range residual — a plain shuffle-hash/sort-merge join on the key, no
+    time-bucket explosion, and AQE handles hot users via skew split."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return (
+        joined.groupBy(F.col("p.user_id").alias("user_id"))
+        .agg(
+            F.countDistinct("p.event_id").alias("n_conversions"),
+            F.min("p.ts").alias("first_conversion_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    SELECT user_id,
+           round(list_reduce(
+             list(value ORDER BY ts, event_id),
+             (acc, x) -> 0.2 * x + 0.8 * acc
+           ), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value` — an
+    ORDER-SENSITIVE sequential fold, the family of per-key recurrences
+    (EWMA/session scoring/decayed counts) that SQL aggregates can't
+    express directly.  Shape: one groupBy collects each user's ordered
+    series (bounded: events per user), then a single fold expression —
+    identical left-fold order on both engines makes the IEEE arithmetic
+    bit-comparable.  At scale this is the applyInPandas-per-key pattern
+    without leaving the JVM."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    fold = F.aggregate(
+        F.transform(arr, lambda x: x["value"]),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(0.2 * x + 0.8 * acc),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(fold, 6).alias("ewma"))
+    )
