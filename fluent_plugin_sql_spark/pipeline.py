@@ -154,6 +154,20 @@ def build_readers(
         return {n: (lambda n=n: load_table(spark, base, n)) for n in names}
     url = jdbc_url(src)
     props = _jdbc_props(src)
+    if cfg.all_tables and not cfg.tables:
+        # S3 all_tables against the DB catalog (in_sql.rb:214-230):
+        # every discovered table polls on its primary key / update_column
+        from .sources.jdbc import discover_jdbc_tables
+
+        names = discover_jdbc_tables(
+            spark, url, props,
+            schema=src.get("schema_search_path", "public").split(",")[0],
+            dialect=src.get("catalog_dialect", "information_schema"),
+        )
+        cfg.tables.extend(
+            SourceTable(table=n, update_column=src.get("update_column"))
+            for n in names
+        )
     return {
         t.table: (lambda t=t: read_jdbc(spark, url, t.table, props))
         for t in cfg.tables

@@ -182,3 +182,32 @@ def test_idempotent_sink_effectively_once(spark, derby_url):
 
     with pytest.raises(ValueError, match="identifier"):
         store.committed("eo_events; DROP TABLE x", 1)
+
+
+def test_pipeline_all_tables_jdbc_discovery(spark, derby_url, tmp_path):
+    """S3 all_tables against a live RDBMS catalog: the pipeline discovers
+    the tables itself (reference in_sql.rb:214-230) instead of a config
+    list, then polls them on update_column."""
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    cfg = {
+        "source": {
+            "url": derby_url,
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            "dialect": "derby",
+            "catalog_dialect": "derby",
+            "quote_identifiers": True,
+            "all_tables": True,
+            "update_column": "event_id",
+            "select_limit": 200,
+            "state_file": str(tmp_path / "state.json"),
+        },
+        "sink": {"path": str(tmp_path / "out"), "tables": [{"table": "sinked"}]},
+        "logical_now": "2024-06-01 00:00:00",
+    }
+    pipe = Pipeline(spark, cfg)
+    tables = {t.table.lower() for t in pipe.in_cfg.tables}
+    assert "events" in tables
+    got = pipe.run_once(drain=True)
+    by_lower = {k.lower(): v for k, v in got.items()}
+    assert by_lower["events"] == 300
