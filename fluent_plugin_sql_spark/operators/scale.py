@@ -86,3 +86,34 @@ def scd2_apply(
     return untouched.unionByName(closed).unionByName(still_old).unionByName(
         fresh.select(*base.columns)
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join for the case AQE can't fix: one (or few)
+    join keys so hot that even a split shuffle partition is one task's
+    whole runtime, and the small side is too large to broadcast outright.
+
+    Pattern: the BIG side gets a random-free salt derived from a unique
+    spread (xxhash64 of the whole row modulo buckets); the SMALL side is
+    replicated ``salt_buckets``× (explode over the salt range), and the
+    join key becomes (key, salt) — the hot key's rows now land on
+    ``salt_buckets`` different reducers.  Cost: small side shuffles ×N;
+    use only for genuinely pathological keys, and keep AQE's skew-join
+    as the first resort.
+    """
+    salted_big = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    replicated_small = small.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt"),
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted_big.join(replicated_small, [key, "_salt"]).drop("_salt")

@@ -126,3 +126,20 @@ def test_compact_parquet_dir_preserves_rows_and_prunes(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2  # disjoint → min/max pruning works
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be a pure plan transformation: same rows as the
+    plain equi-join, hot key spread over salt buckets."""
+    from fluent_plugin_sql_spark.operators.scale import salted_join
+
+    # pathological skew: 90% of the big side is one key
+    big = spark.range(10_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 7 END AS k", "id AS payload"
+    )
+    small = spark.range(7).selectExpr("id AS k", "id * 100 AS attr")
+    plain = big.join(small, "k").selectExpr("k", "payload", "attr")
+    salted = salted_join(big, small, "k", salt_buckets=8).selectExpr(
+        "k", "payload", "attr"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
