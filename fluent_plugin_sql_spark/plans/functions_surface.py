@@ -323,3 +323,41 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.checksum_md5").alias("checksum"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           m['qty'][1] AS qty_val,
+           cardinality(m) AS n_entries,
+           array_to_string(map_keys(m), ',') AS keys_csv,
+           round(list_aggregate(map_values(m), 'sum'), 4) AS val_sum
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             map(['qty', 'price', 'disc'],
+                 [l_quantity, l_extendedprice, l_discount]) AS m
+      FROM lineitem
+    )
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-F map type: construction, key lookup, cardinality, key listing,
+    value folding — all codegen'd expressions (insertion order of
+    create_map matches DuckDB's map() list order, so keys_csv compares)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price"), F.col("l_extendedprice"),
+        F.lit("disc"), F.col("l_discount"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.size(m).alias("n_entries"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.round(
+            F.aggregate(F.map_values(m), F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("val_sum"),
+    )
