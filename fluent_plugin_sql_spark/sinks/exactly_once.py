@@ -125,6 +125,20 @@ class EpochMarkerStore:
             f"VALUES ('{_check_ident(target)}', {int(epoch_id)})"
         )
 
+    def prune(self, target: str, keep_last: int = 1000) -> None:
+        """Bound the marker table in long-lived deployments: epochs older
+        than the newest ``keep_last`` can never be redelivered (Spark
+        retries only the latest uncommitted batch), so their markers are
+        dead weight.  One DELETE per call; run it occasionally (e.g. from
+        the same foreachBatch every N epochs)."""
+        t = _check_ident(target)
+        self._execute(
+            f"DELETE FROM {self.marker_table} WHERE target = '{t}' AND epoch_id < "
+            f"(SELECT MAX(epoch_id) FROM {self.marker_table} WHERE target = '{t}')"
+            f" - {int(keep_last) - 1}",
+            ignore_errors=True,
+        )
+
     def clear_epoch(self, target: str, epoch_id: int) -> None:
         # target table may not exist yet on the very first epoch
         q = self.quote

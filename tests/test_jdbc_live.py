@@ -211,3 +211,33 @@ def test_pipeline_all_tables_jdbc_discovery(spark, derby_url, tmp_path):
     got = pipe.run_once(drain=True)
     by_lower = {k.lower(): v for k, v in got.items()}
     assert by_lower["events"] == 300
+
+
+def test_partitioned_jdbc_read_range_slices(spark, derby_url):
+    """The documented bulk-read scale path: partitionColumn range slicing
+    issues N parallel per-range queries against the DB and returns the
+    same rows as the single-connection read."""
+    single = read_jdbc(spark, derby_url, "events", DRIVER)
+    total = single.count()
+    sliced = read_jdbc(
+        spark, derby_url, "events", DRIVER,
+        partition_column="event_id", lower_bound=0, upper_bound=300,
+        num_partitions=4,
+    )
+    assert sliced.rdd.getNumPartitions() == 4
+    assert sliced.count() == total
+    assert (
+        sorted(r["event_id"] for r in sliced.select("event_id").collect())
+        == sorted(r["event_id"] for r in single.select("event_id").collect())
+    )
+
+
+def test_epoch_marker_prune(spark, derby_url):
+    from fluent_plugin_sql_spark.sinks.exactly_once import EpochMarkerStore
+
+    store = EpochMarkerStore(spark, derby_url, DRIVER, dialect="derby")
+    for e in range(10):
+        store.mark("prune_t", e)
+    store.prune("prune_t", keep_last=3)
+    kept = [e for e in range(10) if store.committed("prune_t", e)]
+    assert kept == [7, 8, 9]
