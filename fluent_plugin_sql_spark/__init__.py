@@ -14,13 +14,23 @@ Layout
 - ``session``    SparkSession factory (AQE on, UTC, tuned shuffle).
 - ``config``     typed configs: tables, routes, column_mapping, tag globs.
 - ``state``      atomic JSON checkpoint store (reference: YAML state_file).
-- ``sources``    incremental table scan + poll loop (in_sql), JDBC reader.
-- ``sinks``      first-match-wins tag router + JDBC/parquet writers (out_sql).
+- ``sources``    incremental table scan + poll loop (in_sql), dialect-aware
+                 JDBC wrappers, snapshot→tail bootstrap, and the
+                 streaming-native source (offsets in Spark's checkpoint).
+- ``sinks``      first-match-wins tag router + JDBC/parquet writers
+                 (out_sql), effectively-once epoch sink, lake layer
+                 (partitioned/bucketed writes, small-file compaction).
 - ``functions``  scalar surface: time format/parse, tags, text analytics.
-- ``operators``  dedup (exact/minhash/simhash/jaccard), similarity search,
-                 as-of & range joins, multimodal column plumbing.
-- ``plans``      analytics query catalog (TPC-H-ish, windows, set ops).
-- ``streaming``  Structured Streaming wrappers (windows, sessionization).
+- ``operators``  dedup (exact/OPH-minhash/simhash/jaccard/embedding +
+                 connected-component clustering), similarity search
+                 (brute force, LSH, persistable IVF), as-of & range
+                 joins, skew salting, multimodal decode (stdlib
+                 BMP/PPM/PNG/WAV headers).
+- ``plans``      analytics query catalog (TPC-H shapes, windows, set ops,
+                 quality filters, packing, funnels) — each entry paired
+                 with a DuckDB oracle.
+- ``streaming``  Structured Streaming wrappers (windows, sessionization,
+                 watermarked dedup, stateful ops).
 """
 
 __version__ = "0.1.0"
