@@ -264,3 +264,45 @@ def conditional_agg_case(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("l_quantity") < 10, F.col("l_extendedprice"))), 4
         ).alias("small_order_avg"),
     )
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS chunk_text
+    FROM t, LATERAL (
+      SELECT unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+    ) g
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 UDTF: a Python user-defined TABLE function fans each document
+    out into fixed 10-token chunks via LATERAL join — the one UDF shape
+    (one row → many rows with custom logic) that scalar/grouped pandas
+    UDFs can't express.  UDTFs evaluate row-at-a-time in Python, so this
+    is a declared boundary for genuinely custom fan-out, never a bulk
+    path — bulk chunking stays in codegen (see pack_sequences)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str, n: int):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(0, len(toks), n):
+                yield i // n, " ".join(toks[i : i + n])
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text
+        FROM _docs_udtf d, LATERAL chunk_doc(d.text, 10) c
+        WHERE d.doc_id < 20
+        """
+    )
