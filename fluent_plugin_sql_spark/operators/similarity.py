@@ -206,7 +206,10 @@ def ivf_topk(
         .orderBy("_h")
         .limit(num_centroids)
         .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
-        .cache()
+        # tiny (num_centroids rows), consumed by both assignment passes;
+        # localCheckpoint frees on GC — repeated calls in a long-lived
+        # driver don't accumulate storage like an unreleased cache()
+        .localCheckpoint(eager=True)
     )
 
     def assign(df, vcol, out_name, top_n):
