@@ -149,3 +149,27 @@ def test_schema_search_path_maps_to_current_schema():
     )
     assert props["currentSchema"] == "audit,public"
     assert _jdbc_props({"adapter": "postgresql"}).get("currentSchema") is None
+
+
+@settings(max_examples=200)
+@given(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    st.sets(st.integers(min_value=0, max_value=59), min_size=0, max_size=6),
+)
+def test_simhash_pigeonhole_blocks_guarantee_recall(sketch, flip_bits):
+    """The blocking scheme in operators/dedup.simhash_dup_pairs is only
+    correct if ANY two sketches within hamming distance max_hamming agree
+    exactly on at least one of the max_hamming+1 blocks — the pigeonhole
+    bound, checked here against the very same block boundaries the
+    operator derives."""
+    max_hamming = 6
+    nb = max_hamming + 1
+    other = sketch
+    for b in flip_bits:
+        other ^= 1 << b
+    bounds = [i * 60 // nb for i in range(nb)] + [60]
+
+    def block(v, i):
+        return (v >> bounds[i]) & ((1 << (bounds[i + 1] - bounds[i])) - 1)
+
+    assert any(block(sketch, i) == block(other, i) for i in range(nb))
