@@ -165,3 +165,31 @@ def test_pipeline_streaming_mode_end_to_end(spark, table_dir, tmp_path):
     assert got.count() == 500
     assert got.select("tag").distinct().collect()[0]["tag"] == "db.events"
     assert got.select(F.countDistinct("event_id")).first()[0] == 500
+
+
+def test_stream_picks_up_live_appends(spark, table_dir, tmp_path):
+    """Rows appended while the query is RUNNING flow through on a later
+    micro-batch (the reader re-lists the table dir per poll) — the actual
+    continuous-tailing deployment shape."""
+    df = incremental_stream(spark, str(table_dir), "event_id", select_limit=100)
+    q = (
+        df.writeStream.format("memory").queryName("live_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    count = lambda: spark.sql("SELECT count(*) c FROM live_tail").first()["c"]
+    try:
+        t0 = time.time()
+        while time.time() - t0 < 60 and count() < 250:
+            time.sleep(0.3)
+        assert count() == 250
+        # live append while the query keeps running
+        _write_rows(str(table_dir / "part_live.parquet"), range(250, 300))
+        t0 = time.time()
+        while time.time() - t0 < 60 and count() < 300:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM live_tail").collect())
+    assert got == list(range(300))
