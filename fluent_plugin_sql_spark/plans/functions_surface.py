@@ -361,3 +361,33 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.map_values(m), F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("val_sum"),
     )
+
+
+@query(
+    "bitwise_functions",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1365) AS toggled,
+           event_id << 2 AS shl2,
+           event_id >> 3 AS shr3,
+           bit_count(event_id) AS popcount,
+           ~event_id AS inverted
+    FROM events
+    """,
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-F bitwise family: and/or/xor/shifts/popcount/not."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.shiftleft(e, 2).alias("shl2"),
+        F.shiftright(e, 3).alias("shr3"),
+        F.bit_count(e).alias("popcount"),
+        F.bitwise_not(e).alias("inverted"),
+    )
