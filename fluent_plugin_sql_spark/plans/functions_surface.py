@@ -391,3 +391,37 @@ def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(e).alias("popcount"),
         F.bitwise_not(e).alias("inverted"),
     )
+
+
+@query(
+    "struct_functions",
+    oracle="""
+    SELECT o_orderkey,
+           s.pri AS pri,
+           s.total AS total,
+           s.nest.status AS status,
+           round(s.total * 0.1, 4) AS tenth
+    FROM (
+      SELECT o_orderkey,
+             {'pri': o_orderpriority, 'total': o_totalprice,
+              'nest': {'status': o_orderstatus}} AS s
+      FROM orders
+    )
+    """,
+)
+def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-F struct type: construction (incl. nested), field access, and
+    arithmetic over extracted fields — all codegen'd."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("total"),
+        F.struct(F.col("o_orderstatus").alias("status")).alias("nest"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("pri").alias("pri"),
+        s.getField("total").alias("total"),
+        s.getField("nest").getField("status").alias("status"),
+        F.round(s.getField("total") * 0.1, 4).alias("tenth"),
+    )
