@@ -94,37 +94,84 @@ def _plane_components(table: int, plane: int, dim: int) -> list[float]:
     return out
 
 
-def hyperplane_bucket(
-    vec: Column, num_planes: int = 8, table: int = 0, dim: int = 64
-) -> Column:
-    """Random-hyperplane LSH bucket id for a vector (one hash table).
+def _hyperplane_bucket_sql(
+    vec_expr: str, num_planes: int = 8, table: int = 0, dim: int = 64
+) -> str:
+    """SQL text for one hash table's bucket id: the sign-bit string of
+    ``num_planes`` projections onto deterministic literal hyperplanes.
 
-    Bucket id = sign-bit string of ``num_planes`` projections onto
-    deterministic literal hyperplanes.
+    Returns a STRING, not a Column tree: building this as nested Column
+    objects cost one py4j round-trip per literal (num_tables × num_planes
+    × dim ≈ 3,072 calls per side — a measured 13 s driver stall at
+    sf0.01, the same gotcha fixed in dedup.py's OPH signature generator).
+    As one generated string the whole expression crosses py4j once and
+    parses JVM-side; the projection itself is flat codegen arithmetic.
     """
-    bits = []
-    for p in range(num_planes):
-        w = F.array(*[F.lit(c) for c in _plane_components(table, p, dim)])
-        proj = F.aggregate(
-            F.zip_with(vec, w, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
-def hyperplane_buckets(vec: Column, num_planes: int, num_tables: int) -> Column:
-    """Multi-table LSH: array of per-table bucket ids.  More tables →
-    higher recall (a true neighbor is found if ANY table buckets it with
-    the query); candidate cost grows linearly with tables, still sublinear
-    in corpus size."""
-    return F.array(
-        *[
-            F.concat(F.lit(f"{t}:"), hyperplane_bucket(vec, num_planes, table=t))
-            for t in range(num_tables)
-        ]
+    planes = _planes_literal_sql([table], num_planes, dim)
+    return (
+        f"concat_ws('', transform({planes}[0], pl -> "
+        f"CASE WHEN {_proj_sql(vec_expr)} >= 0.0 THEN '1' ELSE '0' END))"
     )
+
+
+def _planes_literal_sql(tables: list[int], num_planes: int, dim: int) -> str:
+    """SQL literal ``array<array<array<double>>>`` of hyperplanes indexed
+    [table][plane][dim].  Being foldable, Catalyst constant-folds it into
+    ONE ArrayData object that generated code references — unlike a flat
+    per-component arithmetic expression, which blows past janino's 64 KB
+    method limit at 3,072 terms and silently drops the whole stage to
+    interpreted mode (measured: 20 s vs 2 s at sf0.01)."""
+    out = []
+    for t in tables:
+        planes = ",".join(
+            "array(" + ",".join(f"{c!r}D" for c in _plane_components(t, p, dim)) + ")"
+            for p in range(num_planes)
+        )
+        out.append(f"array({planes})")
+    return "array(" + ",".join(out) + ")"
+
+
+def _proj_sql(vec_expr: str) -> str:
+    """Dot product of the vector column with plane ``pl`` (bound by the
+    enclosing ``transform``) as a sequential-fold aggregate — codegen-sized
+    and deterministic."""
+    return (
+        f"aggregate(zip_with(CAST({vec_expr} AS array<double>), pl, "
+        "(x, c) -> x * c), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _hyperplane_buckets_sql(
+    vec_expr: str, num_planes: int, num_tables: int, dim: int = 64
+) -> str:
+    """SQL text for the multi-table LSH bucket array (``'t:bits'`` per
+    table).  More tables → higher recall (a true neighbor is found if ANY
+    table buckets it with the query); candidate cost grows linearly with
+    tables, still sublinear in corpus size."""
+    planes = _planes_literal_sql(list(range(num_tables)), num_planes, dim)
+    return (
+        f"transform({planes}, (tp, t) -> "
+        "concat(cast(t AS string), ':', concat_ws('', transform(tp, pl -> "
+        f"CASE WHEN {_proj_sql(vec_expr)} >= 0.0 THEN '1' ELSE '0' END))))"
+    )
+
+
+def hyperplane_bucket(
+    vec: str, num_planes: int = 8, table: int = 0, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH bucket id for a vector column (one hash
+    table).  ``vec`` is the COLUMN NAME (SQL text), not a Column — the
+    expression is generated as a single SQL string; see
+    :func:`_hyperplane_bucket_sql` for why."""
+    return F.expr(_hyperplane_bucket_sql(vec, num_planes, table, dim))
+
+
+def hyperplane_buckets(
+    vec: str, num_planes: int, num_tables: int, dim: int = 64
+) -> Column:
+    """Multi-table LSH bucket array for a vector column (name, not
+    Column); one generated SQL string → one py4j crossing."""
+    return F.expr(_hyperplane_buckets_sql(vec, num_planes, num_tables, dim))
 
 
 def lsh_topk(
@@ -135,6 +182,7 @@ def lsh_topk(
     k: int = 5,
     num_planes: int = 6,
     num_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH — compare each query
     only against corpus vectors sharing a bucket in ≥1 of ``num_tables``
@@ -142,20 +190,20 @@ def lsh_topk(
     :func:`brute_force_topk`); expected candidates per query ≈
     num_tables × |corpus| / 2^num_planes — sublinear in corpus size,
     which is the 100 TB path (the brute-force cross product is not).
+
+    The bucket expressions are generated SQL strings (one py4j crossing
+    per side), not Column trees — see :func:`_hyperplane_bucket_sql`.
     """
-    c = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cvec"),
-        F.explode(hyperplane_buckets(F.col(vec_col), num_planes, num_tables)).alias(
-            "bucket"
-        ),
+    buckets_sql = _hyperplane_buckets_sql(vec_col, num_planes, num_tables, dim)
+    c = corpus.selectExpr(
+        f"{id_col} AS match_id",
+        f"{vec_col} AS cvec",
+        f"explode({buckets_sql}) AS bucket",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(hyperplane_buckets(F.col(vec_col), num_planes, num_tables)).alias(
-            "bucket"
-        ),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec_col} AS qvec",
+        f"explode({buckets_sql}) AS bucket",
     )
     scored = (
         c.join(F.broadcast(q), (c.bucket == q.bucket) & (F.col("query_id") != F.col("match_id")))
