@@ -41,10 +41,19 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
             return ()
         path = files[0]
     schema = pq.read_schema(path)
+    # Arrow reports legacy INT96 timestamps as timestamp[ns] too, but
+    # Spark reads INT96 natively — only true TIMESTAMP(NANOS) (INT64
+    # physical) columns need the nanosAsLong + ns→µs conversion path.
+    int96 = set()
+    pf_schema = pq.ParquetFile(path).schema
+    for i in range(len(pf_schema)):
+        col = pf_schema.column(i)
+        if col.physical_type == "INT96":
+            int96.add(col.name)
     return tuple(
         name
         for name, typ in zip(schema.names, schema.types)
-        if pa.types.is_timestamp(typ) and typ.unit == "ns"
+        if pa.types.is_timestamp(typ) and typ.unit == "ns" and name not in int96
     )
 
 

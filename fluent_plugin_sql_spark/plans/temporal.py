@@ -255,21 +255,46 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially-weighted moving average of `value` — an
     ORDER-SENSITIVE sequential fold, the family of per-key recurrences
     (EWMA/session scoring/decayed counts) that SQL aggregates can't
-    express directly.  Shape: one groupBy collects each user's ordered
-    series (bounded: events per user), then a single fold expression —
-    identical left-fold order on both engines makes the IEEE arithmetic
-    bit-comparable.  At scale this is the applyInPandas-per-key pattern
-    without leaving the JVM."""
+    express directly.
+
+    Skew-safe CHUNKED fold: a single per-user ``collect_list`` puts one
+    hot user's entire history into one aggregation buffer (unbounded in
+    events-per-key).  Instead the series is segmented by TIME (weekly
+    chunks), each chunk folded independently to a 4-scalar summary
+    (len, zero-seeded partial, first value), then chunk summaries combine
+    in time order with the exponential decay identity
+
+        ewma(a ++ b) = decay^|b| * ewma(a) + partial(b)
+        ewma(first chunk a) = partial(a) + decay^|a| * first(a)
+
+    so the largest buffer is bounded by events-per-key-per-WEEK (a rate,
+    not a history), and the per-user state is one small struct per chunk.
+    The identity holds because the null-seeded fold
+    ``acc = 0.2x + 0.8·acc`` is linear in acc: partial(a) with a 0.0 seed
+    differs from ewma(a) only by the first element's weight
+    (0.8^{|a|-1} vs 0.2·0.8^{|a|-1}), i.e. by ``0.8^{|a|}·first(a)``."""
     ev = load_table(spark, sf_dir, "events")
-    arr = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "value"))
+    decay = 0.8
+    chunked = ev.withColumn(
+        "_chunk", F.floor(F.unix_timestamp("ts") / F.lit(7 * 86400))
     )
-    fold = F.aggregate(
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    partial = F.aggregate(
         F.transform(arr, lambda x: x["value"]),
+        F.lit(0.0),
+        lambda acc, x: 0.2 * x + decay * acc,
+    )
+    summaries = chunked.groupBy("user_id", "_chunk").agg(
+        F.size(arr).alias("m"),
+        partial.alias("s"),
+        arr[0]["value"].alias("first_v"),
+    )
+    chunks = F.array_sort(F.collect_list(F.struct("_chunk", "m", "s", "first_v")))
+    fold = F.aggregate(
+        chunks,
         F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x).otherwise(0.2 * x + 0.8 * acc),
+        lambda acc, c: F.when(
+            acc.isNull(), c["s"] + F.pow(F.lit(decay), c["m"]) * c["first_v"]
+        ).otherwise(F.pow(F.lit(decay), c["m"]) * acc + c["s"]),
     )
-    return (
-        ev.groupBy("user_id")
-        .agg(F.round(fold, 6).alias("ewma"))
-    )
+    return summaries.groupBy("user_id").agg(F.round(fold, 6).alias("ewma"))

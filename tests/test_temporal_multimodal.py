@@ -252,3 +252,48 @@ class TestStreamingDedup:
         out = spark.sql("SELECT event_id FROM dedup_out").collect()
         assert len(out) == 200
         assert len({r["event_id"] for r in out}) == 200
+
+
+class TestEwmaChunkedFold:
+    """ewma_user_value must match the flat sequential fold while keeping
+    every aggregation buffer bounded by events-per-week, not per-user
+    history — verified with one user owning ~50% of all events."""
+
+    def test_skewed_user_matches_sequential_fold(self, spark, tmp_path):
+        import random
+
+        from fluent_plugin_sql_spark.plans.temporal import ewma_user_value
+
+        rng = random.Random(7)
+        base = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for i in range(600):  # hot user: ~50% of events over ~29 weeks
+            rows.append(
+                (eid, base + dt.timedelta(hours=i * 8), 1, rng.randrange(1000) / 10.0)
+            )
+            eid += 1
+        for u in range(2, 14):
+            for i in range(50):
+                rows.append(
+                    (eid, base + dt.timedelta(hours=i * 37), u, rng.randrange(1000) / 10.0)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+        out = {
+            r["user_id"]: r["ewma"]
+            for r in ewma_user_value(spark, str(tmp_path)).collect()
+        }
+
+        series = {}
+        for e, t, u, v in rows:
+            series.setdefault(u, []).append((t, e, v))
+        assert set(out) == set(series)
+        for u, s in series.items():
+            acc = None
+            for _, _, v in sorted(s):
+                acc = v if acc is None else 0.2 * v + 0.8 * acc
+            assert out[u] == pytest.approx(round(acc, 6), abs=2e-6), u
