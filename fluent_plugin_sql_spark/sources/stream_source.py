@@ -14,8 +14,9 @@ Scale/design notes:
   connection fetching ≤ select_limit rows per tick (README.md:100-102) —
   a deliberately tiny trickle that feeds a fan-out pipeline.  The heavy
   lifting (joins/aggs over the emitted stream) happens downstream on
-  executors.  A partitioned ``DataSourceStreamReader`` (executor-side
-  range-sliced reads) is the upgrade path for bulk backfills.
+  executors.  For bulk backfills, ``partitioned=true`` selects
+  :class:`_PartitionedIncrementalReader` — executor-side range-sliced
+  reads planned as ~select_limit-row watermark sub-ranges per task.
 - The parquet "table" here stands in for the RDBMS table exactly like
   the reference's sqlite fixtures stand in for PostgreSQL in its tests;
   rows are read with pyarrow and filtered/sorted/limited before emission.
@@ -29,7 +30,12 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Any, Iterator, Tuple
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "sql_incremental"
@@ -115,8 +121,16 @@ class _IncrementalPollReader(SimpleDataSourceStreamReader):
             filt = hi if filt is None else (filt & hi)
         table = dataset.to_table(filter=filt)
         table = table.sort_by(self.update_column)
-        if upper is None:
-            table = table.slice(0, self.select_limit)
+        if upper is None and table.num_rows > self.select_limit:
+            # Tiebreak: if the cap would cut through rows SHARING the
+            # boundary value, the next poll's strict ``>`` lower bound
+            # would skip the cut-off ties forever.  Extend the batch
+            # through every row equal to the boundary (slightly exceeding
+            # select_limit), mirroring the batch path's tie handling.
+            boundary = table.column(self.update_column)[self.select_limit - 1]
+            table = table.filter(
+                pc.less_equal(table.column(self.update_column), boundary)
+            )
         return table
 
     def _rows(self, table) -> Iterator[Tuple]:
@@ -153,6 +167,112 @@ def _as_arrow_scalar(v: Any):
     return pa.scalar(v)
 
 
+class _RangeInputPartition(InputPartition):
+    """One executor task's slice of a micro-batch: the half-open
+    watermark interval ``(lo, hi]`` in ENCODED (json-safe) form — the
+    partition object is pickled driver→executor."""
+
+    def __init__(self, lo: Any, hi: Any):
+        self.lo = lo
+        self.hi = hi
+
+
+class _PartitionedIncrementalReader(DataSourceStreamReader):
+    """Executor-side bulk-backfill variant of the incremental source.
+
+    The Simple reader above is the reference-parity trickle (one
+    driver-side poll of ≤ select_limit rows per tick — in_sql.rb:131-158).
+    For a BULK backfill that shape funnels every byte through the driver;
+    this reader instead plans each micro-batch as value sub-ranges of the
+    watermark column and reads them ON EXECUTORS (``read`` runs in tasks):
+
+    - ``latestOffset`` is the table head (max update_column) — a
+      single-column pruned scan.  It is monotone, so a restarted query
+      can never regress the checkpointed offset (exact resume).
+    - ``partitions(start, end)`` splits ``(start, end]`` into contiguous
+      DISTINCT-value ranges of ~``select_limit`` rows each (one pruned
+      scan of the watermark column + group-count).  select_limit bounds
+      rows per TASK here, not per batch — the whole backlog flows in one
+      micro-batch across many tasks, the point of a backfill.
+    - Ties never split: range bounds sit on distinct values with
+      ``(lo, hi]`` semantics, so rows sharing a watermark value always
+      land in exactly one partition.
+    """
+
+    def __init__(self, path: str, update_column: str, select_limit: int):
+        self.path = path
+        self.update_column = update_column
+        self.select_limit = select_limit
+
+    def initialOffset(self) -> dict:
+        return {"last": None}
+
+    def latestOffset(self) -> dict:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(self.path, format="parquet")
+        tbl = dataset.to_table(columns=[self.update_column])
+        if tbl.num_rows == 0:
+            return {"last": None}
+        return {"last": _encode_offset_value(pc.max(tbl.column(0)).as_py())}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        lo = _decode_offset_value(start.get("last"))
+        hi = _decode_offset_value(end.get("last"))
+        if hi is None or (lo is not None and not (hi > lo)):
+            return []
+        dataset = ds.dataset(self.path, format="parquet")
+        col = pc.field(self.update_column)
+        filt = col <= _as_arrow_scalar(hi)
+        if lo is not None:
+            filt = (col > _as_arrow_scalar(lo)) & filt
+        vals = dataset.to_table(columns=[self.update_column], filter=filt)
+        if vals.num_rows == 0:
+            return []
+        counts = (
+            vals.group_by(self.update_column)
+            .aggregate([(self.update_column, "count")])
+            .sort_by(self.update_column)
+        )
+        values = counts.column(self.update_column).to_pylist()
+        ns = counts.column(f"{self.update_column}_count").to_pylist()
+        parts: list[_RangeInputPartition] = []
+        prev = start.get("last")
+        acc = 0
+        for v, n in zip(values, ns):
+            acc += n
+            if acc >= self.select_limit:
+                enc = _encode_offset_value(v)
+                parts.append(_RangeInputPartition(prev, enc))
+                prev, acc = enc, 0
+        if acc > 0 or not parts:
+            parts.append(_RangeInputPartition(prev, _encode_offset_value(values[-1])))
+        return parts
+
+    def read(self, partition: _RangeInputPartition) -> Iterator[Tuple]:  # type: ignore[override]
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        lo = _decode_offset_value(partition.lo)
+        hi = _decode_offset_value(partition.hi)
+        dataset = ds.dataset(self.path, format="parquet")
+        col = pc.field(self.update_column)
+        filt = col <= _as_arrow_scalar(hi)
+        if lo is not None:
+            filt = (col > _as_arrow_scalar(lo)) & filt
+        table = dataset.to_table(filter=filt).sort_by(self.update_column)
+        for batch in table.to_batches():
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            yield from zip(*cols)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SQLIncrementalDataSource(DataSource):
     """``spark.readStream.format("sql_incremental")`` — options:
 
@@ -173,6 +293,23 @@ class SQLIncrementalDataSource(DataSource):
             ds.dataset(self.options["path"], format="parquet").schema
         )
 
+    def streamReader(self, schema: StructType) -> _PartitionedIncrementalReader:
+        """Executor-side partitioned reads when ``partitioned=true``;
+        otherwise falls back (via PySparkNotImplementedError — the
+        documented dispatch in datasource_internal._streamReader) to the
+        driver-side Simple reader's reference poll semantics."""
+        if str(self.options.get("partitioned", "false")).lower() == "true":
+            return _PartitionedIncrementalReader(
+                self.options["path"],
+                self.options.get("update_column", "id"),
+                int(self.options.get("select_limit", 500)),
+            )
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+        )
+
     def simpleStreamReader(self, schema: StructType) -> _IncrementalPollReader:
         return _IncrementalPollReader(
             self.options["path"],
@@ -186,15 +323,27 @@ def register(spark) -> None:
     spark.dataSource.register(SQLIncrementalDataSource)
 
 
-def incremental_stream(spark, path: str, update_column: str, select_limit: int = 500):
+def incremental_stream(
+    spark,
+    path: str,
+    update_column: str,
+    select_limit: int = 500,
+    partitioned: bool = False,
+):
     """readStream handle tailing ``path`` with reference poll semantics;
     pair with ``writeStream.option('checkpointLocation', ...)`` so the
-    watermark offset is checkpoint-managed."""
+    watermark offset is checkpoint-managed.
+
+    ``partitioned=True`` switches to the executor-side bulk-backfill
+    reader (:class:`_PartitionedIncrementalReader`): each micro-batch is
+    split into ~select_limit-row watermark ranges read in parallel tasks
+    instead of one driver-side poll."""
     register(spark)
     return (
         spark.readStream.format(FORMAT_NAME)
         .option("path", path)
         .option("update_column", update_column)
         .option("select_limit", str(select_limit))
+        .option("partitioned", "true" if partitioned else "false")
         .load()
     )

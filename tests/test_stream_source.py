@@ -193,3 +193,69 @@ def test_stream_picks_up_live_appends(spark, table_dir, tmp_path):
         q.awaitTermination(30)
     got = sorted(r["event_id"] for r in spark.sql("SELECT event_id FROM live_tail").collect())
     assert got == list(range(300))
+
+
+def test_partitioned_backfill_reads_on_executors(spark, tmp_path):
+    """partitioned=true: one micro-batch covers the whole backlog, split
+    into ~select_limit-row watermark ranges — one executor TASK each (we
+    count the parquet part-files the single batch produced), with
+    restart-resume still exact."""
+    d = tmp_path / "tbl"
+    d.mkdir()
+    _write_rows(str(d / "part0.parquet"), range(600))
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def out_count():
+        return spark.read.parquet(out).count()
+
+    df = incremental_stream(spark, str(d), "event_id", select_limit=100, partitioned=True)
+    q = df.writeStream.format("parquet").option("path", out).option(
+        "checkpointLocation", ckpt).start()
+    _drain(q, out_count, 600)
+    assert out_count() == 600
+    # the whole backlog arrived as ONE micro-batch...
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert sizes == [600]
+    # ...read by >1 task: the parquet sink writes one file per non-empty task
+    import glob
+    files = [f for f in glob.glob(f"{out}/part-*") if not f.endswith(".crc")]
+    assert len(files) >= 4, files  # 600 rows / 100-row ranges
+
+    # grows while down; restart resumes exactly (offset = table head, monotone)
+    _write_rows(str(d / "part1.parquet"), range(600, 750))
+    df2 = incremental_stream(spark, str(d), "event_id", select_limit=100, partitioned=True)
+    q2 = df2.writeStream.format("parquet").option("path", out).option(
+        "checkpointLocation", ckpt).start()
+    _drain(q2, out_count, 750)
+    got = [r["event_id"] for r in spark.read.parquet(out).orderBy("event_id").collect()]
+    assert got == list(range(750))
+
+
+def test_select_limit_cap_extends_through_watermark_ties(spark, tmp_path):
+    """If the row cap cuts through rows SHARING the boundary watermark
+    value, the batch extends through the ties — the strict '>' lower
+    bound of the next poll would otherwise skip them forever."""
+    d = tmp_path / "tbl"
+    d.mkdir()
+    # watermark column 'grp' has heavy duplicates: 80 rows per value
+    ids = list(range(400))
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "grp": pa.array([i // 80 for i in ids], pa.int64()),
+        }),
+        str(d / "part0.parquet"),
+    )
+    df = incremental_stream(spark, str(d), "grp", select_limit=100)
+    q = (
+        df.writeStream.format("memory").queryName("ties_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    count = lambda: spark.sql("SELECT count(*) c FROM ties_tail").first()["c"]
+    _drain(q, count, 400)
+    assert count() == 400
+    assert spark.sql("SELECT count(DISTINCT event_id) c FROM ties_tail").first()["c"] == 400
+    # batches exceed the cap only up to the tie group, never wildly
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert sizes and max(sizes) <= 160  # cap 100 extended through one 80-row group
