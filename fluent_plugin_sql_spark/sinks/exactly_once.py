@@ -45,6 +45,32 @@ def _check_ident(name: str) -> str:
     return name
 
 
+# "object does not exist" across dialects: Derby 42X05/42Y55, SQL-server
+# family S0002, MySQL 42S02, PostgreSQL 42P01
+MISSING_OBJECT_SQLSTATES = frozenset({"42X05", "42Y55", "S0002", "42S02", "42P01"})
+# "object already exists": Derby X0Y32, PostgreSQL 42P07, MySQL 42S01
+EXISTS_SQLSTATES = frozenset({"X0Y32", "42P07", "42S01"})
+
+
+def _sqlstates(exc: Exception):
+    """Yield the SQLState of every java.sql.SQLException in the py4j
+    exception's cause chain (empty for non-JVM errors)."""
+    je = getattr(exc, "java_exception", None)
+    seen = 0
+    while je is not None and seen < 16:
+        seen += 1
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state:
+            yield str(state)
+        try:
+            je = je.getCause()
+        except Exception:
+            return
+
+
 class EpochMarkerStore:
     """Driver-side control-plane statements for the marker protocol."""
 
@@ -77,7 +103,18 @@ class EpochMarkerStore:
             )
         return jvm.java.sql.DriverManager.getConnection(self.url)
 
-    def _execute(self, sql: str, ignore_errors: bool = False) -> None:
+    def _execute(
+        self,
+        sql: str,
+        ignore_errors: bool = False,
+        ignore_sqlstates: frozenset[str] | None = None,
+    ) -> None:
+        """Run one control statement.  ``ignore_sqlstates`` swallows ONLY
+        failures whose SQLState chain matches (e.g. table-not-found on the
+        first epoch); anything else — lock timeout, dropped connection —
+        propagates so the caller's batch aborts and Spark retries it,
+        instead of silently proceeding past a failed DELETE and breaking
+        the effectively-once guarantee."""
         conn = self._conn()
         try:
             st = conn.createStatement()
@@ -85,9 +122,12 @@ class EpochMarkerStore:
                 st.execute(sql)
             finally:
                 st.close()
-        except Exception:
-            if not ignore_errors:
-                raise
+        except Exception as exc:
+            if ignore_errors:
+                return
+            if ignore_sqlstates and any(s in ignore_sqlstates for s in _sqlstates(exc)):
+                return
+            raise
         finally:
             conn.close()
 
@@ -104,12 +144,13 @@ class EpochMarkerStore:
             conn.close()
 
     def _ensure_marker_table(self) -> None:
-        # CREATE TABLE IF NOT EXISTS is not universal (Derby) → try/ignore
+        # CREATE TABLE IF NOT EXISTS is not universal (Derby) → create and
+        # swallow only the "already exists" SQLState
         self._execute(
             f"CREATE TABLE {self.marker_table} "
             "(target VARCHAR(128) NOT NULL, epoch_id BIGINT NOT NULL, "
             "PRIMARY KEY (target, epoch_id))",
-            ignore_errors=True,
+            ignore_sqlstates=EXISTS_SQLSTATES,
         )
 
     def committed(self, target: str, epoch_id: int) -> bool:
@@ -140,12 +181,17 @@ class EpochMarkerStore:
         )
 
     def clear_epoch(self, target: str, epoch_id: int) -> None:
-        # target table may not exist yet on the very first epoch
+        # The target table may not exist yet on the very first epoch —
+        # that exact case (and only it) is ignorable.  Any OTHER delete
+        # failure (lock timeout, dropped connection) must abort the batch:
+        # swallowing it would let the append run with a crashed attempt's
+        # partial rows still in place, then commit the marker — duplicates
+        # under the effectively-once contract.
         q = self.quote
         self._execute(
             f"DELETE FROM {_check_ident(target)} "
             f"WHERE {q}_epoch{q} = {int(epoch_id)}",
-            ignore_errors=True,
+            ignore_sqlstates=MISSING_OBJECT_SQLSTATES,
         )
 
 

@@ -67,8 +67,15 @@ def compact_parquet_dir(
     Rewrites the directory to ``ceil(rows / target_rows_per_file)`` files
     (optionally sorted, so downstream range predicates benefit from
     parquet row-group min/max pruning), staging into a sibling directory
-    and atomically renaming.  The swap window is a directory rename —
-    concurrent READERS of the old listing are fine; pause writers (or
+    and swapping via the Hadoop ``FileSystem`` API — scheme-agnostic, so
+    the same code works for ``file:``, ``hdfs:``, ``s3a:`` paths.  The
+    swap is two renames (live→old, staging→live): each rename is atomic
+    on POSIX/HDFS (on S3A it is an O(data) copy — use a table format
+    there), but the PAIR is not — a crash between them leaves no live
+    directory.  That window is self-healing: on entry the function
+    detects the leftover ``.__compact_old__``/``.__compact_tmp__``
+    markers and rolls the previous attempt back/forward before starting.
+    Concurrent READERS of the old listing are fine; pause writers (or
     compact between polls) since appends during compaction would be lost.
     Returns the new file count.
 
@@ -76,8 +83,28 @@ def compact_parquet_dir(
     (Delta/Iceberg OPTIMIZE) do the same rewrite transactionally.
     """
     import math
-    import os
-    import shutil
+
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_tmp__")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old__")
+
+    # crash-window recovery from a previous attempt, in causal order:
+    #  - old exists, live missing → crashed between the two renames:
+    #    roll back (old → live); the stale staging is deleted below.
+    #  - old exists, live exists → crashed after the swap, before
+    #    cleanup: the rewrite completed, just drop old.
+    #  - staging exists → a crashed write or unswapped rewrite: drop it
+    #    (the live directory is still authoritative).
+    if fs.exists(old):
+        if not fs.exists(hpath):
+            if not fs.rename(old, hpath):
+                raise IOError(f"recovery rename failed: {old} -> {hpath}")
+        else:
+            fs.delete(old, True)
+    if fs.exists(staging):
+        fs.delete(staging, True)
 
     df = spark.read.parquet(path)
     n = df.count()
@@ -90,10 +117,13 @@ def compact_parquet_dir(
         )
     else:
         out = df.repartition(n_files)
-    staging = path.rstrip("/") + ".__compact_tmp__"
-    out.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + ".__compact_old__"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    out.write.mode("overwrite").parquet(str(staging))
+    if not fs.rename(hpath, old):
+        raise IOError(f"swap rename failed: {path} -> {old}")
+    if not fs.rename(staging, hpath):
+        # roll back so the live path never stays missing longer than the
+        # failure itself
+        fs.rename(old, hpath)
+        raise IOError(f"swap rename failed: {staging} -> {path}")
+    fs.delete(old, True)
     return n_files

@@ -259,14 +259,49 @@ class SQLInput:
         else:
             self.state.update(table, last_record)
 
-    def run_forever(self, max_cycles: int | None = None) -> None:
+    def run_forever(
+        self,
+        max_cycles: int | None = None,
+        health_probe: Callable[[], None] | None = None,
+        max_backoff: float | None = None,
+    ) -> None:
         """T1 trigger loop: sleep ``select_interval`` between cycles
-        (in_sql.rb:255-278)."""
+        (in_sql.rb:255-278), with reconnect-before-poll parity
+        (in_sql.rb:259-265): when ``health_probe`` is given (e.g.
+        :func:`~fluent_plugin_sql_spark.sources.jdbc.jdbc_health_probe`,
+        which opens a fresh connection — opening IS the reconnect), it
+        runs before each cycle; on failure the whole cycle is skipped —
+        "can't connect to database. Reconnect at next try" — and the
+        sleep backs off exponentially (``select_interval * 2^k``, capped
+        at ``max_backoff``, default 64× the interval) until the probe
+        succeeds.  The reference retries at a fixed interval; the backoff
+        is our extension so a long outage doesn't hammer a recovering
+        database.  The loop itself never crashes: probe errors are
+        absorbed here, per-table poll errors by ``run_once``'s isolation
+        (T7)."""
         cycles = 0
+        failures = 0
+        cap = (
+            max_backoff
+            if max_backoff is not None
+            else self.config.select_interval * 64
+        )
         while max_cycles is None or cycles < max_cycles:
-            _time.sleep(self.config.select_interval)
-            self.run_once()
+            _time.sleep(min(self.config.select_interval * (2**failures), cap))
             cycles += 1
+            if health_probe is not None:
+                try:
+                    health_probe()
+                except Exception:  # noqa: BLE001
+                    failures += 1
+                    log.warning(
+                        "can't connect to database (attempt %d); "
+                        "reconnect at next try",
+                        failures,
+                    )
+                    continue
+            failures = 0
+            self.run_once()
 
 
 def snapshot_bootstrap(
@@ -282,13 +317,22 @@ def snapshot_bootstrap(
     once, then hand off to the incremental tail with no gap and no
     overlap.
 
-    The watermark is computed from the SNAPSHOT itself (its max
-    update_column [+ tiebreak]), not from the live table — rows arriving
-    while the snapshot streams out are strictly above it, so the first
-    incremental poll picks up exactly where the snapshot ends.  This is
-    the standard CDC bootstrap (initial load + change tail) the reference
-    lacks: its only options are "read everything through the poll loop"
-    or start mid-stream.
+    The watermark boundary is resolved FIRST, and the snapshot emit is
+    then bounded to rows at-or-below it.  Ordering matters: with a lazy
+    live-table ``df``, emitting first and computing the max afterwards
+    runs TWO scans — rows committed between them would raise the
+    watermark above rows the emit scan never saw, permanently skipping
+    them.  Boundary-first inverts that: any row above the boundary
+    (including every row committed after the boundary read, under the
+    incremental contract's monotonic ``update_column``) is excluded from
+    the snapshot and belongs to the tail; a row at-or-below the boundary
+    that becomes visible before the emit scan is simply included.  No
+    gap, no overlap, and — unlike a ``cache()`` of the full snapshot —
+    no requirement that the initial load fit in cluster memory.
+
+    This is the standard CDC bootstrap (initial load + change tail) the
+    reference lacks: its only options are "read everything through the
+    poll loop" or start mid-stream.
 
     ``df`` should be a partitioned bulk read at scale (parquet scan or
     ``read_jdbc(partition_column=...)`` range slicing) — the snapshot is
@@ -299,7 +343,6 @@ def snapshot_bootstrap(
     """
     from pyspark.sql import functions as F
 
-    emit(tag, df)
     if tiebreak_column:
         tail = (
             df.orderBy(F.desc(update_column), F.desc(tiebreak_column))
@@ -310,8 +353,20 @@ def snapshot_bootstrap(
     else:
         tail = df.orderBy(F.desc(update_column)).select(update_column).limit(1).collect()
     if not tail:
-        return None  # empty table: tail starts from the beginning
+        # empty table: emit nothing, tail starts from the very beginning
+        # (an unbounded emit here could overlap rows arriving mid-emit)
+        emit(tag, df.where(F.lit(False)))
+        return None
     record = tail[0].asDict()
+    bound = F.col(update_column) < F.lit(record[update_column])
+    if tiebreak_column:
+        bound = bound | (
+            (F.col(update_column) == F.lit(record[update_column]))
+            & (F.col(tiebreak_column) <= F.lit(record[tiebreak_column]))
+        )
+    else:
+        bound = F.col(update_column) <= F.lit(record[update_column])
+    emit(tag, df.where(bound))
     if state is not None and table is not None:
         state.update(table, record)
     return record

@@ -16,6 +16,7 @@ the matching ``dialect`` arguments.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from typing import Any, NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,8 @@ DIALECTS: dict[str, Dialect] = {
     "postgresql": Dialect("postgresql", "limit", False, '"'),
     "mysql": Dialect("mysql", "limit", True, "`"),
     "mysql2": Dialect("mysql2", "limit", True, "`"),
+    "mariadb": Dialect("mariadb", "limit", True, "`"),
+    "trilogy": Dialect("trilogy", "limit", True, "`"),  # Rails' MySQL adapter
     "sqlite": Dialect("sqlite", "limit", False, '"'),
     "derby": Dialect("derby", "fetch", False, '"'),
     "oracle": Dialect("oracle", "fetch", False, '"'),
@@ -51,9 +54,19 @@ DIALECTS: dict[str, Dialect] = {
 
 
 def resolve_dialect(name: str | Dialect) -> Dialect:
+    """Strict lookup: an unknown adapter name raises instead of silently
+    falling back to ANSI rules — on a MySQL-family server a typo'd
+    adapter ('msyql') would otherwise disable backslash escaping, the
+    exact injection scenario :func:`sql_literal` exists to prevent."""
     if isinstance(name, Dialect):
         return name
-    return DIALECTS.get(name, DIALECTS["limit"])
+    try:
+        return DIALECTS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown SQL dialect {name!r}; known: {sorted(DIALECTS)} "
+            "(pass a Dialect instance for a custom adapter)"
+        ) from None
 
 
 def sql_literal(value: Any, dialect: str | Dialect = "limit") -> str:
@@ -71,7 +84,18 @@ def sql_literal(value: Any, dialect: str | Dialect = "limit") -> str:
         return "TRUE" if value else "FALSE"
     if isinstance(value, (int, float)):
         return repr(value)
+    if isinstance(value, _decimal.Decimal):
+        # DECIMAL watermark: exact fixed-point, unquoted — quoting it
+        # would compare a numeric column against a string
+        return format(value, "f")
     if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            # timestamptz-style watermark: normalize to UTC and keep the
+            # offset in the literal (PostgreSQL timestamptz and MySQL
+            # 8.0.19+ both accept it); naive rendering would silently
+            # drop the zone and shift the poll window
+            value = value.astimezone(_dt.timezone.utc)
+            return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}+00:00'"
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"
@@ -201,6 +225,36 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def jdbc_health_probe(
+    spark: SparkSession,
+    url: str,
+    properties: dict[str, str] | None = None,
+    timeout_s: int = 5,
+):
+    """Build a liveness probe for ``SQLInput.run_forever(health_probe=...)``
+    — the reference's ``conn.active? || conn.reconnect!`` before each poll
+    (in_sql.rb:259-265).  JDBC has no long-lived driver-side connection to
+    ping, so the probe opens a fresh one (opening IS the reconnect) and
+    asks the driver's own ``Connection.isValid`` — raises on any failure,
+    which ``run_forever`` turns into a skipped cycle + backoff."""
+    driver = (properties or {}).get("driver")
+
+    def probe() -> None:
+        jvm = spark._jvm  # noqa: SLF001
+        if driver:
+            jvm.java.lang.Class.forName(
+                driver, True, jvm.java.lang.Thread.currentThread().getContextClassLoader()
+            )
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            if not conn.isValid(timeout_s):
+                raise ConnectionError(f"JDBC connection to {url} is not valid")
+        finally:
+            conn.close()
+
+    return probe
 
 
 def discover_jdbc_tables(

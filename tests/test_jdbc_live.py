@@ -241,3 +241,78 @@ def test_epoch_marker_prune(spark, derby_url):
     store.prune("prune_t", keep_last=3)
     kept = [e for e in range(10) if store.committed("prune_t", e)]
     assert kept == [7, 8, 9]
+
+
+def test_snapshot_bootstrap_live_source_no_gap(spark, derby_url, tmp_path):
+    """Bootstrap race (round-3 ADVICE incremental.py:302): with a LIVE
+    JDBC snapshot source, rows committed while the snapshot streams out
+    must not fall between the snapshot and the tail.  Boundary-first
+    semantics: the watermark is resolved before the emit, the emit is
+    bounded at-or-below it, and concurrent inserts land strictly above —
+    they belong to the tail, not the gap."""
+    from fluent_plugin_sql_spark.sources.incremental import snapshot_bootstrap
+    from fluent_plugin_sql_spark.state import StateStore
+
+    seed = load_table(spark, SF, "events").limit(200).select(
+        "event_id", "event_type", "value"
+    )
+    write_jdbc(seed, derby_url, "boot_events", DRIVER, mode="overwrite",
+               num_partitions=1)
+    live = read_jdbc(spark, derby_url, "boot_events", DRIVER)  # lazy: re-queries
+    max_seed = seed.agg(F.max("event_id")).first()[0]
+
+    emitted = {}
+
+    def emit(tag, d):
+        # concurrent writer: 10 rows commit AFTER the boundary read but
+        # BEFORE the emit scan evaluates — the exact race window
+        late = seed.limit(10).withColumn(
+            "event_id", F.col("event_id") + F.lit(max_seed + 1)
+        )
+        write_jdbc(late, derby_url, "boot_events", DRIVER, num_partitions=1)
+        emitted[tag] = d.count()
+
+    state_file = str(tmp_path / "boot_state.json")
+    rec = snapshot_bootstrap(
+        live, "event_id", emit=emit, tag="db.boot",
+        state=StateStore(state_file), table="boot_events",
+    )
+    # snapshot = exactly the pre-boundary rows; watermark = boundary
+    assert emitted == {"db.boot": 200}
+    assert rec == {"event_id": max_seed}
+    # the 10 concurrent rows flow through the incremental tail — no gap
+    fetch = incremental_jdbc_reader(
+        spark, derby_url, "boot_events", "event_id", limit=100,
+        properties=DRIVER, dialect="fetch", quote_identifiers=True,
+    )
+    tail_ids = [r["event_id"] for r in fetch(rec["event_id"]).collect()]
+    assert len(tail_ids) == 10 and min(tail_ids) > max_seed
+
+
+def test_clear_epoch_swallows_only_missing_table(spark, derby_url):
+    """Round-3 ADVICE exactly_once.py:148: clear_epoch tolerates ONLY the
+    missing-target-table case (first epoch).  Any other DELETE failure
+    must abort the batch — swallowing it would let the append proceed
+    past a crashed attempt's partial rows and commit the marker anyway,
+    silently breaking effectively-once."""
+    from fluent_plugin_sql_spark.sinks.exactly_once import (
+        MISSING_OBJECT_SQLSTATES,
+        EpochMarkerStore,
+        _sqlstates,
+    )
+
+    store = EpochMarkerStore(spark, derby_url, DRIVER, dialect="derby")
+    # table-not-found (Derby 42X05) → swallowed: very first epoch has no
+    # target table yet
+    store.clear_epoch("no_such_table_xyz", 1)
+    # a DELETE that fails for any OTHER reason (here: unknown column on a
+    # table that DOES exist — Derby 42X04) must propagate even with the
+    # ignore set active
+    store.mark("sqlstate_probe", 1)  # guarantees the marker table exists
+    with pytest.raises(Exception) as ei:
+        store._execute(
+            f"DELETE FROM {store.marker_table} WHERE no_such_col = 1",
+            ignore_sqlstates=MISSING_OBJECT_SQLSTATES,
+        )
+    states = list(_sqlstates(ei.value))
+    assert states and not (set(states) & MISSING_OBJECT_SQLSTATES)

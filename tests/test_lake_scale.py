@@ -143,3 +143,48 @@ def test_salted_join_matches_plain_join(spark):
         "k", "payload", "attr"
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_compact_parquet_dir_crash_window_recovery(spark, tmp_path):
+    """Round-3 ADVICE lake.py:96: the two-rename swap is not atomic as a
+    pair — a crash between them leaves no live directory.  The window is
+    self-healing: on entry the leftover ``.__compact_old__`` is rolled
+    back to live (and any stale staging dropped) before the rewrite."""
+    import glob
+    import os
+
+    from fluent_plugin_sql_spark.sinks.lake import compact_parquet_dir
+
+    path = str(tmp_path / "sink")
+    for i in range(4):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .selectExpr("id AS event_id", "id * 2.0 AS value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    # simulate the crash: live renamed away, second rename never ran, and
+    # a stale staging dir from the dead attempt is still lying around
+    os.rename(path, path + ".__compact_old__")
+    os.makedirs(path + ".__compact_tmp__")
+    assert not os.path.exists(path)
+
+    n_files = compact_parquet_dir(spark, path, target_rows_per_file=200)
+    assert n_files == 2
+    assert len(glob.glob(f"{path}/*.parquet")) == 2
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact_tmp__")
+    after = spark.read.parquet(path)
+    assert after.count() == 400
+    assert after.agg({"value": "sum"}).first()[0] == sum(i * 2.0 for i in range(400))
+
+    # crash AFTER the swap (old left behind, live intact): old is dropped,
+    # live is authoritative
+    import shutil
+
+    shutil.copytree(path, path + ".__compact_old__")
+    n_files = compact_parquet_dir(spark, path, target_rows_per_file=400)
+    assert n_files == 1
+    assert not os.path.exists(path + ".__compact_old__")
+    assert spark.read.parquet(path).count() == 400

@@ -173,3 +173,86 @@ def test_simhash_pigeonhole_blocks_guarantee_recall(sketch, flip_bits):
         return (v >> bounds[i]) & ((1 << (bounds[i + 1] - bounds[i])) - 1)
 
     assert any(block(sketch, i) == block(other, i) for i in range(nb))
+
+
+# ---------------------------------------------------------------------------
+# dialect round-trip depth (round-3: ADVICE jdbc.py:56 + verdict item 5) —
+# the reference's CI matrix is live PostgreSQL (linux.yml:39-50); without DB
+# containers here, the generated SQL text is the testable contract for the
+# awkward-type watermarks those databases produce.
+
+
+def test_resolve_dialect_strict_and_aliases():
+    import pytest
+
+    from fluent_plugin_sql_spark.sources.jdbc import Dialect, resolve_dialect
+
+    # unknown adapter names must fail loudly — a silent ANSI fallback on a
+    # MySQL-family server would disable backslash escaping (injection)
+    with pytest.raises(ValueError, match="unknown SQL dialect"):
+        resolve_dialect("msyql")
+    # mariadb and trilogy are MySQL-family: backslash escapes + backticks
+    for name in ("mariadb", "trilogy", "mysql", "mysql2"):
+        d = resolve_dialect(name)
+        assert d.backslash_escapes and d.quote_char == "`"
+    assert resolve_dialect("PostgreSQL").quote_char == '"'  # case-folded
+    custom = Dialect("custom", "fetch", True, '"')
+    assert resolve_dialect(custom) is custom  # escape hatch for new adapters
+
+
+def test_sql_literal_decimal_watermark():
+    """DECIMAL watermarks (NUMERIC update columns) must render as exact
+    unquoted fixed-point — quoting would compare numeric vs string, and
+    scientific notation would break fixed-point-only parsers."""
+    from decimal import Decimal
+
+    assert sql_literal(Decimal("42.50")) == "42.50"
+    assert sql_literal(Decimal("1E+2")) == "100"
+    assert sql_literal(Decimal("-0.000001")) == "-0.000001"
+    q = incremental_query("t", "amount", Decimal("99.95"), 10, "postgres")
+    assert "amount > 99.95" in q
+
+
+def test_sql_literal_timestamptz_offsets():
+    """timestamptz-style watermarks: aware datetimes normalize to UTC and
+    KEEP the offset in the literal; naive rendering would silently shift
+    the poll window by the session zone."""
+    aware = dt.datetime(2024, 3, 1, 10, 30, 0, 123456,
+                        tzinfo=dt.timezone(dt.timedelta(hours=-5)))
+    lit = sql_literal(aware, "postgres")
+    assert lit == "TIMESTAMP '2024-03-01 15:30:00.123456+00:00'"
+    utc = dt.datetime(2024, 3, 1, 10, 30, tzinfo=dt.timezone.utc)
+    assert sql_literal(utc, "mysql") == "TIMESTAMP '2024-03-01 10:30:00.000000+00:00'"
+    # naive stays offset-free (Derby/ANSI TIMESTAMP has no zone)
+    assert "+" not in sql_literal(dt.datetime(2024, 3, 1, 10, 30))
+
+
+def test_incremental_query_quoted_mixed_case_identifiers():
+    """Mixed-case update columns (created by Spark's quoting JDBC writer)
+    must keep their case inside dialect quotes in BOTH the WHERE and the
+    ORDER BY."""
+    q_pg = incremental_query("t", "UpdatedAt", 5, 10, "postgres", True)
+    assert 'WHERE "UpdatedAt" > 5' in q_pg and 'ORDER BY "UpdatedAt" ASC' in q_pg
+    q_my = incremental_query("t", "UpdatedAt", 5, 10, "mariadb", True)
+    assert "WHERE `UpdatedAt` > 5" in q_my and "ORDER BY `UpdatedAt` ASC" in q_my
+    q_ora = incremental_query("t", "UpdatedAt", 5, 10, "oracle", True)
+    assert "FETCH FIRST 10 ROWS ONLY" in q_ora and '"UpdatedAt"' in q_ora
+
+
+def test_incremental_query_awkward_types_parse_shape():
+    """End-to-end SQL-shape parse for the awkward-type matrix: the WHERE
+    clause must contain exactly one comparison and the literal must not
+    terminate early (mysql rules checked via _mysql_unquote on the
+    string case)."""
+    from decimal import Decimal
+
+    aware = dt.datetime(2024, 6, 1, 0, 0, 0, 1, tzinfo=dt.timezone.utc)
+    for dialect, wm in [
+        ("postgres", Decimal("1.5")), ("postgres", aware),
+        ("mariadb", Decimal("1.5")), ("mariadb", aware),
+        ("mysql", "O'Brien\\"), ("derby", dt.date(2024, 6, 1)),
+    ]:
+        q = incremental_query("t", "c", wm, 7, dialect, True)
+        assert q.count(" WHERE ") == 1 and q.count(" > ") == 1
+    lit = sql_literal("O'Brien\\", "mariadb")
+    assert _mysql_unquote(lit) == "O'Brien\\"
