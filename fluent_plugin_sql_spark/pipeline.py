@@ -42,6 +42,7 @@ engine — offsets live in the Spark checkpoint instead of ``state_file``).
 from __future__ import annotations
 
 import json
+import logging
 import sys
 from collections.abc import Callable
 from typing import Any
@@ -52,6 +53,8 @@ from pyspark.sql import functions as F
 from .config import SinkRoute, SourceTable, SQLInputConfig, SQLOutputConfig
 from .session import get_spark
 from .sinks.router import SQLOutput
+
+log = logging.getLogger(__name__)
 from .sources.incremental import SQLInput, discover_tables
 from .sources.jdbc import read_jdbc, write_jdbc
 
@@ -216,10 +219,22 @@ def build_writer(spark: SparkSession, sink: dict[str, Any]) -> Callable[[DataFra
         return write_parquet
     url = jdbc_url(sink)
     props = _jdbc_props(sink)
+    pool = int(sink.get("pool", 5))
+    # write parallelism defaults to the pool size (each write partition
+    # holds one JDBC connection); an explicit num_partitions above the
+    # pool means writers queue on the database — the reference's
+    # pool-vs-flush_thread_count sanity warning (out_sql.rb:179-181)
+    num_partitions = int(sink.get("num_partitions", pool))
+    if pool < num_partitions:
+        log.warning(
+            "connection pool size (%d) is smaller than write parallelism "
+            "num_partitions (%d). Recommend to increase pool value",
+            pool, num_partitions,
+        )
 
     def write_db(df: DataFrame, table: str) -> None:
         write_jdbc(df, url, table, props, batchsize=int(sink.get("batchsize", 1000)),
-                   num_partitions=int(sink.get("pool", 5)))
+                   num_partitions=num_partitions)
 
     return write_db
 

@@ -343,3 +343,51 @@ def test_custom_time_parse_format(spark):
     assert not out2[0]["_time_fallback"]
     assert out2[1]["time"] == dt.datetime(2024, 1, 1, 10, 0)  # cast fallback
     assert out2[2]["time"] == NOW and out2[2]["_time_fallback"]
+
+
+def test_run_forever_health_probe_backoff_and_recovery(spark, sf_dir, monkeypatch):
+    """Reconnect parity (in_sql.rb:259-265): a failing health probe skips
+    the whole cycle — no poll, watermark untouched — with exponentially
+    backed-off sleeps, and once the probe recovers the loop resumes the
+    incremental scan exactly where it left off.  The loop never crashes."""
+    from fluent_plugin_sql_spark.sources import incremental as inc_mod
+
+    sleeps: list[float] = []
+    # patch the module's _time binding, NOT time.sleep itself — Spark/py4j
+    # poll with time.sleep on background threads
+    monkeypatch.setattr(
+        inc_mod, "_time", type("T", (), {"sleep": staticmethod(sleeps.append)})
+    )
+
+    cfg = SQLInputConfig(
+        tables=[SourceTable(table="events", update_column="event_id")],
+        select_limit=100,
+        select_interval=1.0,
+    )
+    emitted: list[int] = []
+    state = MemoryStateStore()
+    inp = SQLInput(
+        spark, cfg, {"events": events_reader(spark, sf_dir)},
+        emit=lambda tag, df: emitted.append(df.count()),
+        state=state, now=NOW,
+    )
+
+    calls = {"n": 0}
+
+    def flaky_probe() -> None:
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise ConnectionError("db down")
+
+    # healthy cycle → 3 failed probes (no polls) → 2 healthy cycles
+    inp.run_forever(max_cycles=6, health_probe=flaky_probe, max_backoff=5.0)
+
+    # wait: first cycle has no probe failures yet → probe called 6 times
+    assert calls["n"] == 6
+    # polls happened only on the 3 healthy cycles; watermark advanced by
+    # exactly 3 batches, nothing skipped and nothing re-read
+    assert emitted == [100, 100, 100]
+    assert state.last_record("events") == {"event_id": 299}
+    # sleeps: base, then 2x/4x during the outage (capped at max_backoff),
+    # then reset to base after recovery
+    assert sleeps == [1.0, 2.0, 4.0, 5.0, 1.0, 1.0]

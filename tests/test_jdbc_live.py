@@ -316,3 +316,17 @@ def test_clear_epoch_swallows_only_missing_table(spark, derby_url):
         )
     states = list(_sqlstates(ei.value))
     assert states and not (set(states) & MISSING_OBJECT_SQLSTATES)
+
+
+def test_jdbc_health_probe_live_and_down(spark, derby_url):
+    """The run_forever liveness probe (in_sql.rb:259-265 parity): a fresh
+    connection to a live database validates; an unreachable URL raises —
+    which run_forever turns into skip-cycle + backoff."""
+    from fluent_plugin_sql_spark.sources.jdbc import jdbc_health_probe
+
+    jdbc_health_probe(spark, derby_url, DRIVER)()  # live → no raise
+    down = jdbc_health_probe(
+        spark, "jdbc:derby:/nonexistent/path/db", DRIVER
+    )
+    with pytest.raises(Exception):
+        down()

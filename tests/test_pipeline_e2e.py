@@ -111,3 +111,27 @@ def test_all_tables_discovery_pipeline(spark, tmp_path):
     pipe = Pipeline(spark, cfg)
     got = pipe.run_once(drain=True)
     assert got == {"region": 5, "nation": 25}
+
+
+def test_pool_smaller_than_write_parallelism_warns(spark, caplog):
+    """Reference out_sql.rb:179-181: warn when the connection pool is
+    smaller than the write parallelism (each write partition holds one
+    JDBC connection, so num_partitions > pool queues on the database)."""
+    import logging
+
+    from fluent_plugin_sql_spark.pipeline import build_writer
+
+    sink = {"url": "jdbc:derby:memory:poolwarn;create=true",
+            "pool": 2, "num_partitions": 8}
+    with caplog.at_level(logging.WARNING, logger="fluent_plugin_sql_spark.pipeline"):
+        build_writer(spark, sink)
+    assert any(
+        "pool" in r.message and "Recommend to increase pool value" in r.getMessage()
+        for r in caplog.records
+    )
+
+    # pool >= parallelism (and the default parallelism = pool): no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="fluent_plugin_sql_spark.pipeline"):
+        build_writer(spark, {"url": "jdbc:derby:memory:poolok;create=true", "pool": 4})
+    assert not caplog.records
