@@ -283,6 +283,29 @@ def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_from_index_top5")  # approximate + on-disk index → rows-only;
+# exact equality vs the in-memory IVF asserted in tests/test_llm_ops.py
+def ann_ivf_from_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search a PERSISTED IVF index: build centroids + bucket-PARTITIONED
+    posting lists on parquet, then probe nprobe=3 buckets per query —
+    partition pruning does the posting-list lookup on disk, so a probe
+    batch reads only its buckets' directories.  This is the amortized
+    production shape (nightly index, many query batches); here the build
+    runs into a scratch dir each call so the query is self-contained.
+    Deterministic centroid pick (min xxhash of id) makes the result
+    byte-identical to the in-memory :func:`ivf_topk`."""
+    import tempfile
+
+    from ..operators.similarity import build_ivf_index, ivf_topk_from_index
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_idx_")
+    build_ivf_index(emb, path, num_centroids=16)
+    return ivf_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+    )
+
+
 def _ngram_strings(text_col: str, n: int):
     """Non-distinct word n-grams as strings (repetition analysis needs
     multiplicity, unlike dedup shingles)."""

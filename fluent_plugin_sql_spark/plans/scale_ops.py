@@ -76,3 +76,81 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 1000, 2))
     )
     return merge_upsert(c, updates, ["c_custkey"])
+
+
+@query(
+    "scd2_current_rows",
+    oracle="""
+    SELECT user_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance as a declared query: the events
+    change-log is split at 60% of the id range into an existing dimension
+    (latest state per user, open-ended current rows) and an update batch
+    (latest change per user after the split); :func:`scd2_apply` closes
+    out superseded versions and appends the new current rows.  The oracle
+    is the windowed latest-per-key over the WHOLE log — identical current
+    rows prove the close-out/append set-logic is equivalent to recomputing
+    from scratch.  At scale the apply is 3 key-shuffles over the (small)
+    update keys + unions; no per-row state, no full-dimension rewrite."""
+    from pyspark.sql import Window
+
+    from ..operators.scale import scd2_apply
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    split = e.agg((F.max("event_id") * 0.6).cast("long").alias("_split"))
+    tagged = e.crossJoin(F.broadcast(split))
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "event_type", "value", F.col("ts").alias("valid_from"))
+        )
+
+    base = (
+        latest(tagged.where(F.col("event_id") <= F.col("_split")))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = latest(tagged.where(F.col("event_id") > F.col("_split")))
+    dim = scd2_apply(base, updates, ["user_id"], ts_col="valid_from")
+    return dim.where(F.col("is_current")).select(
+        "user_id", "event_type", F.round("value", 2).alias("value")
+    )
+
+
+@query(
+    "salted_join_user_activity",
+    oracle="""
+    WITH dim AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+    SELECT e.event_type, count(*) AS n, CAST(sum(d.user_n) AS BIGINT) AS weight
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY e.event_type
+    """,
+)
+def salted_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join as a declared query: events (big, hot keys)
+    x a per-user dimension through :func:`salted_join` — the big side is
+    salted by a full-row hash, the dimension replicated 8x, and the join
+    key becomes (user_id, salt) so one hot user spreads over 8 reducers.
+    The oracle is the PLAIN unsalted join — identical aggregates prove
+    the salting is semantics-transparent (exact integer sums, so any
+    dropped or duplicated row would flip the hash)."""
+    from ..operators.scale import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    dim = e.groupBy("user_id").agg(F.count("*").alias("user_n"))
+    joined = salted_join(e, dim, "user_id", salt_buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("user_n").alias("weight")
+    )
