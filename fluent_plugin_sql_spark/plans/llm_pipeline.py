@@ -620,3 +620,101 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+@query(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    lm AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS n_total FROM tok)
+    SELECT doc_id,
+           round(-sum(dt.c * ln(lm.n * 1.0 / tot.n_total)) / sum(dt.c), 3)
+             AS avg_neg_logprob
+    FROM dt JOIN lm USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet/ccnet-style perplexity filter,
+    reduced to a self-trained unigram LM): train token frequencies over
+    the corpus, then score each document by its average negative log
+    probability — low = stereotypical text, high = rare-token noise;
+    training pipelines keep the middle band.
+
+    Scale shape: token explosion is aggregated to (doc, token, count)
+    BEFORE the LM join, so the join carries one row per distinct
+    doc-token pair (bounded by doc length), not per occurrence; the LM
+    itself shuffles once with map-side combine and is vocabulary-sized.
+    The corpus-total N is a 1-row broadcast.  No Python in the plan."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+    dt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    lm = tok.groupBy("w").agg(F.count("*").alias("n"))
+    tot = tok.agg(F.count("*").alias("n_total"))
+    return (
+        dt.join(lm, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("n") / F.col("n_total")))
+                / F.sum("c"),
+                3,
+            ).alias("avg_neg_logprob")
+        )
+    )
+
+
+@query(
+    "mixture_resample_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT * FROM (VALUES ('src0', 2.5), ('src1', 1.0), ('src2', 0.25))
+        AS t(source, weight)
+    ),
+    d AS (
+      SELECT doc_id, source, weight,
+             CAST(floor(weight) AS BIGINT) AS whole,
+             weight - floor(weight) AS frac,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) % 1000) / 1000.0 AS u
+      FROM documents JOIN w USING (source)
+    )
+    SELECT doc_id, source,
+           (whole + CASE WHEN u < frac THEN 1 ELSE 0 END) AS copies
+    FROM d
+    WHERE whole + CASE WHEN u < frac THEN 1 ELSE 0 END > 0
+    """,
+)
+def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (the Pile/LLaMA-style source weighting):
+    each source gets a target weight; documents are up/down-sampled to
+    ``copies = floor(weight) + Bernoulli(frac(weight))`` with the
+    Bernoulli draw DETERMINISTIC (md5 of doc_id — reproducible across
+    runs and partitionings, no RNG state).  Downstream, ``copies`` feeds
+    an ``explode(sequence(1, copies))`` to physically repeat rows; the
+    query returns the per-doc copy count so the oracle can check the
+    sampling decision itself exactly.
+
+    Scale shape: the weight table is a broadcast of #sources rows; the
+    decision is pure per-row codegen arithmetic — no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    weights = F.broadcast(
+        spark.createDataFrame(
+            [("src0", 2.5), ("src1", 1.0), ("src2", 0.25)], ["source", "weight"]
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 8), 16, 10)
+        .cast("long") % 1000
+    ) / 1000.0
+    copies = (
+        F.floor("weight").cast("long")
+        + F.when(u < (F.col("weight") - F.floor("weight")), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        d.join(weights, "source")
+        .select("doc_id", "source", copies.alias("copies"))
+        .where(F.col("copies") > 0)
+    )
