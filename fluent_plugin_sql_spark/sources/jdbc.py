@@ -31,6 +31,9 @@ class Dialect(NamedTuple):
     row_cap: str  # 'limit' (LIMIT n) or 'fetch' (FETCH FIRST n ROWS ONLY)
     backslash_escapes: bool  # MySQL default: backslash starts an escape
     quote_char: str  # identifier quoting: '"' ANSI, '`' MySQL
+    # temporal literal style: 'ansi' (TIMESTAMP '...') or 'func'
+    # (TIMESTAMP('...') — Derby rejects the ANSI form, live-tested)
+    ts_style: str = "ansi"
 
 
 DIALECTS: dict[str, Dialect] = {
@@ -46,7 +49,7 @@ DIALECTS: dict[str, Dialect] = {
     "mariadb": Dialect("mariadb", "limit", True, "`"),
     "trilogy": Dialect("trilogy", "limit", True, "`"),  # Rails' MySQL adapter
     "sqlite": Dialect("sqlite", "limit", False, '"'),
-    "derby": Dialect("derby", "fetch", False, '"'),
+    "derby": Dialect("derby", "fetch", False, '"', "func"),
     "oracle": Dialect("oracle", "fetch", False, '"'),
     "db2": Dialect("db2", "fetch", False, '"'),
     "mssql": Dialect("mssql", "fetch", False, '"'),
@@ -89,6 +92,15 @@ def sql_literal(value: Any, dialect: str | Dialect = "limit") -> str:
         # would compare a numeric column against a string
         return format(value, "f")
     if isinstance(value, _dt.datetime):
+        d = resolve_dialect(dialect)
+        if d.ts_style == "func":
+            # Derby-style: only the TIMESTAMP('...') function form parses
+            # (live-tested; the ANSI literal is a 42X01 syntax error).
+            # Derby timestamps are zone-less — aware watermarks normalize
+            # to UTC and drop the (unrepresentable) offset.
+            if value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return f"TIMESTAMP('{value.strftime('%Y-%m-%d %H:%M:%S.%f')}')"
         if value.tzinfo is not None:
             # timestamptz-style watermark: normalize to UTC and keep the
             # offset in the literal (PostgreSQL timestamptz and MySQL
@@ -98,6 +110,9 @@ def sql_literal(value: Any, dialect: str | Dialect = "limit") -> str:
             return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}+00:00'"
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(value, _dt.date):
+        d = resolve_dialect(dialect)
+        if d.ts_style == "func":
+            return f"DATE('{value.isoformat()}')"
         return f"DATE '{value.isoformat()}'"
     s = str(value)
     if resolve_dialect(dialect).backslash_escapes:

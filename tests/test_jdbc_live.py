@@ -330,3 +330,42 @@ def test_jdbc_health_probe_live_and_down(spark, derby_url):
     )
     with pytest.raises(Exception):
         down()
+
+
+def test_incremental_poll_decimal_and_timestamp_watermarks_live(spark, derby_url):
+    """Awkward-type watermarks against a REAL database (the reference's
+    CI matrix is live PostgreSQL; Derby is the in-container stand-in):
+    DECIMAL and TIMESTAMP update columns round-trip through sql_literal
+    into database-executed poll queries with exact strict-> resume."""
+    import datetime as dtm
+    from decimal import Decimal
+
+    from fluent_plugin_sql_spark.sources.jdbc import JdbcIncrementalScan
+
+    rows = [
+        (i, Decimal(f"{i}.25"), dtm.datetime(2024, 1, 1) + dtm.timedelta(minutes=i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id INT, amount DECIMAL(10,2), updated TIMESTAMP")
+    write_jdbc(df, derby_url, "wm_types", DRIVER, mode="overwrite", num_partitions=1)
+
+    # DECIMAL watermark: unquoted fixed-point literal, strict >, exact resume
+    scan = JdbcIncrementalScan(
+        spark, derby_url, "wm_types", "amount", select_limit=15,
+        properties=DRIVER, dialect="derby", quote_identifiers=True,
+    )
+    b1 = scan.batch_plan(None).collect()
+    assert [r["id"] for r in b1] == list(range(15))
+    wm = b1[-1]["amount"]
+    assert isinstance(wm, Decimal)
+    b2 = scan.batch_plan(wm).collect()
+    assert [r["id"] for r in b2] == list(range(15, 30))  # no re-read, no gap
+
+    # TIMESTAMP watermark: microsecond literal executed in-database
+    tscan = JdbcIncrementalScan(
+        spark, derby_url, "wm_types", "updated", select_limit=100,
+        properties=DRIVER, dialect="derby", quote_identifiers=True,
+    )
+    twm = dtm.datetime(2024, 1, 1, 0, 29)  # row id=29's timestamp
+    tb = tscan.batch_plan(twm).collect()
+    assert [r["id"] for r in tb] == list(range(30, 40))  # strictly after

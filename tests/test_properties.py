@@ -225,6 +225,15 @@ def test_sql_literal_timestamptz_offsets():
     assert sql_literal(utc, "mysql") == "TIMESTAMP '2024-03-01 10:30:00.000000+00:00'"
     # naive stays offset-free (Derby/ANSI TIMESTAMP has no zone)
     assert "+" not in sql_literal(dt.datetime(2024, 3, 1, 10, 30))
+    # Derby only parses the function form (live-tested: the ANSI literal
+    # is a 42X01 syntax error); aware values drop the unrepresentable
+    # offset after UTC normalization
+    assert (
+        sql_literal(dt.datetime(2024, 3, 1, 10, 30), "derby")
+        == "TIMESTAMP('2024-03-01 10:30:00.000000')"
+    )
+    assert sql_literal(aware, "derby") == "TIMESTAMP('2024-03-01 15:30:00.123456')"
+    assert sql_literal(dt.date(2024, 3, 1), "derby") == "DATE('2024-03-01')"
 
 
 def test_incremental_query_quoted_mixed_case_identifiers():
