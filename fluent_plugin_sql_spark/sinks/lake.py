@@ -84,27 +84,8 @@ def compact_parquet_dir(
     """
     import math
 
-    jvm = spark._jvm  # noqa: SLF001
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_tmp__")
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old__")
-
-    # crash-window recovery from a previous attempt, in causal order:
-    #  - old exists, live missing → crashed between the two renames:
-    #    roll back (old → live); the stale staging is deleted below.
-    #  - old exists, live exists → crashed after the swap, before
-    #    cleanup: the rewrite completed, just drop old.
-    #  - staging exists → a crashed write or unswapped rewrite: drop it
-    #    (the live directory is still authoritative).
-    if fs.exists(old):
-        if not fs.exists(hpath):
-            if not fs.rename(old, hpath):
-                raise IOError(f"recovery rename failed: {old} -> {hpath}")
-        else:
-            fs.delete(old, True)
-    if fs.exists(staging):
-        fs.delete(staging, True)
+    fs, hpath, staging, old = _swap_paths(spark, path)
+    _recover_swap(fs, hpath, staging, old)
 
     df = spark.read.parquet(path)
     n = df.count()
@@ -118,6 +99,44 @@ def compact_parquet_dir(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(str(staging))
+    _swap_live(fs, hpath, staging, old, path)
+    return n_files
+
+
+def _swap_paths(spark, path: str):
+    """Hadoop FileSystem handles for the staged-rewrite swap protocol
+    (scheme-agnostic: file:, hdfs:, s3a:)."""
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_tmp__")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old__")
+    return fs, hpath, staging, old
+
+
+def _recover_swap(fs, hpath, staging, old) -> None:
+    """Crash-window recovery from a previous staged rewrite, in causal
+    order:
+    - old exists, live missing → crashed between the two renames: roll
+      back (old → live); the stale staging is deleted below.
+    - old exists, live exists → crashed after the swap, before cleanup:
+      the rewrite completed, just drop old.
+    - staging exists → a crashed write or unswapped rewrite: drop it
+      (the live directory is still authoritative)."""
+    if fs.exists(old):
+        if not fs.exists(hpath):
+            if not fs.rename(old, hpath):
+                raise IOError(f"recovery rename failed: {old} -> {hpath}")
+        else:
+            fs.delete(old, True)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+
+
+def _swap_live(fs, hpath, staging, old, path: str) -> None:
+    """Two-rename swap (live→old, staging→live).  Each rename is atomic
+    on POSIX/HDFS; the PAIR is not — the crash window between them is
+    healed by :func:`_recover_swap` on the next invocation."""
     if not fs.rename(hpath, old):
         raise IOError(f"swap rename failed: {path} -> {old}")
     if not fs.rename(staging, hpath):
@@ -126,4 +145,100 @@ def compact_parquet_dir(
         fs.rename(old, hpath)
         raise IOError(f"swap rename failed: {staging} -> {path}")
     fs.delete(old, True)
-    return n_files
+
+
+def merge_into_parquet(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> None:
+    """MERGE INTO for a plain-parquet lake table (upsert semantics:
+    updates replace matching keys, inserts pass through) — the Delta/
+    Iceberg ``MERGE`` shape without table-format jars, built on
+    ``operators.scale.merge_upsert``.
+
+    Two physical strategies:
+
+    - **Unpartitioned**: merge against the whole table and atomically
+      swap the rewritten directory (same staged two-rename protocol as
+      :func:`compact_parquet_dir`, crash-window self-healing included).
+      O(table) per merge — fine for dimensions, wrong for facts.
+    - **Partitioned** (``partition_cols`` given): rewrite ONLY the
+      partitions the update batch touches — the merge reads just the
+      affected partition directories (partition pruning on the touched
+      values) and the swap replaces just those directories.  At 100 TB
+      this is the difference between rewriting a day and rewriting the
+      table.  Partition swaps are per-directory renames (a reader can
+      observe partition A new while B is still old — the same
+      non-atomicity as Hive dynamic partition overwrite; table formats
+      fix this with a transaction log).  Untouched partitions are never
+      read, never rewritten.  Constraint (shared with every
+      partition-local merge): an update must not MOVE a key to a
+      different partition value, or the stale copy in the old partition
+      survives.
+
+    First write (no existing table) degrades to a plain write.
+    Partition values must be simple scalars (int/string) — the touched
+    list is rendered into ``col=value`` directory names.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.scale import merge_upsert
+
+    fs, hpath, staging, old = _swap_paths(spark, path)
+    if partition_cols:
+        if not fs.exists(hpath):
+            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+            return
+        # one small driver-side list of touched partition values bounds
+        # the read to affected directories (pushed partition filter)
+        touched = [
+            tuple(r[c] for c in partition_cols)
+            for r in updates.select(*partition_cols).distinct().collect()
+        ]
+        pred = F.lit(False)
+        for vals in touched:
+            clause = F.lit(True)
+            for c, v in zip(partition_cols, vals):
+                clause = clause & (F.col(c) == F.lit(v))
+            pred = pred | clause
+        base = spark.read.parquet(path).where(pred)
+        merged = merge_upsert(base, updates, key_cols)
+        # stage the merged partitions, then swap each touched partition
+        # directory under the live root (writing straight back to `path`
+        # would both trip Spark's read-your-own-overwrite guard and lose
+        # the untouched partitions)
+        if fs.exists(staging):
+            fs.delete(staging, True)
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            str(staging)
+        )
+        jvm = spark._jvm  # noqa: SLF001
+        for vals in touched:
+            rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
+            live_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{rel}")
+            stag_p = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+            old_p = jvm.org.apache.hadoop.fs.Path(str(live_p) + ".__old__")
+            if fs.exists(old_p):
+                fs.delete(old_p, True)
+            if fs.exists(live_p):
+                if not fs.rename(live_p, old_p):
+                    raise IOError(f"partition swap failed: {live_p} -> {old_p}")
+            if fs.exists(stag_p):
+                fs.mkdirs(live_p.getParent())
+                if not fs.rename(stag_p, live_p):
+                    fs.rename(old_p, live_p)  # roll this partition back
+                    raise IOError(f"partition swap failed: {stag_p} -> {live_p}")
+            fs.delete(old_p, True)
+        fs.delete(staging, True)
+        return
+    _recover_swap(fs, hpath, staging, old)
+    if not fs.exists(hpath):
+        updates.write.mode("overwrite").parquet(path)
+        return
+    base = spark.read.parquet(path)
+    merged = merge_upsert(base, updates, key_cols)
+    merged.write.mode("overwrite").parquet(str(staging))
+    _swap_live(fs, hpath, staging, old, path)

@@ -188,3 +188,72 @@ def test_compact_parquet_dir_crash_window_recovery(spark, tmp_path):
     assert n_files == 1
     assert not os.path.exists(path + ".__compact_old__")
     assert spark.read.parquet(path).count() == 400
+
+
+def test_merge_into_parquet_unpartitioned(spark, tmp_path):
+    """Lake MERGE (full-table strategy): updates replace matching keys,
+    inserts pass through, first write degrades to plain write, and the
+    swap leaves no staging debris."""
+    import glob
+    import os
+
+    from fluent_plugin_sql_spark.sinks.lake import merge_into_parquet
+
+    path = str(tmp_path / "dim")
+    base = spark.range(0, 100).selectExpr("id AS k", "id * 1.0 AS v")
+    merge_into_parquet(spark, path, base, ["k"])  # first write
+    assert spark.read.parquet(path).count() == 100
+
+    updates = spark.range(90, 110).selectExpr("id AS k", "id * -1.0 AS v")
+    merge_into_parquet(spark, path, updates, ["k"])
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert len(got) == 110
+    assert got[5] == 5.0          # untouched
+    assert got[95] == -95.0       # updated
+    assert got[105] == -105.0     # inserted
+    assert not glob.glob(str(tmp_path / "dim.__compact_*"))
+    assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_merge_into_parquet_partitioned_touches_only_affected(spark, tmp_path):
+    """Lake MERGE (partition-local strategy): only the partitions the
+    update batch touches are read and rewritten — untouched partition
+    files are bit-identical afterwards."""
+    import glob
+    import os
+
+    from fluent_plugin_sql_spark.sinks.lake import merge_into_parquet
+
+    path = str(tmp_path / "fact")
+    base = spark.range(0, 400).selectExpr(
+        "id AS k", "CAST(id % 4 AS INT) AS p", "id * 1.0D AS v"
+    )
+    merge_into_parquet(spark, path, base, ["k"], partition_cols=["p"])
+    untouched_before = {
+        f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in glob.glob(f"{path}/p=0/*.parquet") + glob.glob(f"{path}/p=2/*.parquet")
+        + glob.glob(f"{path}/p=3/*.parquet")
+    }
+    assert untouched_before
+
+    # updates touch ONLY p=1 (keys stay in their partition) + a new p=9
+    updates = spark.createDataFrame(
+        [(1, 1, -1.0), (5, 1, -5.0), (901, 9, 901.0)], "k LONG, p INT, v DOUBLE"
+    )
+    merge_into_parquet(spark, path, updates, ["k"], partition_cols=["p"])
+
+    got = spark.read.parquet(path)
+    assert got.count() == 401  # 400 base + 1 insert (2 upserts replaced)
+    vals = {r["k"]: r["v"] for r in got.where("p = 1 OR p = 9").collect()}
+    assert vals[1] == -1.0 and vals[5] == -5.0 and vals[901] == 901.0
+    assert {r["v"] for r in got.where("k = 9").collect()} == {9.0}
+
+    untouched_after = {
+        f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+        for f in glob.glob(f"{path}/p=0/*.parquet") + glob.glob(f"{path}/p=2/*.parquet")
+        + glob.glob(f"{path}/p=3/*.parquet")
+    }
+    assert untouched_after == untouched_before  # never read, never rewritten
+    assert not glob.glob(f"{path}/*__old__*") and not glob.glob(
+        str(tmp_path / "fact.__compact_tmp__")
+    )
