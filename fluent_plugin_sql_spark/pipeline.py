@@ -209,9 +209,32 @@ def build_jdbc_scans(spark: SparkSession, src: dict[str, Any], cfg: SQLInputConf
 
 
 def build_writer(spark: SparkSession, sink: dict[str, Any]) -> Callable[[DataFrame, str], None]:
-    """Parquet-dir sink (``path:``) or JDBC sink (``database:``)."""
+    """Parquet-dir sink (``path:``, append or upsert) or JDBC sink
+    (``database:``).
+
+    Lake upsert mode (``mode: upsert`` + ``merge_keys``): each emitted
+    batch MERGEs into the per-table parquet directory instead of
+    appending — the CDC shape for an incremental source whose rows are
+    UPDATES to existing keys, not just inserts.  With
+    ``partition_cols``, only the partitions the batch touches are
+    rewritten (sinks.lake.merge_into_parquet)."""
     if "path" in sink:
         base = sink["path"]
+        if sink.get("mode") == "upsert":
+            keys = sink.get("merge_keys")
+            if not keys:
+                raise ValueError("sink mode 'upsert' requires merge_keys: [..]")
+            part_cols = sink.get("partition_cols")
+
+            def write_upsert(df: DataFrame, table: str) -> None:
+                from .sinks.lake import merge_into_parquet
+
+                merge_into_parquet(
+                    spark, f"{base}/{table}", df, list(keys),
+                    partition_cols=list(part_cols) if part_cols else None,
+                )
+
+            return write_upsert
 
         def write_parquet(df: DataFrame, table: str) -> None:
             df.write.mode("append").parquet(f"{base}/{table}")

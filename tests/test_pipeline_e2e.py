@@ -135,3 +135,37 @@ def test_pool_smaller_than_write_parallelism_warns(spark, caplog):
     with caplog.at_level(logging.WARNING, logger="fluent_plugin_sql_spark.pipeline"):
         build_writer(spark, {"url": "jdbc:derby:memory:poolok;create=true", "pool": 4})
     assert not caplog.records
+
+
+def test_upsert_lake_sink_mode(spark, tmp_path):
+    """CDC-to-lake shape: sink mode 'upsert' MERGEs each emitted batch
+    into the per-table parquet dir instead of appending — re-polled or
+    re-emitted keys replace their previous version, inserts pass
+    through.  (The incremental source is at-least-once by contract; the
+    upsert sink absorbs the duplicates.)"""
+    import pytest
+
+    from fluent_plugin_sql_spark.pipeline import build_writer
+
+    sink = {
+        "path": str(tmp_path / "lake"),
+        "mode": "upsert",
+        "merge_keys": ["event_id"],
+    }
+    writer = build_writer(spark, sink)
+
+    batch1 = spark.range(0, 100).selectExpr("id AS event_id", "id * 1.0D AS value")
+    writer(batch1, "events")
+    # batch 2 overlaps (redelivery of 90-99 with NEW values) + inserts
+    batch2 = spark.range(90, 120).selectExpr("id AS event_id", "id * -1.0D AS value")
+    writer(batch2, "events")
+
+    out = spark.read.parquet(str(tmp_path / "lake" / "events"))
+    got = {r["event_id"]: r["value"] for r in out.collect()}
+    assert len(got) == 120            # no duplicate keys despite overlap
+    assert got[50] == 50.0            # untouched
+    assert got[95] == -95.0           # replaced, not appended
+    assert got[119] == -119.0         # inserted
+
+    with pytest.raises(ValueError, match="merge_keys"):
+        build_writer(spark, {"path": str(tmp_path / "x"), "mode": "upsert"})
