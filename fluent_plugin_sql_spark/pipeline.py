@@ -225,12 +225,28 @@ def build_writer(spark: SparkSession, sink: dict[str, Any]) -> Callable[[DataFra
             if not keys:
                 raise ValueError("sink mode 'upsert' requires merge_keys: [..]")
             part_cols = sink.get("partition_cols")
+            order_col = sink.get("order_column")
 
             def write_upsert(df: DataFrame, table: str) -> None:
                 from .sinks.lake import merge_into_parquet
 
+                if order_col:
+                    # a CDC batch can carry SEVERAL changes to one key;
+                    # merge semantics need exactly one row per key, so
+                    # reduce the batch to its latest change first (by the
+                    # change-log order column — typically update_column)
+                    from pyspark.sql import Window
+
+                    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+                    reduced = (
+                        df.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
+                else:
+                    reduced = df
                 merge_into_parquet(
-                    spark, f"{base}/{table}", df, list(keys),
+                    spark, f"{base}/{table}", reduced, list(keys),
                     partition_cols=list(part_cols) if part_cols else None,
                 )
 

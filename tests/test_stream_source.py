@@ -259,3 +259,64 @@ def test_select_limit_cap_extends_through_watermark_ties(spark, tmp_path):
     # batches exceed the cap only up to the tie group, never wildly
     sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
     assert sizes and max(sizes) <= 160  # cap 100 extended through one 80-row group
+
+
+def test_streaming_pipeline_upsert_sink_cdc(spark, tmp_path):
+    """CDC-to-lake through the STREAMING pipeline: a change log whose
+    keys repeat (k = event_id % 250) flows through sink mode 'upsert' —
+    the lake table converges to exactly one row per key holding the
+    LATEST change, across micro-batch boundaries and within a batch
+    (order_column reduces multi-change batches to last-per-key)."""
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # change log: 500 changes over 250 keys (each key changed twice)
+    pq.write_table(
+        pa.table(
+            {"event_id": pa.array(range(500), pa.int64()),
+             "k": pa.array([i % 250 for i in range(500)], pa.int64()),
+             "value": pa.array([float(i) for i in range(500)], pa.float64())}
+        ),
+        str(src_dir / "events.parquet"),
+    )
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "tag_prefix": "db",
+            "select_limit": 200,  # batches cut MID-KEY-CYCLE: [0,200) spans
+            # keys 0-199, [200,400) re-changes 200-249 then 0-149, ...
+            "tables": [{"table": "events", "update_column": "event_id"}],
+        },
+        "sink": {
+            "path": str(out),
+            "mode": "upsert",
+            "merge_keys": ["k"],
+            "order_column": "event_id",
+            "tables": [{"table": "kv"}],
+        },
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def settled():
+            try:
+                df = spark.read.parquet(str(out / "kv"))
+                return df.count() == 250 and df.agg(
+                    F.max("event_id")
+                ).first()[0] == 499
+            except Exception:
+                return False
+        t0 = time.time()
+        while time.time() - t0 < 90 and not settled():
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = spark.read.parquet(str(out / "kv"))
+    assert got.count() == 250  # one row per key, no append-duplicates
+    vals = {r["k"]: r["event_id"] for r in got.collect()}
+    # latest change per key wins: key k's last change is event 250+k
+    assert all(vals[k] == 250 + k for k in range(250))
