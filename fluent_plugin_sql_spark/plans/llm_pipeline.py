@@ -718,3 +718,112 @@ def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", copies.alias("copies"))
         .where(F.col("copies") > 0)
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 greatest(list_max(list_transform(e, x -> abs(x))) / 127.0,
+                          1e-12) AS scale
+          FROM v),
+    q AS (SELECT vec_id, e, scale,
+                 list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qv
+          FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS q_max,
+           round(list_aggregate(
+                   list_transform(range(1, len(e) + 1),
+                                  i -> pow(e[i] - qv[i] * scale, 2)),
+                   'sum') / len(e) * 1e6, 4) AS mse_ppm
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/bandwidth step
+    before shipping vectors to an ANN index): per-vector scale =
+    max|x|/127, q_i = round(x_i/scale), 4× smaller than float32.  The
+    query returns per-vector audit stats — scale, quantized checksum,
+    saturation peak (|q|max = 127 by construction), and reconstruction
+    MSE in ppm — all exact-matched against the DuckDB oracle, which
+    pins down the rounding semantics (HALF_UP away from zero) and the
+    IEEE double math on both engines.
+
+    Scale shape: pure per-row codegen arithmetic over the vector —
+    no shuffle, no UDF; float32→double widening is exact so the
+    cross-engine hash is stable."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    qv = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    mse = (
+        F.aggregate(
+            F.zip_with(v, qv, lambda x, q: F.pow(x - q.cast("double") * scale, 2)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(v)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max(F.transform(qv, lambda x: F.abs(x))).alias("q_max"),
+        F.round(mse * 1e6, 4).alias("mse_ppm"),
+    )
+
+
+@query(
+    "quality_band_filter",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    lm AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    lp AS (
+      SELECT doc_id,
+             round(-sum(dt.c * ln(lm.n * 1.0 / tot.n_total)) / sum(dt.c), 3)
+               AS avg_neg_logprob
+      FROM dt JOIN lm USING (w) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    band AS (SELECT quantile_cont(avg_neg_logprob, 0.25) AS lo,
+                    quantile_cont(avg_neg_logprob, 0.75) AS hi
+             FROM lp)
+    SELECT doc_id, avg_neg_logprob
+    FROM lp CROSS JOIN band
+    WHERE avg_neg_logprob >= lo AND avg_neg_logprob <= hi
+    """,
+)
+def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-the-middle-band step of LM quality filtering (CCNet
+    keeps the middle perplexity tertiles; too-low = boilerplate, too-high
+    = noise): score each doc with the self-trained unigram LM, then keep
+    docs between the corpus P25 and P75.
+
+    The band edges are EXACT interpolated percentiles — a 2-value
+    broadcast (1-row agg) against the scored corpus, so the filter is
+    one scan + one tiny crossJoin; scores are rounded to 3 decimals
+    BEFORE the percentile so both engines interpolate over identical
+    multisets and the band membership hashes identically."""
+    lp = unigram_logprob_quality(spark, sf_dir)
+    band = lp.agg(
+        F.percentile("avg_neg_logprob", F.lit(0.25)).alias("lo"),
+        F.percentile("avg_neg_logprob", F.lit(0.75)).alias("hi"),
+    )
+    return (
+        lp.crossJoin(F.broadcast(band))
+        .where(
+            (F.col("avg_neg_logprob") >= F.col("lo"))
+            & (F.col("avg_neg_logprob") <= F.col("hi"))
+        )
+        .select("doc_id", "avg_neg_logprob")
+    )

@@ -98,7 +98,16 @@ def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the windowed latest-per-key over the WHOLE log — identical current
     rows prove the close-out/append set-logic is equivalent to recomputing
     from scratch.  At scale the apply is 3 key-shuffles over the (small)
-    update keys + unions; no per-row state, no full-dimension rewrite."""
+    update keys + unions; no per-row state, no full-dimension rewrite.
+
+    Scan discipline: ``scd2_apply`` references its base 3× and updates 2×
+    (untouched/closed/still-old + key set), which would naively re-scan
+    the change log 6× (first cut of this query did — PLANS.md showed
+    scans=6).  Both latest-per-(user, half) frames come out of ONE window
+    pass here, materialized once (tiny: ≤2 rows/user) via eager
+    localCheckpoint, so the log is scanned once for the split boundary
+    and once for the window — independent of how many times the apply
+    references its inputs."""
     from pyspark.sql import Window
 
     from ..operators.scale import scd2_apply
@@ -107,22 +116,28 @@ def scd2_current_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     split = e.agg((F.max("event_id") * 0.6).cast("long").alias("_split"))
-    tagged = e.crossJoin(F.broadcast(split))
-    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
-
-    def latest(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("user_id", "event_type", "value", F.col("ts").alias("valid_from"))
+    w = Window.partitionBy("user_id", "_half").orderBy(F.desc("event_id"))
+    latest_both = (
+        e.crossJoin(F.broadcast(split))
+        .withColumn(
+            "_half",
+            F.when(F.col("event_id") <= F.col("_split"), 0).otherwise(1),
         )
-
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "_half", "user_id", "event_type", "value",
+            F.col("ts").alias("valid_from"),
+        )
+        .localCheckpoint(eager=True)
+    )
     base = (
-        latest(tagged.where(F.col("event_id") <= F.col("_split")))
+        latest_both.where(F.col("_half") == 0)
+        .drop("_half")
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
         .withColumn("is_current", F.lit(True))
     )
-    updates = latest(tagged.where(F.col("event_id") > F.col("_split")))
+    updates = latest_both.where(F.col("_half") == 1).drop("_half")
     dim = scd2_apply(base, updates, ["user_id"], ts_col="valid_from")
     return dim.where(F.col("is_current")).select(
         "user_id", "event_type", F.round("value", 2).alias("value")

@@ -24,7 +24,7 @@ def test_every_oracle_has_a_query():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     # declared surface size — bump intentionally when adding operators
-    assert len(qs) >= 109 and len(oracles) >= 104
+    assert len(qs) >= 111 and len(oracles) >= 106
 
 
 def test_entry_smoke(spark):
