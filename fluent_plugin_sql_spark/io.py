@@ -40,12 +40,15 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
         if not files:
             return ()
         path = files[0]
-    schema = pq.read_schema(path)
+    # one footer open serves both views of the schema (arrow-level for
+    # the logical ns unit, parquet-level for the INT96 physical type)
+    pf = pq.ParquetFile(path)
+    schema = pf.schema_arrow
     # Arrow reports legacy INT96 timestamps as timestamp[ns] too, but
     # Spark reads INT96 natively — only true TIMESTAMP(NANOS) (INT64
     # physical) columns need the nanosAsLong + ns→µs conversion path.
     int96 = set()
-    pf_schema = pq.ParquetFile(path).schema
+    pf_schema = pf.schema
     for i in range(len(pf_schema)):
         col = pf_schema.column(i)
         if col.physical_type == "INT96":

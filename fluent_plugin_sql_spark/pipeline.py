@@ -225,19 +225,29 @@ def build_writer(spark: SparkSession, sink: dict[str, Any]) -> Callable[[DataFra
             if not keys:
                 raise ValueError("sink mode 'upsert' requires merge_keys: [..]")
             part_cols = sink.get("partition_cols")
+            # str or list: a non-unique order column (second-granularity
+            # updated_at) needs a tiebreak component, or two same-instant
+            # changes to one key would apply nondeterministically — pass
+            # e.g. ["updated_at", "seq"] exactly like the source layer's
+            # tiebreak_column
             order_col = sink.get("order_column")
+            order_cols = (
+                [order_col] if isinstance(order_col, str) else list(order_col or [])
+            )
 
             def write_upsert(df: DataFrame, table: str) -> None:
                 from .sinks.lake import merge_into_parquet
 
-                if order_col:
+                if order_cols:
                     # a CDC batch can carry SEVERAL changes to one key;
                     # merge semantics need exactly one row per key, so
                     # reduce the batch to its latest change first (by the
                     # change-log order column — typically update_column)
                     from pyspark.sql import Window
 
-                    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+                    w = Window.partitionBy(*keys).orderBy(
+                        *[F.desc(c) for c in order_cols]
+                    )
                     reduced = (
                         df.withColumn("_rn", F.row_number().over(w))
                         .where(F.col("_rn") == 1)

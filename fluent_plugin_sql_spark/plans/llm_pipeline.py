@@ -814,7 +814,11 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan + one tiny crossJoin; scores are rounded to 3 decimals
     BEFORE the percentile so both engines interpolate over identical
     multisets and the band membership hashes identically."""
-    lp = unigram_logprob_quality(spark, sf_dir)
+    # materialize the scored corpus once — it feeds BOTH the band agg and
+    # the filter, and an unmaterialized plan would run the whole LM
+    # pipeline (explode + two shuffles + join) twice.  One row per doc,
+    # so the checkpoint is corpus-cardinality small; freed on GC.
+    lp = unigram_logprob_quality(spark, sf_dir).localCheckpoint(eager=True)
     band = lp.agg(
         F.percentile("avg_neg_logprob", F.lit(0.25)).alias("lo"),
         F.percentile("avg_neg_logprob", F.lit(0.75)).alias("hi"),

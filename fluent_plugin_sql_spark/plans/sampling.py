@@ -145,3 +145,40 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "reservoir_sample_per_source",
+    oracle="""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR))
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size k=20 sample per source — the deterministic analogue of
+    per-group reservoir sampling (Vitter's Algorithm R): every document
+    is ranked by the portable md5 of its key and the first k win, which
+    is a uniform draw over any corpus in which doc_id is unrelated to
+    content order, yet reproducible across runs, engines, and corpus
+    growth (an RNG reservoir re-draws on every pass).
+
+    Scale shape: ``row_number() <= k`` compiles to WindowGroupLimit —
+    each map task keeps only k rows per group BEFORE the shuffle, so the
+    exchange carries O(groups * k * partitions) rows, not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )

@@ -46,10 +46,19 @@ def _check_ident(name: str) -> str:
 
 
 # "object does not exist" across dialects: Derby 42X05/42Y55, SQL-server
-# family S0002, MySQL 42S02, PostgreSQL 42P01
-MISSING_OBJECT_SQLSTATES = frozenset({"42X05", "42Y55", "S0002", "42S02", "42P01"})
-# "object already exists": Derby X0Y32, PostgreSQL 42P07, MySQL 42S01
-EXISTS_SQLSTATES = frozenset({"X0Y32", "42P07", "42S01"})
+# family S0002, MySQL 42S02, PostgreSQL 42P01, DB2 42704
+MISSING_OBJECT_SQLSTATES = frozenset(
+    {"42X05", "42Y55", "S0002", "42S02", "42P01", "42704"}
+)
+# "object already exists": Derby X0Y32, PostgreSQL 42P07, MySQL 42S01,
+# DB2 42710, SQL-server create-exists S0001
+EXISTS_SQLSTATES = frozenset({"X0Y32", "42P07", "42S01", "42710", "S0001"})
+# Oracle flattens both ORA-00942 (does not exist) and ORA-00955 (already
+# exists) — and plain syntax errors — into the generic SQLState 42000, so
+# tolerating 42000 is gated on dialect='oracle' rather than global (on
+# every other system 42000 is a real error that must abort the batch)
+DIALECT_MISSING_EXTRA = {"oracle": frozenset({"42000"})}
+DIALECT_EXISTS_EXTRA = {"oracle": frozenset({"42000"})}
 
 
 def _sqlstates(exc: Exception):
@@ -90,6 +99,13 @@ class EpochMarkerStore:
         # names (preserving case), so control SQL must quote them too on
         # case-folding databases (Derby/Oracle uppercase unquoted idents)
         self.quote = resolve_dialect(dialect).quote_char
+        d = resolve_dialect(dialect).name
+        self._missing_states = MISSING_OBJECT_SQLSTATES | DIALECT_MISSING_EXTRA.get(
+            d, frozenset()
+        )
+        self._exists_states = EXISTS_SQLSTATES | DIALECT_EXISTS_EXTRA.get(
+            d, frozenset()
+        )
         self._ensure_marker_table()
 
     def _conn(self):
@@ -150,7 +166,7 @@ class EpochMarkerStore:
             f"CREATE TABLE {self.marker_table} "
             "(target VARCHAR(128) NOT NULL, epoch_id BIGINT NOT NULL, "
             "PRIMARY KEY (target, epoch_id))",
-            ignore_sqlstates=EXISTS_SQLSTATES,
+            ignore_sqlstates=self._exists_states,
         )
 
     def committed(self, target: str, epoch_id: int) -> bool:
@@ -191,7 +207,7 @@ class EpochMarkerStore:
         self._execute(
             f"DELETE FROM {_check_ident(target)} "
             f"WHERE {q}_epoch{q} = {int(epoch_id)}",
-            ignore_sqlstates=MISSING_OBJECT_SQLSTATES,
+            ignore_sqlstates=self._missing_states,
         )
 
 

@@ -147,6 +147,43 @@ def _swap_live(fs, hpath, staging, old, path: str) -> None:
     fs.delete(old, True)
 
 
+def _check_partition_value(col: str, v) -> None:
+    """Partition values are rendered into ``col=value`` directory names;
+    anything Hive would escape (NULL → __HIVE_DEFAULT_PARTITION__,
+    URL-escaped specials like space/':'/'%', timestamps) would silently
+    miss the staged directory and DROP the batch's rows for that
+    partition — so refuse them loudly instead."""
+    import re
+
+    if v is None or isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise ValueError(
+            f"partition column {col!r}: unsupported partition value {v!r} "
+            "(merge_into_parquet requires non-null int/string values)"
+        )
+    if not re.fullmatch(r"[A-Za-z0-9_.\-]+", str(v)):
+        raise ValueError(
+            f"partition column {col!r}: value {v!r} needs Hive path "
+            "escaping, which the partition swap does not implement — "
+            "restrict partition values to [A-Za-z0-9_.-]"
+        )
+
+
+def _leaf_dirs(fs, jpath, root: str, depth: int) -> list[str]:
+    """Relative paths of directories exactly ``depth`` levels under
+    ``root`` (the col=value partition leaves)."""
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            p = jpath(f"{root}/{rel}" if rel else root)
+            for st in fs.listStatus(p):
+                if st.isDirectory():
+                    name = st.getPath().getName()
+                    nxt.append(f"{rel}/{name}" if rel else name)
+        rels = nxt
+    return rels
+
+
 def merge_into_parquet(
     spark,
     path: str,
@@ -189,15 +226,42 @@ def merge_into_parquet(
 
     fs, hpath, staging, old = _swap_paths(spark, path)
     if partition_cols:
-        if not fs.exists(hpath):
-            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-            return
+        jvm = spark._jvm  # noqa: SLF001
+        jpath = jvm.org.apache.hadoop.fs.Path
+        backup_root = jpath(path.rstrip("/") + ".__merge_old__")
+        # crash-window recovery from a previous partitioned merge — the
+        # backups live OUTSIDE the live tree (a marker dir inside it
+        # would corrupt partition-value inference), keyed by the same
+        # col=value relative path:
+        #  - backup exists, live partition missing → crashed between the
+        #    two renames: restore the backup.
+        #  - backup exists, live exists → crashed after the swap, before
+        #    cleanup: the new data is live, drop the backup.
+        if fs.exists(backup_root):
+            for rel in _leaf_dirs(fs, jpath, str(backup_root), len(partition_cols)):
+                live_p = jpath(f"{path.rstrip('/')}/{rel}")
+                back_p = jpath(f"{backup_root}/{rel}")
+                if not fs.exists(live_p):
+                    fs.mkdirs(live_p.getParent())
+                    if not fs.rename(back_p, live_p):
+                        raise IOError(f"recovery failed: {back_p} -> {live_p}")
+            fs.delete(backup_root, True)
+        if fs.exists(staging):
+            fs.delete(staging, True)
         # one small driver-side list of touched partition values bounds
-        # the read to affected directories (pushed partition filter)
+        # the read to affected directories (pushed partition filter);
+        # validated BEFORE the first write too, so a fresh table can't
+        # accept values every later merge would refuse
         touched = [
             tuple(r[c] for c in partition_cols)
             for r in updates.select(*partition_cols).distinct().collect()
         ]
+        for vals in touched:
+            for c, v in zip(partition_cols, vals):
+                _check_partition_value(c, v)
+        if not fs.exists(hpath):
+            updates.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+            return
         pred = F.lit(False)
         for vals in touched:
             clause = F.lit(True)
@@ -210,28 +274,24 @@ def merge_into_parquet(
         # directory under the live root (writing straight back to `path`
         # would both trip Spark's read-your-own-overwrite guard and lose
         # the untouched partitions)
-        if fs.exists(staging):
-            fs.delete(staging, True)
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(
             str(staging)
         )
-        jvm = spark._jvm  # noqa: SLF001
         for vals in touched:
             rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, vals))
-            live_p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{rel}")
-            stag_p = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
-            old_p = jvm.org.apache.hadoop.fs.Path(str(live_p) + ".__old__")
-            if fs.exists(old_p):
-                fs.delete(old_p, True)
+            live_p = jpath(f"{path.rstrip('/')}/{rel}")
+            stag_p = jpath(f"{staging}/{rel}")
+            back_p = jpath(f"{backup_root}/{rel}")
             if fs.exists(live_p):
-                if not fs.rename(live_p, old_p):
-                    raise IOError(f"partition swap failed: {live_p} -> {old_p}")
+                fs.mkdirs(back_p.getParent())
+                if not fs.rename(live_p, back_p):
+                    raise IOError(f"partition swap failed: {live_p} -> {back_p}")
             if fs.exists(stag_p):
                 fs.mkdirs(live_p.getParent())
                 if not fs.rename(stag_p, live_p):
-                    fs.rename(old_p, live_p)  # roll this partition back
+                    fs.rename(back_p, live_p)  # roll this partition back
                     raise IOError(f"partition swap failed: {stag_p} -> {live_p}")
-            fs.delete(old_p, True)
+        fs.delete(backup_root, True)
         fs.delete(staging, True)
         return
     _recover_swap(fs, hpath, staging, old)

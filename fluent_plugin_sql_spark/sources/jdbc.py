@@ -253,8 +253,14 @@ def jdbc_health_probe(
     (in_sql.rb:259-265).  JDBC has no long-lived driver-side connection to
     ping, so the probe opens a fresh one (opening IS the reconnect) and
     asks the driver's own ``Connection.isValid`` — raises on any failure,
-    which ``run_forever`` turns into a skipped cycle + backoff."""
+    which ``run_forever`` turns into a skipped cycle + backoff.
+
+    ``properties`` is the same dict the readers/writers take — user/
+    password/etc. are forwarded to the driver (an unauthenticated probe
+    against an authenticated database would fail every cycle and stall
+    the poll loop forever on a perfectly healthy server)."""
     driver = (properties or {}).get("driver")
+    props = {k: v for k, v in (properties or {}).items() if k != "driver"}
 
     def probe() -> None:
         jvm = spark._jvm  # noqa: SLF001
@@ -262,7 +268,10 @@ def jdbc_health_probe(
             jvm.java.lang.Class.forName(
                 driver, True, jvm.java.lang.Thread.currentThread().getContextClassLoader()
             )
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            jprops.setProperty(str(k), str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             if not conn.isValid(timeout_s):
                 raise ConnectionError(f"JDBC connection to {url} is not valid")

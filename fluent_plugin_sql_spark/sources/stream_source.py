@@ -208,14 +208,54 @@ class _PartitionedIncrementalReader(DataSourceStreamReader):
         return {"last": None}
 
     def latestOffset(self) -> dict:
+        """Table head (max update_column) from parquet ROW-GROUP
+        STATISTICS — footer metadata only, no data pages — so the
+        per-trigger planning cost is O(files), not O(rows).  Falls back
+        to scanning just the watermark column of a file whose footer
+        lacks exact max statistics (e.g. truncated string bounds, where
+        the stored max is an upper bound that would over-advance the
+        offset and skip rows)."""
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
         dataset = ds.dataset(self.path, format="parquet")
-        tbl = dataset.to_table(columns=[self.update_column])
-        if tbl.num_rows == 0:
+        best = None
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            idx = next(
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == self.update_column
+                ),
+                None,
+            )
+            frag_max = None
+            if idx is not None:
+                for r in range(md.num_row_groups):
+                    st = md.row_group(r).column(idx).statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or getattr(st, "is_max_value_exact", True) is False
+                    ):
+                        frag_max = None
+                        break
+                    m = st.max
+                    frag_max = m if frag_max is None or m > frag_max else frag_max
+                else:
+                    if md.num_row_groups == 0:
+                        continue
+            if frag_max is None:
+                tbl = frag.to_table(columns=[self.update_column])
+                if tbl.num_rows == 0:
+                    continue
+                frag_max = pc.max(tbl.column(0)).as_py()
+            if best is None or frag_max > best:
+                best = frag_max
+        if best is None:
             return {"last": None}
-        return {"last": _encode_offset_value(pc.max(tbl.column(0)).as_py())}
+        return {"last": _encode_offset_value(best)}
 
     def partitions(self, start: dict, end: dict) -> list:
         import pyarrow.compute as pc

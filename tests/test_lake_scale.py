@@ -254,6 +254,58 @@ def test_merge_into_parquet_partitioned_touches_only_affected(spark, tmp_path):
         + glob.glob(f"{path}/p=3/*.parquet")
     }
     assert untouched_after == untouched_before  # never read, never rewritten
-    assert not glob.glob(f"{path}/*__old__*") and not glob.glob(
-        str(tmp_path / "fact.__compact_tmp__")
+    # live tree stays clean (backups live OUTSIDE it, and are gone)
+    assert not glob.glob(f"{path}/*__old__*")
+    assert not os.path.exists(str(tmp_path / "fact.__merge_old__"))
+    assert not os.path.exists(str(tmp_path / "fact.__compact_tmp__"))
+
+
+def test_merge_into_parquet_partitioned_crash_recovery_and_guards(spark, tmp_path):
+    """Crash window of the per-partition swap: a backup left with its
+    live partition MISSING is restored on the next merge (no data loss,
+    live tree never polluted); unsupported partition values (NULL,
+    Hive-escaped specials) are refused loudly instead of silently
+    dropping rows."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from fluent_plugin_sql_spark.sinks.lake import merge_into_parquet
+
+    path = str(tmp_path / "fact")
+    base = spark.range(0, 200).selectExpr(
+        "id AS k", "CAST(id % 2 AS INT) AS p", "id * 1.0D AS v"
     )
+    merge_into_parquet(spark, path, base, ["k"], partition_cols=["p"])
+
+    # simulate the crash between the two renames: live p=1 moved to the
+    # backup root, staged data lost with the process
+    os.makedirs(path + ".__merge_old__")
+    shutil.move(f"{path}/p=1", path + ".__merge_old__/p=1")
+    assert not os.path.exists(f"{path}/p=1")
+
+    updates = spark.createDataFrame([(0, 0, -0.5)], "k LONG, p INT, v DOUBLE")
+    merge_into_parquet(spark, path, updates, ["k"], partition_cols=["p"])
+
+    got = spark.read.parquet(path)
+    assert got.count() == 200  # p=1's 100 rows recovered, p=0 merged
+    assert got.where("k = 0").first()["v"] == -0.5
+    assert got.where("p = 1").count() == 100
+    assert not os.path.exists(path + ".__merge_old__")
+
+    # unsupported partition values are refused, not silently dropped
+    with pytest.raises(ValueError, match="partition value"):
+        merge_into_parquet(
+            spark, path,
+            spark.createDataFrame([(1, None, 1.0)], "k LONG, p INT, v DOUBLE"),
+            ["k"], partition_cols=["p"],
+        )
+    str_part = str(tmp_path / "strfact")
+    with pytest.raises(ValueError, match="escaping"):
+        merge_into_parquet(
+            spark, str_part,
+            spark.createDataFrame([(1, "a b", 1.0)], "k LONG, p STRING, v DOUBLE"),
+            ["k"], partition_cols=["p"],
+        )
