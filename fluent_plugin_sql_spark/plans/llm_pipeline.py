@@ -831,3 +831,162 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "avg_neg_logprob")
     )
+
+
+@query(
+    "boilerplate_ngram_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+          FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) x),
+    df AS (SELECT g, count(*) AS nd FROM g GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM documents),
+    bp AS (SELECT g FROM df, tot WHERE nd >= greatest(CAST(ceil(0.01 * n) AS BIGINT), 2)),
+    sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+    hits AS (SELECT doc_id, count(*) AS n_boilerplate
+             FROM g JOIN bp USING (g) GROUP BY 1)
+    SELECT s.doc_id,
+           coalesce(h.n_boilerplate, 0) AS n_boilerplate,
+           s.n_grams,
+           round(coalesce(h.n_boilerplate, 0) * 1.0 / s.n_grams, 6) AS boilerplate_frac
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def boilerplate_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate signal (C4/RefinedWeb-style): the mass
+    of a doc's trigrams that are CORPUS-frequent (appear in >= 1% of
+    documents, floor 2) — headers, nav bars, license blurbs.  Distinct
+    from ``text_repetition_signals`` (within-doc multiplicity) and
+    ``decontaminate_ngram_overlap`` (overlap vs an external set): the
+    frequent-gram table here is derived from the corpus itself.
+
+    Scale shape: distinct (doc, gram) → one gram-keyed count (map-side
+    combined; doc-distinct grams make count(*) = doc frequency) → the
+    threshold survivors are a SMALL set by construction (only grams
+    crossing 1% doc frequency) → broadcast back to the per-doc gram
+    stream.  No self-join; two shuffles total (gram count, per-doc agg).
+    At 100 TB, if the boilerplate set outgrows broadcast, swap the hint
+    for a shuffle join on the same plan — the logic is unchanged.
+    """
+    from ..operators.dedup import shingle_sets
+
+    d = _docs(spark, sf_dir)
+    g = shingle_sets(d, "text", "doc_id", k=3)
+    n_docs = d.agg(F.count("*").alias("n"))
+    thresh = n_docs.select(
+        F.greatest(F.ceil(F.lit(0.01) * F.col("n")).cast("long"), F.lit(2).cast("long")).alias("thr")
+    )
+    df_counts = g.groupBy("shingle").agg(F.count("*").alias("nd"))
+    bp = (
+        df_counts.crossJoin(F.broadcast(thresh))
+        .where(F.col("nd") >= F.col("thr"))
+        .select("shingle")
+    )
+    sizes = g.groupBy("doc").agg(F.count("*").alias("n_grams"))
+    hits = g.join(F.broadcast(bp), "shingle").groupBy("doc").agg(
+        F.count("*").alias("n_boilerplate")
+    )
+    return (
+        sizes.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce(F.col("n_boilerplate"), F.lit(0).cast("long")).alias(
+                "n_boilerplate"
+            ),
+            "n_grams",
+            F.round(
+                F.coalesce(F.col("n_boilerplate"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("boilerplate_frac"),
+        )
+    )
+
+
+# PII patterns shared by the Spark plan and the DuckDB oracle — written in
+# the common subset of Java regex and RE2 (no lookaround, no backrefs), so
+# both engines compile them identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d-]{7,}\d"
+_PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 > 0
+                  THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com '
+                  ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                  THEN 'tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+                  ELSE '' END
+             || 'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' || text AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(s, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           substr(regexp_replace(regexp_replace(regexp_replace(
+                    s, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                    '{_PII_PHONE}', '<PHONE>', 'g'),
+                    '{_PII_IP}', '<IP>', 'g'), 1, 60) AS redacted_head
+    FROM raw
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking — the scrub step every training-data
+    pipeline runs before tokenization.  The synthetic corpus carries no
+    PII, so the query deterministically injects email/phone/IP spans
+    (derived from doc_id, identically in both engines) and then detects
+    and redacts them, proving the regex semantics match end-to-end.
+
+    Scale shape: pure per-row codegen expressions (regexp_count /
+    regexp_replace) — no shuffle, no UDF; on a real corpus this runs at
+    scan speed and composes with ``quality_filter_verdicts``.
+    """
+    d = _docs(spark, sf_dir)
+    s = (
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(
+                    F.lit("contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com "),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("tel +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" "),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        )
+    ).alias("s")
+    raw = d.select("doc_id", s)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("s"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.substring(red, 1, 60).alias("redacted_head"),
+    )
