@@ -449,3 +449,150 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster_id"))
+
+
+def _band_key_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, band_key) unpivot of a signature matrix — stack() is a
+    zero-shuffle generator (same construction as minhash_lsh_dup_pairs)."""
+    r = num_hashes // bands
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    stack_expr = (
+        f"stack({bands}, "
+        + ", ".join(f"{b}, band{b}" for b in range(bands))
+        + ") as (band, band_key)"
+    )
+    return sig.select("doc", *band_cols).selectExpr("doc", stack_expr)
+
+
+class MinHashDedupStore:
+    """Incremental near-dedup for CONTINUOUS ingestion — the missing
+    piece between batch ``minhash_lsh_dup_pairs`` (one corpus, one shot)
+    and a poll-loop/streaming pipeline that must ask, per batch: "have we
+    already accepted something near-identical, possibly months ago?".
+
+    State is two append-only parquet tables under ``path`` — band keys
+    (partitioned by ``band`` so the LSH probe prunes to one directory per
+    band) and full signatures.  Per batch:
+
+    1. sign the batch (OPH MinHash, O(1)/shingle);
+    2. candidates = band-key collisions batch×store (shuffle bounded by
+       banding) plus batch-internal bucket expansion;
+    3. verify candidates on the ESTIMATED Jaccard — the fraction of
+       matching signature slots, an unbiased estimator of true Jaccard —
+       so the store never needs document text (at 100 TB the store holds
+       ~200 bytes/doc, not the corpus);
+    4. survivors (non-dups, batch-internal keep-lowest-id) are returned
+       AND their band keys + signatures appended.
+
+    Unlike the batch operator there is no exact-shingle verification:
+    that is the deliberate trade for a text-free store, and why
+    ``sig_match_frac`` exposes the estimator threshold (24 slots at 0.5
+    ≈ accepting estimated J ≥ 0.5; tighten per corpus).  Crash contract:
+    the append of state happens AFTER the survivor set is computed; a
+    crash between sink-write and state-append re-admits at most one
+    batch's near-dups (at-least-once state, matching the poll loop's
+    at-least-once emit).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        num_hashes: int = 24,
+        bands: int = 6,
+        k: int = 3,
+        sig_match_frac: float = 0.5,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.k = k
+        self.sig_match_frac = sig_match_frac
+        jvm = spark._jvm  # noqa: SLF001
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+
+    def _exists(self, sub: str) -> bool:
+        return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
+
+    def _sig_cols(self) -> list[str]:
+        return [f"h{i}" for i in range(self.num_hashes)]
+
+    def _est_match(self, a_prefix: str, b_prefix: str):
+        """Fraction of equal signature slots (estimated Jaccard)."""
+        return (
+            sum(
+                F.when(
+                    F.col(f"{a_prefix}.h{i}") == F.col(f"{b_prefix}.h{i}"), 1
+                ).otherwise(0)
+                for i in range(self.num_hashes)
+            )
+            / F.lit(float(self.num_hashes))
+        )
+
+    def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Return the near-dup-free subset of ``df`` and absorb it into
+        the store.  Output columns = input columns."""
+        sig = minhash_signatures(
+            df, text_col, id_col, self.num_hashes, self.k
+        ).localCheckpoint(eager=True)  # feeds 3 consumers; compute once
+        bk = _band_key_rows(sig, self.num_hashes, self.bands)
+
+        dup_ids = None
+        if self._exists("band_keys"):
+            store_bk = self.spark.read.parquet(f"{self.path}/band_keys")
+            store_sig = self.spark.read.parquet(f"{self.path}/signatures")
+            cand = (
+                bk.join(store_bk.withColumnRenamed("doc", "old_doc"), ["band", "band_key"])
+                .select("doc", "old_doc")
+                .distinct()
+            )
+            matched = (
+                cand.join(sig.alias("n"), cand["doc"] == F.col("n.doc"))
+                .join(store_sig.alias("o"), cand["old_doc"] == F.col("o.doc"))
+                .where(self._est_match("n", "o") >= self.sig_match_frac)
+                .select(cand["doc"].alias("dup"))
+                .distinct()
+            )
+            dup_ids = matched
+
+        # batch-internal near-dups: bucket expansion (keep lowest id)
+        buckets = (
+            bk.groupBy("band", "band_key")
+            .agg(F.collect_list("doc").alias("docs"))
+            .where(F.size("docs") > 1)
+        )
+        pair_expr = """
+            explode(flatten(transform(sequence(0, size(ds)-2),
+                    i -> transform(slice(ds, i+2, size(ds)-i-1),
+                                   x -> struct(ds[i] as doc_a, x as doc_b))))) as p
+        """.replace("ds", "array_sort(docs)")
+        internal = (
+            buckets.selectExpr(pair_expr)
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+            .join(sig.alias("a"), F.col("doc_a") == F.col("a.doc"))
+            .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc"))
+            .where(self._est_match("a", "b") >= self.sig_match_frac)
+            .select(F.col("doc_b").alias("dup"))  # keep the lower id
+            .distinct()
+        )
+        dup_ids = internal if dup_ids is None else dup_ids.unionByName(internal).distinct()
+
+        survivors = df.join(
+            dup_ids.withColumnRenamed("dup", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # pin BEFORE the store mutates
+
+        keep = survivors.select(F.col(id_col).alias("doc"))
+        sig_keep = sig.join(keep, "doc", "left_semi")
+        _band_key_rows(sig_keep, self.num_hashes, self.bands).write.mode(
+            "append"
+        ).partitionBy("band").parquet(f"{self.path}/band_keys")
+        sig_keep.write.mode("append").parquet(f"{self.path}/signatures")
+        return survivors

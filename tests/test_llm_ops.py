@@ -181,3 +181,50 @@ def test_minhash_short_docs_densification_collides(spark):
 
     pairs = minhash_lsh_dup_pairs(df, "text", "doc_id", threshold=0.8).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_minhash_dedup_store_incremental(spark, tmp_path):
+    """Continuous-ingestion near-dedup: batch 2's near-copy of a batch-1
+    doc is dropped via the PERSISTED signature store (no access to batch
+    1's text), within-batch near-dups keep the lowest id, and a fresh
+    store instance on the same path keeps filtering (state durability)."""
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    variant = base.replace("green", "dark")  # near-dup of base
+    other = (
+        "completely different content about spark shuffles partitions "
+        "and broadcast joins at terabyte scale with adaptive execution"
+    )
+    third = (
+        "yet another unrelated document mentioning watermarks streaming "
+        "state stores checkpoints and exactly once sinks for pipelines"
+    )
+
+    path = str(tmp_path / "dedup_store")
+    store = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+
+    b1 = spark.createDataFrame([(1, base), (2, other)], "doc_id LONG, text STRING")
+    s1 = store.process_batch(b1, "text", "doc_id")
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}
+
+    # batch 2: near-copy of doc 1 (cross-batch dup), a new doc, and an
+    # exact within-batch duplicate pair (10, 11) -> keep 10
+    b2 = spark.createDataFrame(
+        [(10, third), (11, third), (12, variant)],
+        "doc_id LONG, text STRING",
+    )
+    s2 = store.process_batch(b2, "text", "doc_id")
+    assert {r["doc_id"] for r in s2.collect()} == {10}
+
+    # durability: a NEW instance on the same path still knows everything
+    store2 = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    b3 = spark.createDataFrame(
+        [(20, base), (21, third), (22, "totally novel text about nothing seen before with many fresh words")],
+        "doc_id LONG, text STRING",
+    )
+    s3 = store2.process_batch(b3, "text", "doc_id")
+    assert {r["doc_id"] for r in s3.collect()} == {22}
