@@ -15,6 +15,8 @@ same DataFrame plan with a streaming source and a sink policy.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -122,3 +124,37 @@ def dedup_stream(
     once.  (Plain ``dropDuplicates`` on a stream never evicts — unbounded
     state; this is the scale-safe form.)"""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def near_dedup_stream(
+    df: DataFrame,
+    store,
+    text_col: str,
+    id_col: str,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Streaming NEAR-dedup: every micro-batch is filtered through a
+    :class:`~..operators.dedup.MinHashDedupStore` (cross-batch + in-batch
+    LSH near-dup removal against the persisted signature store) before
+    reaching ``sink``.  Complements :func:`dedup_stream`, which is exact
+    (key-equality) — this catches the one-word-edit duplicates exact
+    dedup misses, with state that is O(signature) per accepted doc, not
+    O(text).
+
+    Delivery composes with the store's crash contract: a replayed batch
+    re-probes the store, its already-accepted docs now LOOK like dups of
+    themselves and are filtered — so replays converge instead of
+    double-inserting (self-healing at-least-once)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = store.process_batch(batch_df, text_col, id_col)
+        sink(survivors, epoch_id)
+
+    writer = df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

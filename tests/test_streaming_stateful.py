@@ -86,3 +86,64 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_near_dedup_stream_filters_across_batches(spark, tmp_path):
+    """foreachBatch near-dedup: micro-batch 2's near-copy of a batch-1
+    doc is dropped through the persisted signature store while novel
+    docs pass."""
+    from pyspark.sql import types as T
+
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+    from fluent_plugin_sql_spark.streaming.stream import (
+        near_dedup_stream,
+        stream_from_parquet_dir,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    variant = base.replace("green", "dark")
+    other = (
+        "completely different content about spark shuffles partitions "
+        "and broadcast joins at terabyte scale with adaptive execution"
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame([(2, variant), (3, other)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    store = MinHashDedupStore(spark, str(tmp_path / "store"), sig_match_frac=0.5)
+    seen: list[tuple[int, int]] = []
+
+    out_dir = str(tmp_path / "out")
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    stream = stream_from_parquet_dir(
+        spark, f"{src}/*/", schema, max_files_per_trigger=1
+    )
+    q = near_dedup_stream(
+        stream, store, "text", "doc_id", sink, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1, 3}  # 2 (near-copy of 1) was dropped
