@@ -240,3 +240,160 @@ def sample_frames(
             "bytes_remaining"
         ),
     )
+
+
+def _read_pixels(payload: bytes):
+    """REAL pixel array (h, w, 3) uint8 for the uncompressed formats —
+    PPM P6 and 24-bit BMP need no codec, just offset math.  Returns None
+    for formats whose pixel data is compressed (PNG/JPEG)."""
+    import struct
+
+    import numpy as np
+
+    parsed = parse_image_header(payload)
+    if parsed is None:
+        return None
+    fmt, w, h, _c = parsed
+    if fmt == "ppm":
+        # scan past the 3 ASCII header fields; pixel data starts after
+        # exactly ONE whitespace byte following maxval
+        fields = 0
+        i, n = 2, len(payload)
+        while i < n and fields < 3:
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < n and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                while i < n and payload[i : i + 1].isdigit():
+                    i += 1
+                fields += 1
+            else:
+                return None
+        i += 1  # the single whitespace after maxval
+        need = w * h * 3
+        if i + need > n:
+            return None
+        return np.frombuffer(payload, np.uint8, need, i).reshape(h, w, 3)
+    if fmt == "bmp":
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            return None  # paletted/alpha BMPs are out of scope
+        off = struct.unpack_from("<I", payload, 10)[0]
+        raw_h = struct.unpack_from("<i", payload, 22)[0]
+        stride = (w * 3 + 3) // 4 * 4  # rows pad to 4 bytes
+        if off + stride * h > len(payload):
+            return None
+        rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+        arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        return arr if raw_h < 0 else arr[::-1]  # positive height = bottom-up
+    return None
+
+
+PIXEL_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+        T.StructField("channel_stds", T.ArrayType(T.DoubleType())),
+        T.StructField("brightness", T.DoubleType()),
+    ]
+)
+
+
+def extract_pixel_features(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
+    """Feature extraction with REAL pixel math for uncompressed formats
+    (per-channel mean/std + overall brightness, the standard cheap
+    image-quality signals).  Compressed formats: strict-raise, else
+    dropped.  Same constant-memory ``mapInPandas`` shape as
+    :func:`decode_images` — features reduce each image to O(channels)
+    doubles executor-side; full pixel arrays never cross the wire."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                arr = _read_pixels(p)
+                if arr is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "pixel access for compressed formats requires a "
+                            "codec library; PPM/BMP pixels are read natively"
+                        )
+                    continue
+                h, w, _ = arr.shape
+                means = arr.reshape(-1, 3).mean(axis=0)
+                stds = arr.reshape(-1, 3).std(axis=0)
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        [float(x) for x in means],
+                        [float(x) for x in stds],
+                        float(means.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "channel_means", "channel_stds", "brightness",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, PIXEL_FEATURES_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """REAL nearest-neighbor resize for uncompressed formats, emitting
+    canonical PPM (P6) bytes — the normalize-dimensions step of an image
+    training pipeline, pure numpy indexing, no codec.  Compressed
+    formats: strict-raise, else dropped.  Arrow-batched ``mapInPandas``;
+    peak memory per task is one batch of source + resized payloads (size
+    the Arrow batch down via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    when images are large)."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                arr = _read_pixels(p)
+                if arr is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "pixel access for compressed formats requires a "
+                            "codec library; PPM/BMP pixels are read natively"
+                        )
+                    continue
+                h, w, _ = arr.shape
+                yi = (np.arange(target_h) * h) // target_h
+                xi = (np.arange(target_w) * w) // target_w
+                res = arr[yi][:, xi]
+                out = b"P6\n%d %d\n255\n" % (target_w, target_h) + res.tobytes()
+                rows.append((int(doc_id), target_w, target_h, out))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "payload"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(resize, RESIZED_IMAGE_SCHEMA)

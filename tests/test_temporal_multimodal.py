@@ -297,3 +297,102 @@ class TestEwmaChunkedFold:
             for _, _, v in sorted(s):
                 acc = v if acc is None else 0.2 * v + 0.8 * acc
             assert out[u] == pytest.approx(round(acc, 6), abs=2e-6), u
+
+
+class TestPixelOps:
+    """REAL pixel math on the uncompressed formats (PPM P6, 24-bit BMP):
+    features and nearest-neighbor resize verified against hand-computed
+    pixel arrays — no codec library involved."""
+
+    @staticmethod
+    def _ppm(arr):
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+    @staticmethod
+    def _bmp24(arr):
+        """Bottom-up 24-bit BMP (BGR, 4-byte row padding) from an RGB
+        (h, w, 3) array."""
+        import struct
+
+        import numpy as np
+
+        h, w, _ = arr.shape
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = arr[:, :, ::-1].reshape(h, w * 3)  # RGB → BGR
+        body = rows[::-1].tobytes()  # bottom-up
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+            + body
+        )
+
+    def test_pixel_features_real(self, spark):
+        import numpy as np
+
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            extract_pixel_features,
+        )
+
+        # 2x2: red, green / blue, white
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+            np.uint8,
+        )
+        uniform = np.full((3, 4, 3), 77, np.uint8)
+        df = spark.createDataFrame(
+            [(1, self._ppm(px)), (2, self._bmp24(uniform))],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in extract_pixel_features(df, strict=True).collect()}
+        # doc 1: channel means = (510/4, 510/4, 510/4) = 127.5 each
+        assert out[1]["channel_means"] == [127.5, 127.5, 127.5]
+        assert out[1]["brightness"] == 127.5
+        # doc 2 (BMP round-trip): uniform 77 → std exactly 0
+        assert out[2]["channel_means"] == [77.0, 77.0, 77.0]
+        assert out[2]["channel_stds"] == [0.0, 0.0, 0.0]
+        assert (out[2]["width"], out[2]["height"]) == (4, 3)
+
+    def test_resize_nearest_neighbor_real(self, spark):
+        import numpy as np
+
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            _read_pixels,
+            resize_images,
+        )
+
+        px = np.array(
+            [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+            np.uint8,
+        )
+        df = spark.createDataFrame([(1, self._ppm(px))], "doc_id long, payload binary")
+        r = resize_images(df, 4, 4, strict=True).first()
+        assert (r["width"], r["height"]) == (4, 4)
+        got = _read_pixels(bytes(r["payload"]))
+        # nearest-neighbor 2x upscale: each source pixel → 2x2 block
+        expect = px.repeat(2, axis=0).repeat(2, axis=1)
+        assert (got == expect).all()
+        # BMP → resize round-trips through the BGR/bottom-up conversion
+        bmp_df = spark.createDataFrame(
+            [(2, self._bmp24(px))], "doc_id long, payload binary"
+        )
+        r2 = resize_images(bmp_df, 2, 2, strict=True).first()  # identity size
+        assert (_read_pixels(bytes(r2["payload"])) == px).all()
+
+    def test_compressed_formats_strict_boundary(self, spark):
+        import pytest
+
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            extract_pixel_features,
+            resize_images,
+        )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00" * 4 + b"IHDR"
+            + b"\x00\x00\x00\x02\x00\x00\x00\x02" + bytes([8, 2, 0, 0, 0])
+        )
+        df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+        with pytest.raises(Exception, match="codec"):
+            extract_pixel_features(df, strict=True).collect()
+        assert resize_images(df, 2, 2, strict=False).count() == 0  # dropped
