@@ -425,3 +425,44 @@ def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("nest").getField("status").alias("status"),
         F.round(s.getField("total") * 0.1, 4).alias("tenth"),
     )
+
+
+@query(
+    "image_pipeline_dims",
+    oracle="""
+    SELECT doc_id,
+           8 AS width,
+           6 AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness
+    FROM documents
+    """,
+)
+def image_pipeline_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image pipeline through the REAL pixel operators
+    (operators/multimodal): synthesize a uniform-fill PPM per document
+    (fill = doc_id % 256, source dims varying with doc_id), nearest-
+    neighbor resize to 8×6, then extract pixel features — all real byte
+    and numpy work, no codec.  The oracle is exact arithmetic: a uniform
+    image's brightness survives resize unchanged, so DuckDB predicts the
+    output without touching pixels.  Scale shape: three Arrow-batched
+    mapInPandas stages, constant memory per task, zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features, resize_images
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 4 + d % 5, 3 + d % 4, d % 256
+                arr = np.full((h, w, 3), v, np.uint8)
+                rows.append((d, b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ppm = docs.mapInPandas(synth, "doc_id long, payload binary")
+    resized = resize_images(ppm, 8, 6, strict=True)
+    feats = extract_pixel_features(resized, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
