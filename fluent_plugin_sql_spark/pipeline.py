@@ -332,11 +332,33 @@ class Pipeline:
         the list of running ``StreamingQuery`` handles.
 
         Single-table parquet sources only (the streaming source reads one
-        table per query); JDBC sources keep the poll-loop mode."""
+        table per query); JDBC sources keep the poll-loop mode.
+
+        Optional ``source.near_dedup: {path, text_col, id_col, ...}``
+        interposes a :class:`~.operators.dedup.MinHashDedupStore` per
+        table (store state under ``path/<table>``): each micro-batch is
+        LSH near-dedup-filtered against everything previously accepted
+        before it reaches the sink — the continuous-ingestion dedup stage
+        of an LLM-data pipeline, expressed as one config block."""
         src = self.config["source"]
         if "path" not in src:
             raise ValueError("run_streaming requires a parquet-dir source (path:)")
         from .sources.stream_source import incremental_stream
+
+        nd_cfg = src.get("near_dedup")
+        stores: dict[str, Any] = {}
+        if nd_cfg:
+            from .operators.dedup import MinHashDedupStore
+
+            for t in self.in_cfg.tables:
+                stores[t.table] = MinHashDedupStore(
+                    self.spark,
+                    f"{nd_cfg['path']}/{t.table}",
+                    num_hashes=int(nd_cfg.get("num_hashes", 24)),
+                    bands=int(nd_cfg.get("bands", 6)),
+                    k=int(nd_cfg.get("k", 3)),
+                    sig_match_frac=float(nd_cfg.get("sig_match_frac", 0.5)),
+                )
 
         queries = []
         for t in self.in_cfg.tables:
@@ -348,7 +370,18 @@ class Pipeline:
             )
             tag = self.in_cfg.tag_for(t)
 
-            def handle(batch_df: DataFrame, epoch_id: int, _tag: str = tag) -> None:
+            def handle(
+                batch_df: DataFrame,
+                epoch_id: int,
+                _tag: str = tag,
+                _store: Any = stores.get(t.table),
+            ) -> None:
+                if _store is not None:
+                    batch_df = _store.process_batch(
+                        batch_df,
+                        nd_cfg.get("text_col", "text"),
+                        nd_cfg.get("id_col", "doc_id"),
+                    )
                 self.output.write_batch(batch_df.withColumn("tag", F.lit(_tag)))
 
             writer = (

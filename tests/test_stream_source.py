@@ -320,3 +320,62 @@ def test_streaming_pipeline_upsert_sink_cdc(spark, tmp_path):
     vals = {r["k"]: r["event_id"] for r in got.collect()}
     # latest change per key wins: key k's last change is event 250+k
     assert all(vals[k] == 250 + k for k in range(250))
+
+
+def test_run_streaming_near_dedup_config(spark, tmp_path):
+    """source.near_dedup interposes the MinHash signature store: the
+    near-copy arriving in a LATER micro-batch (select_limit splits the
+    table) never reaches the sink; novel docs all do."""
+    import time
+
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    fillers = [
+        f"unique document number {i} about topic {i * 7} with entirely fresh "
+        f"vocabulary item{i} token{i * 3} word{i * 11} phrase{i * 13}"
+        for i in range(3)
+    ]
+    rows = [(0, base), (1, fillers[0]), (2, fillers[1]),
+            # second micro-batch (select_limit=3): near-copy of doc 0 + novel
+            (3, base.replace("green", "dark")), (4, fillers[2])]
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(1).write.parquet(
+        str(src_dir / "documents.parquet")
+    )
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 3,
+            "tables": [{"table": "documents", "update_column": "doc_id"}],
+            "near_dedup": {
+                "path": str(tmp_path / "ndstore"),
+                "text_col": "text",
+                "id_col": "doc_id",
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "clean_docs"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "clean_docs")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 4:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out / "clean_docs")).collect()}
+    assert got == {0, 1, 2, 4}  # 3 = near-copy of 0, filtered via the store
