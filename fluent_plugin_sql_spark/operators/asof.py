@@ -71,6 +71,27 @@ def asof_join(
     return filled.where(F.col("_side") == 1).drop("_side")
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a plan (no job triggered)."""
+    return int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+    )
+
+
+def _broadcast_threshold_bytes(df: DataFrame) -> int:
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suffix, mult in units.items():
+        if raw.endswith(suffix + "b") or raw.endswith(suffix):
+            return int(float(raw.rstrip("b").rstrip(suffix))) * mult
+    try:
+        return int(raw.rstrip("b"))
+    except ValueError:
+        return 10 << 20
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -78,10 +99,77 @@ def interval_join(
     start_col: str,
     end_col: str,
     how: str = "inner",
+    strategy: str = "auto",
+    bucket_width_seconds: int | None = None,
 ) -> DataFrame:
     """Point-in-interval join: left rows matched to right intervals with
-    ``start <= ts < end`` (J7).  Small interval tables are broadcast
-    (nested-loop per row over few intervals); for large interval sets,
-    bucketize both sides on time and equi-join the bucket first."""
+    ``start <= ts < end`` (J7).
+
+    Strategy (the 100 TB guard — an unconditional broadcast OOMs the
+    moment the interval table outgrows executor memory):
+
+    - ``broadcast``: nested-loop per row over few intervals.  Right for
+      small interval tables (calendars, maintenance windows).
+    - ``bucketize``: both sides keyed by ``floor(time / width)``; each
+      interval is replicated once per bucket it covers, then a plain
+      equi-join on the bucket with the exact range predicate kept in the
+      join condition.  One shuffle on the bucket key, no broadcast, no
+      pair explosion beyond the ~(interval span / width) replication.
+      ``width`` defaults to the p75 interval length, which bounds the
+      average replication factor at a small constant.
+    - ``auto`` (default): broadcast iff Catalyst's size estimate for the
+      interval side is under ``spark.sql.autoBroadcastJoinThreshold``.
+
+    The bucketized path supports ``inner``/``left``/``left_semi``/
+    ``left_anti`` (a left row has exactly one bucket, so unmatched left
+    rows null-extend once).  ``right``/``full`` would duplicate unmatched
+    interval replicas — those fall back to broadcast and raise if the
+    interval side is too big to broadcast.
+    """
     cond = (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) < F.col(end_col))
-    return left.join(F.broadcast(right), cond, how)
+    bucketizable = how in ("inner", "left", "leftouter", "left_outer", "semi",
+                           "left_semi", "leftsemi", "anti", "left_anti", "leftanti")
+    if strategy == "auto":
+        # Catalyst overestimates but essentially never underestimates, so a
+        # small estimate is trusted outright; a big one is confirmed with a
+        # bounded row probe (LocalRelations behind projections report a
+        # garbage default estimate, and 1e6 intervals ≈ tens of MB is still
+        # comfortably broadcastable).
+        threshold = _broadcast_threshold_bytes(right)
+        small = _estimated_bytes(right) <= threshold
+        if not small and threshold > 0:
+            max_rows = 1_000_000
+            small = right.limit(max_rows + 1).count() <= max_rows
+        if not small and not bucketizable:
+            raise ValueError(
+                f"interval_join how={how!r} requires broadcasting the interval "
+                "side, but it exceeds spark.sql.autoBroadcastJoinThreshold; "
+                "pass strategy='broadcast' to force it"
+            )
+        strategy = "broadcast" if (small or not bucketizable) else "bucketize"
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), cond, how)
+    if strategy != "bucketize":
+        raise ValueError(f"unknown interval_join strategy {strategy!r}")
+    if not bucketizable:
+        raise ValueError(f"bucketized interval_join does not support how={how!r}")
+
+    def to_num(c: str):
+        dt = dict(right.dtypes).get(c) or dict(left.dtypes).get(c)
+        if dt in ("timestamp", "timestamp_ntz", "date"):
+            return F.unix_timestamp(F.col(c).cast("timestamp"))
+        return F.col(c)
+
+    width = bucket_width_seconds
+    if width is None:
+        row = right.select(
+            F.percentile_approx(to_num(end_col) - to_num(start_col), 0.75).alias("w")
+        ).first()
+        width = max(int(row["w"] or 0), 1)
+
+    sb = F.floor(to_num(start_col) / F.lit(width))
+    eb = F.greatest(sb, F.floor(to_num(end_col) / F.lit(width)))
+    rb = right.withColumn("_rb", F.explode(F.sequence(sb, eb)))
+    lb = left.withColumn("_lb", F.floor(to_num(left_ts) / F.lit(width)))
+    joined = lb.join(rb, (F.col("_lb") == F.col("_rb")) & cond, how)
+    return joined.drop("_lb", "_rb")

@@ -474,8 +474,18 @@ class MinHashDedupStore:
     already accepted something near-identical, possibly months ago?".
 
     State is two append-only parquet tables under ``path`` — band keys
-    (partitioned by ``band`` so the LSH probe prunes to one directory per
-    band) and full signatures.  Per batch:
+    hash-bucketed by ``pmod(hash(band, band_key), num_buckets)`` and full
+    signatures hash-bucketed by ``pmod(hash(doc), num_buckets)``.  The
+    bucket id is a *directory partition column*, so the per-batch probe
+    pushes the (≤ ``num_buckets``) bucket ids it needs as a partition
+    filter and Spark prunes every other directory at planning time — the
+    probe reads O(matching buckets), not O(store), and NEVER shuffles the
+    store side: the batch side is explicitly broadcast, so both probe
+    joins are BroadcastHashJoin with the store streaming through.
+    (Directory bucketing instead of ``bucketBy``/``saveAsTable`` keeps the
+    store self-contained on disk — no metastore entry to lose between
+    sessions; a fresh SparkSession re-opens the same path and pruning
+    still works.)  Per batch:
 
     1. sign the batch (OPH MinHash, O(1)/shingle);
     2. candidates = band-key collisions batch×store (shuffle bounded by
@@ -505,6 +515,7 @@ class MinHashDedupStore:
         bands: int = 6,
         k: int = 3,
         sig_match_frac: float = 0.5,
+        num_buckets: int = 32,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -512,6 +523,7 @@ class MinHashDedupStore:
         self.bands = bands
         self.k = k
         self.sig_match_frac = sig_match_frac
+        self.num_buckets = num_buckets
         jvm = spark._jvm  # noqa: SLF001
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(self.path).getFileSystem(
@@ -536,31 +548,81 @@ class MinHashDedupStore:
             / F.lit(float(self.num_hashes))
         )
 
-    def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        """Return the near-dup-free subset of ``df`` and absorb it into
-        the store.  Output columns = input columns."""
+    def _bk_bucket(self):
+        """Bucket id of a (band, band_key) row — MUST match on the write
+        and probe sides (Spark's own ``hash`` over the same columns)."""
+        return F.pmod(F.hash("band", "band_key"), F.lit(self.num_buckets))
+
+    def _sig_bucket(self, col: str = "doc"):
+        return F.pmod(F.hash(col), F.lit(self.num_buckets))
+
+    def _candidate_pairs(self, bk: DataFrame) -> DataFrame:
+        """(new doc, old doc) band-key collisions batch × store — bucket
+        ids pushed as a partition filter, batch side broadcast."""
+        probe_bkts = [
+            r[0] for r in bk.select(self._bk_bucket().alias("b")).distinct().collect()
+        ]
+        store_bk = self.spark.read.parquet(f"{self.path}/band_keys").where(
+            F.col("bkt").isin(probe_bkts)
+        )
+        return (
+            store_bk.withColumnRenamed("doc", "old_doc")
+            .join(F.broadcast(bk), ["band", "band_key"])
+            .select("doc", "old_doc")
+            .distinct()
+        )
+
+    def _cross_batch_dups(self, bk: DataFrame, sig: DataFrame) -> DataFrame | None:
+        """Batch ids that near-match something already in the store.
+
+        Scale contract (the probe is the hot path of continuous ingest):
+        - the store is NEVER shuffled: the batch side is broadcast, so both
+          joins are BroadcastHashJoin with the store streaming through;
+        - the store is barely even READ: the probe collects the ≤
+          ``num_buckets`` bucket ids its keys hash to (bounded by the
+          bucket count, not the batch size) and pushes them as a partition
+          filter, so directory pruning skips every non-matching bucket.
+        """
+        if not self._exists("band_keys"):
+            return None
+        cand = self._candidate_pairs(bk).localCheckpoint(
+            eager=True
+        )  # small; feeds bucket-collect + join
+        sig_bkts = [
+            r[0]
+            for r in cand.select(self._sig_bucket("old_doc").alias("b"))
+            .distinct()
+            .collect()
+        ]
+        store_sig = self.spark.read.parquet(f"{self.path}/signatures").where(
+            F.col("sbkt").isin(sig_bkts)
+        )
+        return (
+            store_sig.alias("o")
+            .join(
+                F.broadcast(
+                    cand.join(F.broadcast(sig.alias("n")), cand["doc"] == F.col("n.doc")).select(
+                        cand["doc"], cand["old_doc"], *[f"n.h{i}" for i in range(self.num_hashes)]
+                    )
+                ).alias("n"),
+                F.col("n.old_doc") == F.col("o.doc"),
+            )
+            .where(self._est_match("n", "o") >= self.sig_match_frac)
+            .select(F.col("n.doc").alias("dup"))
+            .distinct()
+        )
+
+    def probe_dups(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Read-only: ids in ``df`` that are near-dups of the store OR of a
+        lower-id row in the same batch.  ``process_batch`` = this + absorb."""
         sig = minhash_signatures(
             df, text_col, id_col, self.num_hashes, self.k
         ).localCheckpoint(eager=True)  # feeds 3 consumers; compute once
-        bk = _band_key_rows(sig, self.num_hashes, self.bands)
+        return self._dup_ids(sig)
 
-        dup_ids = None
-        if self._exists("band_keys"):
-            store_bk = self.spark.read.parquet(f"{self.path}/band_keys")
-            store_sig = self.spark.read.parquet(f"{self.path}/signatures")
-            cand = (
-                bk.join(store_bk.withColumnRenamed("doc", "old_doc"), ["band", "band_key"])
-                .select("doc", "old_doc")
-                .distinct()
-            )
-            matched = (
-                cand.join(sig.alias("n"), cand["doc"] == F.col("n.doc"))
-                .join(store_sig.alias("o"), cand["old_doc"] == F.col("o.doc"))
-                .where(self._est_match("n", "o") >= self.sig_match_frac)
-                .select(cand["doc"].alias("dup"))
-                .distinct()
-            )
-            dup_ids = matched
+    def _dup_ids(self, sig: DataFrame) -> DataFrame:
+        bk = _band_key_rows(sig, self.num_hashes, self.bands)
+        dup_ids = self._cross_batch_dups(bk, sig)
 
         # batch-internal near-dups: bucket expansion (keep lowest id)
         buckets = (
@@ -583,7 +645,15 @@ class MinHashDedupStore:
             .select(F.col("doc_b").alias("dup"))  # keep the lower id
             .distinct()
         )
-        dup_ids = internal if dup_ids is None else dup_ids.unionByName(internal).distinct()
+        return internal if dup_ids is None else dup_ids.unionByName(internal).distinct()
+
+    def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Return the near-dup-free subset of ``df`` and absorb it into
+        the store.  Output columns = input columns."""
+        sig = minhash_signatures(
+            df, text_col, id_col, self.num_hashes, self.k
+        ).localCheckpoint(eager=True)  # feeds 3 consumers; compute once
+        dup_ids = self._dup_ids(sig)
 
         survivors = df.join(
             dup_ids.withColumnRenamed("dup", id_col), id_col, "left_anti"
@@ -591,8 +661,10 @@ class MinHashDedupStore:
 
         keep = survivors.select(F.col(id_col).alias("doc"))
         sig_keep = sig.join(keep, "doc", "left_semi")
-        _band_key_rows(sig_keep, self.num_hashes, self.bands).write.mode(
-            "append"
-        ).partitionBy("band").parquet(f"{self.path}/band_keys")
-        sig_keep.write.mode("append").parquet(f"{self.path}/signatures")
+        _band_key_rows(sig_keep, self.num_hashes, self.bands).withColumn(
+            "bkt", self._bk_bucket()
+        ).write.mode("append").partitionBy("bkt").parquet(f"{self.path}/band_keys")
+        sig_keep.withColumn("sbkt", self._sig_bucket()).write.mode("append").partitionBy(
+            "sbkt"
+        ).parquet(f"{self.path}/signatures")
         return survivors

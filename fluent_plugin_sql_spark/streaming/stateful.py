@@ -84,8 +84,10 @@ def stream_stream_join(
     unboundedly."""
     from pyspark.sql import functions as F
 
-    lt = left.withWatermark(left_ts, left_watermark).alias("l")
-    rt = right.withWatermark(right_ts, right_watermark).alias("r")
+    from .stream import ensure_event_time
+
+    lt = ensure_event_time(left, left_ts).withWatermark(left_ts, left_watermark).alias("l")
+    rt = ensure_event_time(right, right_ts).withWatermark(right_ts, right_watermark).alias("r")
     return lt.join(
         rt,
         F.expr(

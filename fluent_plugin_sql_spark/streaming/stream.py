@@ -25,6 +25,23 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sinks.router import SQLOutput
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Make ``ts_col`` usable as a Structured Streaming event-time column.
+
+    Parquet written with naive timestamps is inferred as ``TIMESTAMP_NTZ``
+    (``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults to true), but
+    Spark's event-time machinery (``withWatermark``) requires ``TIMESTAMP``
+    (ltz) and rejects NTZ at analysis time with
+    ``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``.  The engine pins the session
+    timezone to UTC (session.py), so casting NTZ → ltz is value-preserving:
+    the same wall-clock instant, now tagged with the session zone.
+    """
+    field = df.schema[ts_col]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_from_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -50,6 +67,7 @@ def windowed_stream(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate — late rows beyond the
     watermark are dropped from state (bounded state at any scale)."""
+    df = ensure_event_time(df, ts_col)
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), *(keys or []))
@@ -74,6 +92,7 @@ def sessionized_stream(
     """Watermarked session windows (same semantics as the batch
     `session_windows` query; state closes once the watermark passes
     session_end + gap)."""
+    df = ensure_event_time(df, ts_col)
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), key)
@@ -123,6 +142,7 @@ def dedup_stream(
     re-deliver a batch after a crash and downstream still sees each row
     once.  (Plain ``dropDuplicates`` on a stream never evicts — unbounded
     state; this is the scale-safe form.)"""
+    df = ensure_event_time(df, ts_col)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 

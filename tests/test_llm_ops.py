@@ -228,3 +228,58 @@ def test_minhash_dedup_store_incremental(spark, tmp_path):
     )
     s3 = store2.process_batch(b3, "text", "doc_id")
     assert {r["doc_id"] for r in s3.collect()} == {22}
+
+
+def test_dedup_store_probe_never_shuffles_store_side(spark, tmp_path):
+    """Scale contract of the incremental store (VERDICT r3/r4 item):
+    the per-batch probe must (a) join the store only via BroadcastHashJoin
+    (batch side broadcast — the store side streams, no Exchange under it)
+    and (b) push the probe's bucket ids as PARTITION filters on both store
+    scans so directory pruning skips non-matching buckets."""
+    import re
+
+    from fluent_plugin_sql_spark.operators.dedup import (
+        MinHashDedupStore,
+        _band_key_rows,
+        minhash_signatures,
+    )
+
+    path = str(tmp_path / "store_plan")
+    store = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten eleven")],
+        "doc_id LONG, text STRING",
+    )
+    store.process_batch(b1, "text", "doc_id")
+
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (4, "fresh words never stored before anywhere in any batch yet")],
+        "doc_id LONG, text STRING",
+    )
+    sig = minhash_signatures(b2, "text", "doc_id", store.num_hashes, store.k)
+    bk = _band_key_rows(sig, store.num_hashes, store.bands)
+
+    # stage 1: band-key collision lookup (the O(store)-risk join)
+    cand_plan = (
+        store._candidate_pairs(bk)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in cand_plan
+    assert "ShuffledHashJoin" not in cand_plan
+    assert "BroadcastHashJoin" in cand_plan
+    cand_pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", cand_plan)
+    assert any("bkt" in p for p in cand_pfs), cand_plan
+
+    # stage 2: signature verification against the store
+    probe = store._cross_batch_dups(bk, sig)
+    assert probe is not None
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("sbkt" in p for p in pfs), plan
+
+    # and the probe still finds the cross-batch dup
+    assert {r["dup"] for r in probe.collect()} == {3}
