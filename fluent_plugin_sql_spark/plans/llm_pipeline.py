@@ -138,6 +138,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(_emb(spark, sf_dir), "embedding", "vec_id", threshold=0.48)
 
 
+@query(
+    "near_dedup_two_batches",
+    # The corpus separates J≥0.97 (planted near-dup groups) from J≤0.07
+    # (everything else), so dup groups are CLIQUES and the store's
+    # estimated-Jaccard acceptances coincide with exact-Jaccard ones for
+    # any threshold inside the gap.  First-acceptance over (batch, id)
+    # then reduces to: a doc survives iff no neighbor precedes it
+    # lexicographically — SQL-expressible without connected components.
+    oracle=f"""
+    WITH pj AS ({_PAIR_JACCARD}),
+    dup AS (SELECT doc_a, doc_b FROM pj WHERE jaccard >= 0.8),
+    sym AS (SELECT doc_a AS me, doc_b AS other FROM dup
+            UNION ALL
+            SELECT doc_b AS me, doc_a AS other FROM dup)
+    SELECT d.doc_id, d.doc_id % 2 AS batch
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sym s
+      WHERE s.me = d.doc_id
+        AND (s.other % 2 < d.doc_id % 2
+             OR (s.other % 2 = d.doc_id % 2 AND s.other < d.doc_id))
+    )
+    """,
+)
+def near_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup through the persisted signature store
+    (operators/dedup.MinHashDedupStore): documents split by ``doc_id % 2``
+    into batch 0 then batch 1, each run through ``process_batch`` —
+    batch-1 docs are filtered against batch-0 SURVIVORS via the
+    bucket-pruned LSH probe, exactly the continuous-ingest path
+    (streaming/stream.near_dedup_stream) the reference's poll loop feeds
+    (in_sql.rb:136-161)."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import MinHashDedupStore
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="near_dedup_gate_")
+    try:
+        store = MinHashDedupStore(spark, f"{path}/store", sig_match_frac=0.5)
+        out = None
+        for batch in (0, 1):
+            b = docs.where(F.col("doc_id") % 2 == batch)
+            s = (
+                store.process_batch(b, "text", "doc_id")
+                .select("doc_id", (F.col("doc_id") % 2).alias("batch"))
+            )
+            out = s if out is None else out.unionByName(s)
+        # survivors are localCheckpoint-pinned by process_batch, so the
+        # scratch store can be reclaimed as soon as the plan is returned
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # ------------------------------------------------------- similarity search
 @query(
     "ann_bruteforce_top5",
