@@ -203,55 +203,76 @@ class _PartitionedIncrementalReader(DataSourceStreamReader):
         self.path = path
         self.update_column = update_column
         self.select_limit = select_limit
+        # per-file max memo: parquet files are IMMUTABLE once committed
+        # (streaming/batch writers create new files, never rewrite), so a
+        # memoized per-file max can never go stale and per-trigger planning
+        # drops from O(files) footer reads forever to O(new files) — at
+        # millions of files the difference between a driver that idles and
+        # one that re-stats the world every trigger.  Keyed by file path;
+        # a restarted driver just re-warms the memo once.
+        self._frag_max_cache: dict[str, object] = {}
+        self.footer_reads = 0  # observability for tests / tuning
 
     def initialOffset(self) -> dict:
         return {"last": None}
 
-    def latestOffset(self) -> dict:
-        """Table head (max update_column) from parquet ROW-GROUP
-        STATISTICS — footer metadata only, no data pages — so the
-        per-trigger planning cost is O(files), not O(rows).  Falls back
-        to scanning just the watermark column of a file whose footer
-        lacks exact max statistics (e.g. truncated string bounds, where
-        the stored max is an upper bound that would over-advance the
-        offset and skip rows)."""
+    def _fragment_max(self, frag) -> object | None:
+        """Max of ``update_column`` in one file from ROW-GROUP STATISTICS
+        — footer metadata only, no data pages.  Falls back to scanning
+        just the watermark column when a footer lacks exact max
+        statistics (e.g. truncated string bounds, where the stored max is
+        an upper bound that would over-advance the offset and skip rows).
+        Returns None for an empty file."""
         import pyarrow.compute as pc
+
+        md = frag.metadata
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == self.update_column
+            ),
+            None,
+        )
+        if idx is not None:
+            if md.num_row_groups == 0:
+                return None
+            frag_max = None
+            for r in range(md.num_row_groups):
+                st = md.row_group(r).column(idx).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or getattr(st, "is_max_value_exact", True) is False
+                ):
+                    frag_max = None
+                    break
+                m = st.max
+                frag_max = m if frag_max is None or m > frag_max else frag_max
+            if frag_max is not None:
+                return frag_max
+        tbl = frag.to_table(columns=[self.update_column])
+        if tbl.num_rows == 0:
+            return None
+        return pc.max(tbl.column(0)).as_py()
+
+    def latestOffset(self) -> dict:
+        """Table head (max update_column).  Footer statistics are read
+        once per FILE ever (see ``_frag_max_cache``), so steady-state
+        trigger cost is one directory listing + footers of new files."""
         import pyarrow.dataset as ds
 
         dataset = ds.dataset(self.path, format="parquet")
         best = None
         for frag in dataset.get_fragments():
-            md = frag.metadata
-            idx = next(
-                (
-                    i
-                    for i in range(md.num_columns)
-                    if md.schema.column(i).name == self.update_column
-                ),
-                None,
-            )
-            frag_max = None
-            if idx is not None:
-                for r in range(md.num_row_groups):
-                    st = md.row_group(r).column(idx).statistics
-                    if (
-                        st is None
-                        or not st.has_min_max
-                        or getattr(st, "is_max_value_exact", True) is False
-                    ):
-                        frag_max = None
-                        break
-                    m = st.max
-                    frag_max = m if frag_max is None or m > frag_max else frag_max
-                else:
-                    if md.num_row_groups == 0:
-                        continue
-            if frag_max is None:
-                tbl = frag.to_table(columns=[self.update_column])
-                if tbl.num_rows == 0:
-                    continue
-                frag_max = pc.max(tbl.column(0)).as_py()
-            if best is None or frag_max > best:
+            fpath = frag.path
+            if fpath in self._frag_max_cache:
+                frag_max = self._frag_max_cache[fpath]
+            else:
+                self.footer_reads += 1
+                frag_max = self._fragment_max(frag)
+                self._frag_max_cache[fpath] = frag_max
+            if frag_max is not None and (best is None or frag_max > best):
                 best = frag_max
         if best is None:
             return {"last": None}
