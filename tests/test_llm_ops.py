@@ -283,3 +283,23 @@ def test_dedup_store_probe_never_shuffles_store_side(spark, tmp_path):
 
     # and the probe still finds the cross-batch dup
     assert {r["dup"] for r in probe.collect()} == {3}
+
+
+def test_minhash_signatures_plan_is_shuffle_free(spark):
+    """Signing a corpus must be a MAP, not an aggregation: the per-row
+    HOF formulation keeps the whole signature inside the scan stage —
+    any Exchange here would re-introduce the O(corpus) shuffle the
+    row-wise rewrite removed."""
+    from fluent_plugin_sql_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z w v u t s")], "doc_id LONG, text STRING"
+    )
+    plan = (
+        minhash_signatures(df, "text", "doc_id", 24, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
