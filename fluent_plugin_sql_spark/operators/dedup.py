@@ -668,3 +668,34 @@ class MinHashDedupStore:
             "sbkt"
         ).parquet(f"{self.path}/signatures")
         return survivors
+
+    def compact(self, files_per_bucket: int = 1) -> None:
+        """Rewrite both state tables with ``files_per_bucket`` files per
+        bucket directory.
+
+        Every ``process_batch`` appends one small file per touched bucket,
+        so a long-running ingest accumulates O(batches) files per bucket
+        and probe latency decays into file-open overhead.  Run this
+        periodically (e.g. every N batches, or from a maintenance job) —
+        bucket ids are preserved, so probes are identical before and
+        after; the rewrite is atomic-enough for the store's at-least-once
+        contract (a crash mid-compact re-runs the compact, and the
+        staging-dir rename keeps the live tree readable until the swap).
+        """
+        for sub in ("band_keys", "signatures"):
+            if not self._exists(sub):
+                continue
+            live = f"{self.path}/{sub}"
+            part = "bkt" if sub == "band_keys" else "sbkt"
+            staged = f"{self.path}/_compact_{sub}"
+            (
+                self.spark.read.parquet(live)
+                .repartition(self.num_buckets * files_per_bucket, F.col(part))
+                .write.mode("overwrite")
+                .partitionBy(part)
+                .parquet(staged)
+            )
+            old = self._jpath(f"{self.path}/_old_{sub}")
+            self._fs.rename(self._jpath(live), old)
+            self._fs.rename(self._jpath(staged), self._jpath(live))
+            self._fs.delete(old, True)

@@ -154,6 +154,7 @@ def near_dedup_stream(
     sink: Callable[[DataFrame, int], None],
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
+    compact_every: int | None = 64,
 ) -> StreamingQuery:
     """Streaming NEAR-dedup: every micro-batch is filtered through a
     :class:`~..operators.dedup.MinHashDedupStore` (cross-batch + in-batch
@@ -166,11 +167,21 @@ def near_dedup_stream(
     Delivery composes with the store's crash contract: a replayed batch
     re-probes the store, its already-accepted docs now LOOK like dups of
     themselves and are filtered — so replays converge instead of
-    double-inserting (self-healing at-least-once)."""
+    double-inserting (self-healing at-least-once).
+
+    ``compact_every``: every N batches the store's state tables are
+    rewritten to one file per bucket (``MinHashDedupStore.compact``) —
+    each batch appends one small file per touched bucket, so an
+    uncompacted long-running stream decays into file-open overhead.
+    None disables (run compaction from a separate maintenance job)."""
+    batches_seen = {"n": 0}
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         survivors = store.process_batch(batch_df, text_col, id_col)
         sink(survivors, epoch_id)
+        batches_seen["n"] += 1
+        if compact_every and batches_seen["n"] % compact_every == 0:
+            store.compact()
 
     writer = df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -303,3 +303,42 @@ def test_minhash_signatures_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_dedup_store_compact_preserves_probes(spark, tmp_path):
+    """compact() must shrink the per-bucket file count without changing
+    any probe decision (bucket ids are preserved across the rewrite)."""
+    import glob
+
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+
+    path = str(tmp_path / "store_c")
+    store = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "completely different content about spark shuffles and broadcasts",
+        "yet another unrelated document mentioning watermarks and state",
+    ]
+    for i, t in enumerate(texts):
+        store.process_batch(
+            spark.createDataFrame([(i, t)], "doc_id LONG, text STRING"),
+            "text",
+            "doc_id",
+        )
+    before = len(glob.glob(f"{path}/band_keys/*/*.parquet"))
+    store.compact()
+    after = len(glob.glob(f"{path}/band_keys/*/*.parquet"))
+    assert after < before
+
+    # probe decisions identical post-compact: near-copy of doc 0 dropped,
+    # novel doc kept — through a FRESH instance (on-disk state only)
+    store2 = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    b = spark.createDataFrame(
+        [
+            (10, texts[0].replace("river", "ocean")),
+            (11, "totally novel words never seen in any earlier batch here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    s = store2.process_batch(b, "text", "doc_id")
+    assert {r["doc_id"] for r in s.collect()} == {11}
