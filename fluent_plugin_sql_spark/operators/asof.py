@@ -162,10 +162,15 @@ def interval_join(
 
     width = bucket_width_seconds
     if width is None:
+        # p75 interval length bounds AVERAGE replication at a small
+        # constant; the max-length floor bounds WORST-CASE replication of
+        # a single pathological interval (e.g. one year-long row among
+        # minute-long ones) at ≤256 copies.
         row = right.select(
-            F.percentile_approx(to_num(end_col) - to_num(start_col), 0.75).alias("w")
+            F.percentile_approx(to_num(end_col) - to_num(start_col), 0.75).alias("w"),
+            F.max(to_num(end_col) - to_num(start_col)).alias("mx"),
         ).first()
-        width = max(int(row["w"] or 0), 1)
+        width = max(int(row["w"] or 0), int((row["mx"] or 0) // 256), 1)
 
     sb = F.floor(to_num(start_col) / F.lit(width))
     eb = F.greatest(sb, F.floor(to_num(end_col) / F.lit(width)))
