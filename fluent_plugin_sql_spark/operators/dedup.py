@@ -156,14 +156,22 @@ def minhash_signatures(
     (2.2 s → 0.75 s at sf0.1) and the 100 TB shape: signing a corpus is
     a map, not an aggregation.
 
-    Empty buckets (short documents) are filled with a CONTENT-derived
-    value, ``xxhash64(i, mn)`` where mn is the document's global
-    min-hash.  Two near-duplicate documents have (near-)identical
-    shingle sets, hence identical bucket-emptiness patterns and identical
-    fills, so near-dups still collide after densification; unrelated
-    documents get unrelated fills.  Signatures are an internal
-    acceleration structure — dedup OUTPUT is exact-Jaccard-verified, so
-    only determinism and collision statistics matter.
+    Empty buckets (short documents) are ROTATION-densified (Shrivastava
+    2017): slot i borrows the nearest non-empty bucket's min going
+    right (circular) — itself a real minhash of the document, so the
+    per-slot collision probability stays ≈ J even when most buckets are
+    empty.  A content-derived fill (``xxhash64(i, global_min)``) was
+    measurably worse here: for a short near-dup pair whose global
+    min-hash differs (probability 1−J), EVERY fill slot differed at
+    once, and recall collapsed exactly for short borderline documents —
+    at sf0.1 that lost 5 of 256 true J≥0.8 pairs, all with ≤31 tokens.
+    No per-slot salt: a spurious borrow collision only costs a candidate
+    that exact verification rejects, while a salt would break near-dup
+    fills whenever emptiness patterns differ by one bucket.  Signatures
+    are an internal acceleration structure — dedup OUTPUT is
+    exact-Jaccard-verified, so only determinism and collision statistics
+    matter.  (All-empty docs fall through to a constant per-slot fill —
+    zero-shingle docs can never verify anyway.)
 
     Slot extraction is GENERATED SQL, not Column objects (a Column-tree
     formulation costs thousands of py4j round-trips of driver time per
@@ -172,10 +180,14 @@ def minhash_signatures(
     m = num_hashes
     shs = shingle_hash_arrays(df, text_col, id_col, k)
     slots = [f"array_min(filter(shs, s -> pmod(s, {m}) = {i})) as r{i}" for i in range(m)]
-    raw = shs.selectExpr("doc", *slots, "array_min(shs) as mn")
-    return raw.selectExpr(
-        "doc", *[f"coalesce(r{i}, xxhash64({i}L, mn)) as h{i}" for i in range(m)]
-    )
+    raw = shs.selectExpr("doc", *slots)
+    fills = [
+        "coalesce("
+        + ", ".join(f"r{(i + j) % m}" for j in range(m))
+        + f", xxhash64({i}L)) as h{i}"
+        for i in range(m)
+    ]
+    return raw.selectExpr("doc", *fills)
 
 
 def minhash_lsh_dup_pairs(
