@@ -711,3 +711,111 @@ class MinHashDedupStore:
             self._fs.rename(self._jpath(live), old)
             self._fs.rename(self._jpath(staged), self._jpath(live))
             self._fs.delete(old, True)
+
+
+class ExactDedupStore:
+    """Incremental EXACT dedup for continuous ingestion — the
+    cross-restart complement of ``streaming.stream.dedup_stream``
+    (``dropDuplicatesWithinWatermark`` only holds keys until the
+    watermark passes; this store remembers every accepted document's
+    content hash forever, at ~16 bytes/doc, never the text).
+
+    Same scale contract as :class:`MinHashDedupStore` — state is one
+    append-only parquet table hash-bucketed into partition directories
+    (``pmod(hash(content_hash), num_buckets)``); the per-batch probe
+    collects its ≤ ``num_buckets`` bucket ids, pushes them as a
+    partition filter (directory pruning), and broadcasts the batch
+    side, so the store is never shuffled and barely read.  Crash
+    contract: state appends AFTER the survivor set is pinned; a replay
+    re-probes and its own hashes now look like dups — replays converge
+    instead of double-inserting (self-healing at-least-once).
+
+    Reference parity: this is the poll-loop dedup a fluentd user
+    approximates with downstream unique filters; here it is exact,
+    durable, and distributed (in_sql.rb:136-161 emits raw rows with no
+    dedup — SURVEY §2.9 T5 notes the at-least-once re-delivery this
+    store absorbs).
+    """
+
+    def __init__(self, spark, path: str, num_buckets: int = 32):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.num_buckets = num_buckets
+        jvm = spark._jvm  # noqa: SLF001
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+
+    def _exists(self) -> bool:
+        return self._fs.exists(self._jpath(f"{self.path}/hashes"))
+
+    def _bucket(self):
+        return F.pmod(F.hash("content_hash"), F.lit(self.num_buckets))
+
+    def probe_new(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Read-only: the subset of ``df`` that is NOT already in the
+        store and NOT a lower-id duplicate within the batch."""
+        hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+        # batch-internal: keep the lowest id per content hash (groupBy-min
+        # + broadcast join back keeps map-side combine; renamed key avoids
+        # self-join ambiguity)
+        w_min = hashed.groupBy(F.col("content_hash").alias("_ch")).agg(
+            F.min(id_col).alias("_keep_id")
+        )
+        firsts = hashed.join(
+            F.broadcast(w_min),
+            (F.col("content_hash") == F.col("_ch"))
+            & (F.col(id_col) == F.col("_keep_id")),
+        ).drop("_ch", "_keep_id")
+        if not self._exists():
+            return firsts
+        probe_bkts = [
+            r[0]
+            for r in hashed.select(self._bucket().alias("b")).distinct().collect()
+        ]
+        store = self.spark.read.parquet(f"{self.path}/hashes").where(
+            F.col("bkt").isin(probe_bkts)
+        )
+        seen = (
+            store.join(
+                F.broadcast(hashed.select("content_hash").distinct()),
+                "content_hash",
+                "left_semi",
+            )
+            .select("content_hash")
+            .distinct()
+        )
+        return firsts.join(F.broadcast(seen), "content_hash", "left_anti")
+
+    def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Return the exact-dup-free subset of ``df`` (first occurrence
+        wins across ALL prior batches and within the batch by lowest id)
+        and absorb the survivors' content hashes.  Output columns =
+        input columns."""
+        survivors = self.probe_new(df, text_col, id_col).localCheckpoint(
+            eager=True
+        )  # pin BEFORE the store mutates
+        survivors.select("content_hash").distinct().withColumn(
+            "bkt", self._bucket()
+        ).write.mode("append").partitionBy("bkt").parquet(f"{self.path}/hashes")
+        return survivors.drop("content_hash")
+
+    def compact(self, files_per_bucket: int = 1) -> None:
+        """Rewrite the hash table with ``files_per_bucket`` files per
+        bucket (see :meth:`MinHashDedupStore.compact` — same contract)."""
+        if not self._exists():
+            return
+        live = f"{self.path}/hashes"
+        staged = f"{self.path}/_compact_hashes"
+        (
+            self.spark.read.parquet(live)
+            .repartition(self.num_buckets * files_per_bucket, F.col("bkt"))
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(staged)
+        )
+        old = self._jpath(f"{self.path}/_old_hashes")
+        self._fs.rename(self._jpath(live), old)
+        self._fs.rename(self._jpath(staged), self._jpath(live))
+        self._fs.delete(old, True)

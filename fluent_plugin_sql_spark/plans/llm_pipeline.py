@@ -194,6 +194,51 @@ def near_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@query(
+    "exact_dedup_two_batches",
+    # True first-occurrence semantics — unlike the MinHash store there is
+    # no estimator, so the oracle is plain SQL with no corpus caveats:
+    # survivor = the (batch, id)-lexicographic minimum of each text group.
+    oracle="""
+    SELECT doc_id, batch FROM (
+      SELECT doc_id, doc_id % 2 AS batch,
+             row_number() OVER (
+               PARTITION BY text ORDER BY doc_id % 2, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup through the persisted content-hash store
+    (operators/dedup.ExactDedupStore): documents split by ``doc_id % 2``
+    into batch 0 then batch 1; batch-1 rows whose text was accepted in
+    batch 0 are dropped via the bucket-pruned hash probe — the durable
+    form of the at-least-once re-delivery absorption in
+    streaming/stream.dedup_stream (in_sql.rb:136-161 emits raw rows with
+    no dedup)."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import ExactDedupStore
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="exact_dedup_gate_")
+    try:
+        store = ExactDedupStore(spark, f"{path}/store")
+        out = None
+        for batch in (0, 1):
+            b = docs.where(F.col("doc_id") % 2 == batch)
+            s = (
+                store.process_batch(b, "text", "doc_id")
+                .select("doc_id", (F.col("doc_id") % 2).alias("batch"))
+            )
+            out = s if out is None else out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # ------------------------------------------------------- similarity search
 @query(
     "ann_bruteforce_top5",

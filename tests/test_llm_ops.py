@@ -342,3 +342,40 @@ def test_dedup_store_compact_preserves_probes(spark, tmp_path):
     )
     s = store2.process_batch(b, "text", "doc_id")
     assert {r["doc_id"] for r in s.collect()} == {11}
+
+
+def test_exact_dedup_store_incremental_and_replay(spark, tmp_path):
+    """ExactDedupStore: cross-batch exact dups dropped, within-batch
+    keeps lowest id, durable across instances, and a REPLAYED batch
+    yields zero survivors (self-healing at-least-once)."""
+    from fluent_plugin_sql_spark.operators.dedup import ExactDedupStore
+
+    path = str(tmp_path / "xstore")
+    store = ExactDedupStore(spark, path)
+
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id LONG, text STRING"
+    )
+    s1 = store.process_batch(b1, "text", "doc_id")
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}
+    assert s1.columns == ["doc_id", "text"]  # original columns only
+
+    # replay of batch 1: everything already absorbed -> no survivors
+    s1r = store.process_batch(b1, "text", "doc_id")
+    assert s1r.count() == 0
+
+    # fresh instance on the same path: state is on disk, not in memory
+    store2 = ExactDedupStore(spark, path)
+    b2 = spark.createDataFrame(
+        [(10, "bbb"), (11, "ccc"), (12, "ccc")], "doc_id LONG, text STRING"
+    )
+    s2 = store2.process_batch(b2, "text", "doc_id")
+    assert {r["doc_id"] for r in s2.collect()} == {11}
+
+    # compact preserves decisions
+    store2.compact()
+    b3 = spark.createDataFrame(
+        [(20, "ccc"), (21, "ddd")], "doc_id LONG, text STRING"
+    )
+    s3 = ExactDedupStore(spark, path).process_batch(b3, "text", "doc_id")
+    assert {r["doc_id"] for r in s3.collect()} == {21}
