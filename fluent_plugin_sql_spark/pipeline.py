@@ -339,7 +339,13 @@ class Pipeline:
         table (store state under ``path/<table>``): each micro-batch is
         LSH near-dedup-filtered against everything previously accepted
         before it reaches the sink — the continuous-ingestion dedup stage
-        of an LLM-data pipeline, expressed as one config block."""
+        of an LLM-data pipeline, expressed as one config block.
+
+        Optional ``source.exact_dedup: {path, text_col, id_col}``
+        interposes the cheaper :class:`~.operators.dedup.ExactDedupStore`
+        the same way (durable content-hash first-occurrence).  Both may
+        be configured together: exact runs first (cheap hash probe), the
+        near-dup store only sees content-novel rows."""
         src = self.config["source"]
         if "path" not in src:
             raise ValueError("run_streaming requires a parquet-dir source (path:)")
@@ -359,6 +365,15 @@ class Pipeline:
                     k=int(nd_cfg.get("k", 3)),
                     sig_match_frac=float(nd_cfg.get("sig_match_frac", 0.5)),
                 )
+        xd_cfg = src.get("exact_dedup")
+        xstores: dict[str, Any] = {}
+        if xd_cfg:
+            from .operators.dedup import ExactDedupStore
+
+            for t in self.in_cfg.tables:
+                xstores[t.table] = ExactDedupStore(
+                    self.spark, f"{xd_cfg['path']}/{t.table}"
+                )
 
         queries = []
         for t in self.in_cfg.tables:
@@ -375,7 +390,14 @@ class Pipeline:
                 epoch_id: int,
                 _tag: str = tag,
                 _store: Any = stores.get(t.table),
+                _xstore: Any = xstores.get(t.table),
             ) -> None:
+                if _xstore is not None:
+                    batch_df = _xstore.process_batch(
+                        batch_df,
+                        xd_cfg.get("text_col", "text"),
+                        xd_cfg.get("id_col", "doc_id"),
+                    )
                 if _store is not None:
                     batch_df = _store.process_batch(
                         batch_df,

@@ -410,3 +410,56 @@ def test_latest_offset_memoizes_footer_reads(tmp_path):
     off3 = r.latestOffset()
     assert r.footer_reads == 3
     assert off3 != off2
+
+
+def test_run_streaming_exact_dedup_config(spark, tmp_path):
+    """source.exact_dedup interposes the content-hash store: an EXACT
+    copy arriving in a later micro-batch never reaches the sink; a
+    near-copy (one word changed) passes — that's near_dedup's job."""
+    import time
+
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    base = "some document text that repeats verbatim in a later batch"
+    rows = [(0, base), (1, "first unique filler document text"),
+            (2, "second unique filler document text"),
+            # second micro-batch: exact copy of 0 + near copy of 0 + novel
+            (3, base), (4, base.replace("repeats", "rhymes")),
+            (5, "third unique filler document text")]
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(1).write.parquet(
+        str(src_dir / "documents.parquet")
+    )
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 3,
+            "tables": [{"table": "documents", "update_column": "doc_id"}],
+            "exact_dedup": {
+                "path": str(tmp_path / "xdstore"),
+                "text_col": "text",
+                "id_col": "doc_id",
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "clean_docs"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "clean_docs")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 5:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out / "clean_docs")).collect()}
+    assert got == {0, 1, 2, 4, 5}  # 3 = exact copy of 0, filtered
