@@ -379,3 +379,32 @@ def test_exact_dedup_store_incremental_and_replay(spark, tmp_path):
     )
     s3 = ExactDedupStore(spark, path).process_batch(b3, "text", "doc_id")
     assert {r["doc_id"] for r in s3.collect()} == {21}
+
+
+def test_exact_dedup_store_probe_never_shuffles_store_side(spark, tmp_path):
+    """Same scale contract as the MinHash store: the content-hash probe
+    broadcasts the batch side (store streams through a BroadcastHashJoin)
+    and pushes bucket ids as a partition filter on the store scan."""
+    import re
+
+    from fluent_plugin_sql_spark.operators.dedup import ExactDedupStore
+
+    path = str(tmp_path / "xstore_plan")
+    store = ExactDedupStore(spark, path)
+    store.process_batch(
+        spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id LONG, text STRING"),
+        "text",
+        "doc_id",
+    )
+    probe = store.probe_new(
+        spark.createDataFrame([(3, "aaa"), (4, "ccc")], "doc_id LONG, text STRING"),
+        "text",
+        "doc_id",
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bkt" in p for p in pfs), plan
+    assert {r["doc_id"] for r in probe.collect()} == {4}
