@@ -198,6 +198,7 @@ def minhash_lsh_dup_pairs(
     num_hashes: int = 24,
     bands: int = 6,
     k: int = 3,
+    star_bucket_threshold: int = 1024,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
@@ -205,6 +206,18 @@ def minhash_lsh_dup_pairs(
     collide in ≥1 band with P ≈ 0.996; J=0.97 with P ≈ 1-6e-7).
     Verification makes precision exact; banding only bounds the candidate
     set, which is the property that survives 100×/1000× scale-up.
+
+    ``star_bucket_threshold`` guards the one quadratic hazard left: a
+    bucket of n near-identical documents (web boilerplate, mirrored
+    pages) expands to n(n−1)/2 pairs — 100k copies means 5e9 pairs out
+    of one bucket.  Buckets larger than the threshold emit STAR pairs
+    instead (bucket-min vs each other doc, O(n)): every member is still
+    detected as a duplicate of the bucket min, and
+    :func:`dup_clusters`-style grouping recovers the full clique, but
+    the pair LIST omits non-min pairs within oversized buckets — the
+    standard recall/cost trade for survivor-set dedup.  The default
+    (1024) caps any bucket's fan-out at ~0.5M pairs; pass ``None`` for
+    strict all-pairs semantics.
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
@@ -235,11 +248,19 @@ def minhash_lsh_dup_pairs(
     )
     # NB: element access ds[i] is 0-BASED in Spark SQL while slice() is
     # 1-based — doc_a is element i, its partners are elements i+1..n-1
-    pair_expr = """
-        explode(flatten(transform(sequence(0, size(ds)-2),
+    all_pairs = """flatten(transform(sequence(0, size(ds)-2),
                 i -> transform(slice(ds, i+2, size(ds)-i-1),
-                               x -> struct(ds[i] as doc_a, x as doc_b))))) as p
-    """.replace("ds", "array_sort(docs)")
+                               x -> struct(ds[i] as doc_a, x as doc_b))))"""
+    star_pairs = """transform(slice(ds, 2, size(ds)-1),
+                              x -> struct(ds[0] as doc_a, x as doc_b))"""
+    if star_bucket_threshold is None:
+        pair_expr = f"explode({all_pairs}) as p"
+    else:
+        pair_expr = (
+            f"explode(CASE WHEN size(ds) > {int(star_bucket_threshold)} "
+            f"THEN {star_pairs} ELSE {all_pairs} END) as p"
+        )
+    pair_expr = pair_expr.replace("ds", "array_sort(docs)")
     candidates = (
         buckets.selectExpr(pair_expr)
         .select("p.doc_a", "p.doc_b")

@@ -408,3 +408,31 @@ def test_exact_dedup_store_probe_never_shuffles_store_side(spark, tmp_path):
     pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bkt" in p for p in pfs), plan
     assert {r["doc_id"] for r in probe.collect()} == {4}
+
+
+def test_lsh_star_pairing_caps_mega_bucket_fanout(spark):
+    """A bucket of n near-identical docs must not expand to n^2/2 pairs:
+    above star_bucket_threshold each doc pairs only with the bucket min
+    (O(n)), every copy is still detected, and strict mode (None) keeps
+    exhaustive semantics."""
+    from fluent_plugin_sql_spark.operators.dedup import minhash_lsh_dup_pairs
+
+    n = 60
+    same = "identical boilerplate page text repeated across many mirrors here"
+    rows = [(i, same) for i in range(n)] + [
+        (1000, "one entirely different document to keep the corpus honest")
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    starred = minhash_lsh_dup_pairs(
+        df, "text", "doc_id", threshold=0.8, star_bucket_threshold=10
+    ).collect()
+    # star mode: exactly one pair per non-min copy, all anchored at doc 0
+    assert len(starred) == n - 1
+    assert {r["doc_a"] for r in starred} == {0}
+    assert {r["doc_b"] for r in starred} == set(range(1, n))
+
+    exhaustive = minhash_lsh_dup_pairs(
+        df, "text", "doc_id", threshold=0.8, star_bucket_threshold=None
+    ).count()
+    assert exhaustive == n * (n - 1) // 2
