@@ -190,6 +190,30 @@ def minhash_signatures(
     return raw.selectExpr("doc", *fills)
 
 
+def _bucket_pair_expr(star_bucket_threshold: int | None) -> str:
+    """selectExpr string expanding a bucket's sorted doc list into
+    candidate (doc_a, doc_b) pairs: exhaustive i<j pairs, or — above
+    ``star_bucket_threshold`` — star pairs anchored at the bucket min
+    (O(n) instead of O(n²); see :func:`minhash_lsh_dup_pairs`).
+
+    NB: element access ds[i] is 0-BASED in Spark SQL while slice() is
+    1-based — doc_a is element i, its partners are elements i+1..n-1.
+    """
+    all_pairs = """flatten(transform(sequence(0, size(ds)-2),
+                i -> transform(slice(ds, i+2, size(ds)-i-1),
+                               x -> struct(ds[i] as doc_a, x as doc_b))))"""
+    star_pairs = """transform(slice(ds, 2, size(ds)-1),
+                              x -> struct(ds[0] as doc_a, x as doc_b))"""
+    if star_bucket_threshold is None:
+        pair_expr = f"explode({all_pairs}) as p"
+    else:
+        pair_expr = (
+            f"explode(CASE WHEN size(ds) > {int(star_bucket_threshold)} "
+            f"THEN {star_pairs} ELSE {all_pairs} END) as p"
+        )
+    return pair_expr.replace("ds", "array_sort(docs)")
+
+
 def minhash_lsh_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -246,23 +270,8 @@ def minhash_lsh_dup_pairs(
         .agg(F.collect_list("doc").alias("docs"))
         .where(F.size("docs") > 1)
     )
-    # NB: element access ds[i] is 0-BASED in Spark SQL while slice() is
-    # 1-based — doc_a is element i, its partners are elements i+1..n-1
-    all_pairs = """flatten(transform(sequence(0, size(ds)-2),
-                i -> transform(slice(ds, i+2, size(ds)-i-1),
-                               x -> struct(ds[i] as doc_a, x as doc_b))))"""
-    star_pairs = """transform(slice(ds, 2, size(ds)-1),
-                              x -> struct(ds[0] as doc_a, x as doc_b))"""
-    if star_bucket_threshold is None:
-        pair_expr = f"explode({all_pairs}) as p"
-    else:
-        pair_expr = (
-            f"explode(CASE WHEN size(ds) > {int(star_bucket_threshold)} "
-            f"THEN {star_pairs} ELSE {all_pairs} END) as p"
-        )
-    pair_expr = pair_expr.replace("ds", "array_sort(docs)")
     candidates = (
-        buckets.selectExpr(pair_expr)
+        buckets.selectExpr(_bucket_pair_expr(star_bucket_threshold))
         .select("p.doc_a", "p.doc_b")
         .distinct()
         # consumed by TWO broadcast joins below; each broadcast plans as
@@ -657,19 +666,17 @@ class MinHashDedupStore:
         bk = _band_key_rows(sig, self.num_hashes, self.bands)
         dup_ids = self._cross_batch_dups(bk, sig)
 
-        # batch-internal near-dups: bucket expansion (keep lowest id)
+        # batch-internal near-dups: bucket expansion (keep lowest id).
+        # Star pairing above the threshold is LOSSLESS here — the store
+        # only needs "is this doc a dup of an earlier one", and within a
+        # mega-bucket the min-anchored pairs decide exactly that.
         buckets = (
             bk.groupBy("band", "band_key")
             .agg(F.collect_list("doc").alias("docs"))
             .where(F.size("docs") > 1)
         )
-        pair_expr = """
-            explode(flatten(transform(sequence(0, size(ds)-2),
-                    i -> transform(slice(ds, i+2, size(ds)-i-1),
-                                   x -> struct(ds[i] as doc_a, x as doc_b))))) as p
-        """.replace("ds", "array_sort(docs)")
         internal = (
-            buckets.selectExpr(pair_expr)
+            buckets.selectExpr(_bucket_pair_expr(star_bucket_threshold=1024))
             .select("p.doc_a", "p.doc_b")
             .distinct()
             .join(sig.alias("a"), F.col("doc_a") == F.col("a.doc"))
