@@ -847,3 +847,145 @@ class ExactDedupStore:
         self._fs.rename(self._jpath(live), old)
         self._fs.rename(self._jpath(staged), self._jpath(live))
         self._fs.delete(old, True)
+
+
+class EmbeddingDedupStore:
+    """Incremental EMBEDDING-cosine near-dedup for continuous ingestion —
+    completes the store family (:class:`ExactDedupStore` for verbatim
+    copies, :class:`MinHashDedupStore` for text edits, this for semantic
+    duplicates whose text differs but whose embeddings coincide).
+
+    IVF layout (operators/similarity.build_ivf_index pattern): centroids
+    are picked deterministically from the FIRST batch (smallest
+    xxhash64(id) — no trained model, stable across restarts) and frozen;
+    state is one append-only postings table (bucket, doc, vec)
+    partitioned by home bucket.  A probe assigns each new vector to its
+    ``nprobe`` nearest centroids, reads ONLY those bucket directories
+    (partition pruning; ≤ num_centroids ids collected), and broadcasts
+    the batch side — the store is never shuffled, same contract as the
+    sibling stores.  Recall is the IVF trade: a true near-dup pair's
+    vectors are nearly parallel, so they agree on home centroid (and a
+    fortiori on one of ``nprobe``) except when the pair straddles a
+    centroid boundary — raise ``nprobe`` to taste.
+
+    Crash contract: state appends AFTER the survivor set is pinned;
+    replays converge (their vectors now match themselves in the store).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        threshold: float = 0.9,
+        num_centroids: int = 16,
+        nprobe: int = 2,
+        store_replicas: int = 2,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.threshold = threshold
+        self.num_centroids = num_centroids
+        self.nprobe = nprobe
+        self.store_replicas = store_replicas
+        jvm = spark._jvm  # noqa: SLF001
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+
+    def _exists(self, sub: str) -> bool:
+        return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
+
+    def _centroids(self, batch_vecs: DataFrame) -> DataFrame:
+        """Load the frozen centroid set, creating it from this batch on
+        first use."""
+        if not self._exists("centroids"):
+            (
+                batch_vecs.withColumn("_h", F.xxhash64("doc"))
+                .orderBy("_h")
+                .limit(self.num_centroids)
+                .select(F.col("doc").alias("centroid_id"), F.col("vec").alias("centvec"))
+                .write.mode("overwrite")
+                .parquet(f"{self.path}/centroids")
+            )
+        return self.spark.read.parquet(f"{self.path}/centroids")
+
+    def _assign(self, vecs: DataFrame, centroids: DataFrame, top_n: int) -> DataFrame:
+        """(doc, vec, bucket, _rn): each vector's top_n nearest centroids
+        (rank 1 = home bucket).  One broadcast of the tiny centroid set;
+        assignment is a map over the batch."""
+        from pyspark.sql import Window
+
+        from .similarity import cosine
+
+        scored = vecs.join(F.broadcast(centroids)).select(
+            "doc", "vec", "centroid_id", cosine(F.col("vec"), F.col("centvec")).alias("_cc")
+        )
+        w = Window.partitionBy("doc").orderBy(F.desc("_cc"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_n)
+            .select("doc", "vec", F.col("centroid_id").alias("bucket"), "_rn")
+        )
+
+    def probe_dups(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        """Read-only: ids in ``df`` whose vector matches (cosine ≥
+        threshold) an accepted vector in a probed bucket, or a lower-id
+        batch row sharing a home bucket."""
+        from .similarity import cosine
+
+        vecs = df.select(
+            F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+        ).localCheckpoint(eager=True)  # feeds centroid-init + 2 assigns
+        centroids = self._centroids(vecs)
+        probes = self._assign(vecs, centroids, self.nprobe).localCheckpoint(eager=True)
+
+        # batch-internal: any shared probe bucket, keep the lower id
+        internal = (
+            probes.alias("a")
+            .join(
+                F.broadcast(probes.alias("b")),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .where(cosine(F.col("a.vec"), F.col("b.vec")) >= self.threshold)
+            .select(F.col("b.doc").alias("dup"))
+            .distinct()
+        )
+        if not self._exists("postings"):
+            return internal
+        probe_bkts = [r[0] for r in probes.select("bucket").distinct().collect()]
+        store = self.spark.read.parquet(f"{self.path}/postings").where(
+            F.col("bucket").isin(probe_bkts)
+        )
+        cross = (
+            store.alias("o")
+            .join(
+                F.broadcast(probes.alias("n")),
+                F.col("o.bucket") == F.col("n.bucket"),
+            )
+            .where(cosine(F.col("o.vec"), F.col("n.vec")) >= self.threshold)
+            .select(F.col("n.doc").alias("dup"))
+            .distinct()
+        )
+        return cross.unionByName(internal).distinct()
+
+    def process_batch(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+        """Return the semantically-novel subset of ``df`` and absorb its
+        vectors.  Output columns = input columns."""
+        dup_ids = self.probe_dups(df, vec_col, id_col)
+        survivors = df.join(
+            dup_ids.withColumnRenamed("dup", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # pin BEFORE the store mutates
+
+        vecs = survivors.select(
+            F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+        )
+        centroids = self._centroids(vecs)
+        homes = self._assign(vecs, centroids, self.store_replicas).select(
+            "bucket", "doc", "vec"
+        )
+        homes.write.mode("append").partitionBy("bucket").parquet(
+            f"{self.path}/postings"
+        )
+        return survivors

@@ -239,6 +239,62 @@ def exact_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@query(
+    "embedding_dedup_two_batches",
+    # Exact first-acceptance over cosine neighbors: valid because the
+    # embedding corpus separates planted near-dups (cos ≥ 0.48) from
+    # background pairs, and the store's high-recall configuration
+    # (nprobe=6 of 16 centroids, 3 redundant postings) empirically
+    # reaches every true neighbor at sf0.001/0.01/0.1 (verified during
+    # development; IVF recall is the documented trade at leaner settings).
+    oracle="""
+    SELECT vec_id, vec_id % 2 AS batch FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings o
+      WHERE o.vec_id != e.vec_id
+        AND round(list_cosine_similarity(o.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]), 4) >= 0.48
+        AND (o.vec_id % 2 < e.vec_id % 2
+             OR (o.vec_id % 2 = e.vec_id % 2 AND o.vec_id < e.vec_id))
+    )
+    """,
+)
+def embedding_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup through the persisted IVF vector store
+    (operators/dedup.EmbeddingDedupStore): embeddings split by
+    ``vec_id % 2`` into two batches; batch-1 vectors whose cosine against
+    an accepted vector reaches the threshold are dropped via the
+    bucket-pruned centroid probe.  Completes the store family: exact
+    (content hash), near-text (MinHash), semantic (embedding)."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import EmbeddingDedupStore
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="embedding_dedup_gate_")
+    try:
+        store = EmbeddingDedupStore(
+            spark,
+            f"{path}/store",
+            threshold=0.48,
+            num_centroids=16,
+            nprobe=6,
+            store_replicas=3,
+        )
+        out = None
+        for batch in (0, 1):
+            b = emb.where(F.col("vec_id") % 2 == batch)
+            s = (
+                store.process_batch(b, "embedding", "vec_id")
+                .select("vec_id", (F.col("vec_id") % 2).alias("batch"))
+            )
+            out = s if out is None else out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # ------------------------------------------------------- similarity search
 @query(
     "ann_bruteforce_top5",

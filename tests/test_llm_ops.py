@@ -436,3 +436,38 @@ def test_lsh_star_pairing_caps_mega_bucket_fanout(spark):
         df, "text", "doc_id", threshold=0.8, star_bucket_threshold=None
     ).count()
     assert exhaustive == n * (n - 1) // 2
+
+
+def test_embedding_dedup_store_incremental(spark, tmp_path):
+    """EmbeddingDedupStore: a later batch's near-parallel vector is
+    dropped, novel directions survive, state is durable across
+    instances, and replays converge."""
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    path = str(tmp_path / "estore")
+    store = EmbeddingDedupStore(spark, path, threshold=0.95, num_centroids=4, nprobe=2)
+
+    b1 = spark.createDataFrame(
+        [(1, vec(1, 0, 0, 0)), (2, vec(0, 1, 0, 0)), (3, vec(0, 0, 1, 0))],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    s1 = store.process_batch(b1, "embedding", "vec_id")
+    assert {r["vec_id"] for r in s1.collect()} == {1, 2, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, vec(0.99, 0.01, 0, 0)),  # near-parallel to 1 -> dropped
+            (11, vec(0, 0, 0, 1)),        # novel direction -> kept
+            (12, vec(0, 0, 0, 0.98)),     # near-parallel to 11 (same batch) -> dropped
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    s2 = store.process_batch(b2, "embedding", "vec_id")
+    assert {r["vec_id"] for r in s2.collect()} == {11}
+
+    # durable + replay-convergent through a fresh instance
+    store2 = EmbeddingDedupStore(spark, path, threshold=0.95, num_centroids=4, nprobe=2)
+    assert store2.process_batch(b2, "embedding", "vec_id").count() == 0
