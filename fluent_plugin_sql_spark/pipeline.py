@@ -374,6 +374,20 @@ class Pipeline:
                 xstores[t.table] = ExactDedupStore(
                     self.spark, f"{xd_cfg['path']}/{t.table}"
                 )
+        ed_cfg = src.get("embedding_dedup")
+        estores: dict[str, Any] = {}
+        if ed_cfg:
+            from .operators.dedup import EmbeddingDedupStore
+
+            for t in self.in_cfg.tables:
+                estores[t.table] = EmbeddingDedupStore(
+                    self.spark,
+                    f"{ed_cfg['path']}/{t.table}",
+                    threshold=float(ed_cfg.get("threshold", 0.9)),
+                    num_centroids=int(ed_cfg.get("num_centroids", 16)),
+                    nprobe=int(ed_cfg.get("nprobe", 2)),
+                    store_replicas=int(ed_cfg.get("store_replicas", 2)),
+                )
 
         queries = []
         for t in self.in_cfg.tables:
@@ -391,6 +405,7 @@ class Pipeline:
                 _tag: str = tag,
                 _store: Any = stores.get(t.table),
                 _xstore: Any = xstores.get(t.table),
+                _estore: Any = estores.get(t.table),
             ) -> None:
                 if _xstore is not None:
                     batch_df = _xstore.process_batch(
@@ -403,6 +418,12 @@ class Pipeline:
                         batch_df,
                         nd_cfg.get("text_col", "text"),
                         nd_cfg.get("id_col", "doc_id"),
+                    )
+                if _estore is not None:
+                    batch_df = _estore.process_batch(
+                        batch_df,
+                        ed_cfg.get("vec_col", "embedding"),
+                        ed_cfg.get("id_col", "vec_id"),
                     )
                 self.output.write_batch(batch_df.withColumn("tag", F.lit(_tag)))
 

@@ -58,38 +58,45 @@ def _decode_offset_value(v: Any) -> Any:
     return v
 
 
-def _arrow_to_spark_ddl(schema) -> str:
-    """Minimal pyarrow→Spark DDL mapping for the table types this engine
-    reads (TESTDATA.md tables + typical RDBMS scalar columns)."""
+def _arrow_to_spark_type(t) -> str:
+    """pyarrow→Spark SQL type mapping for the table types this engine
+    reads (TESTDATA.md tables + typical RDBMS scalar columns + the
+    array/struct shapes of embedding and multimodal tables)."""
     import pyarrow as pa
 
-    parts = []
-    for field in schema:
-        t = field.type
-        if pa.types.is_int64(t):
-            s = "bigint"
-        elif pa.types.is_int32(t):
-            s = "int"
-        elif pa.types.is_float64(t):
-            s = "double"
-        elif pa.types.is_float32(t):
-            s = "float"
-        elif pa.types.is_boolean(t):
-            s = "boolean"
-        elif pa.types.is_timestamp(t):
-            s = "timestamp"
-        elif pa.types.is_date(t):
-            s = "date"
-        elif pa.types.is_decimal(t):
-            s = f"decimal({t.precision},{t.scale})"
-        elif pa.types.is_string(t) or pa.types.is_large_string(t):
-            s = "string"
-        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-            s = "binary"
-        else:
-            raise ValueError(f"unsupported column type for streaming source: {t}")
-        parts.append(f"`{field.name}` {s}")
-    return ", ".join(parts)
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"array<{_arrow_to_spark_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(
+            f"{t.field(i).name}: {_arrow_to_spark_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"unsupported column type for streaming source: {t}")
+
+
+def _arrow_to_spark_ddl(schema) -> str:
+    return ", ".join(f"`{f.name}` {_arrow_to_spark_type(f.type)}" for f in schema)
 
 
 class _IncrementalPollReader(SimpleDataSourceStreamReader):

@@ -463,3 +463,59 @@ def test_run_streaming_exact_dedup_config(spark, tmp_path):
             q.awaitTermination(30)
     got = {r["doc_id"] for r in spark.read.parquet(str(out / "clean_docs")).collect()}
     assert got == {0, 1, 2, 4, 5}  # 3 = exact copy of 0, filtered
+
+
+def test_run_streaming_embedding_dedup_config(spark, tmp_path):
+    """source.embedding_dedup interposes the IVF vector store: a later
+    micro-batch's near-parallel embedding never reaches the sink."""
+    import time
+
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        # second micro-batch: near-copy of vec 0 + novel direction
+        (3, [0.995, 0.005, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).coalesce(1).write.parquet(str(src_dir / "embeddings.parquet"))
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 3,
+            "tables": [{"table": "embeddings", "update_column": "vec_id"}],
+            "embedding_dedup": {
+                "path": str(tmp_path / "edstore"),
+                "vec_col": "embedding",
+                "id_col": "vec_id",
+                "threshold": 0.95,
+                "num_centroids": 3,
+                "nprobe": 2,
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "clean_vecs"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "clean_vecs")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 4:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = {r["vec_id"] for r in spark.read.parquet(str(out / "clean_vecs")).collect()}
+    assert got == {0, 1, 2, 4}  # 3 = near-parallel to 0, filtered
