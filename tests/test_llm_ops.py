@@ -471,3 +471,53 @@ def test_embedding_dedup_store_incremental(spark, tmp_path):
     # durable + replay-convergent through a fresh instance
     store2 = EmbeddingDedupStore(spark, path, threshold=0.95, num_centroids=4, nprobe=2)
     assert store2.process_batch(b2, "embedding", "vec_id").count() == 0
+
+
+def test_exact_dedup_store_equals_first_occurrence_reference(spark, tmp_path):
+    """Property: for ANY batch sequence, ExactDedupStore survivors ==
+    the trivial Python first-occurrence reference (per-text minimum
+    (batch, id), processed in order).  Hypothesis drives the batch
+    shapes; a single store path accumulates across batches exactly like
+    a poll loop."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fluent_plugin_sql_spark.operators.dedup import ExactDedupStore
+
+    texts = st.sampled_from(["aa", "bb", "cc", "dd"])  # force collisions
+    batches_strategy = st.lists(
+        st.lists(texts, min_size=1, max_size=5), min_size=1, max_size=3
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(batches=batches_strategy)
+    def run(batches):
+        path = str(tmp_path / f"prop_{abs(hash(str(batches)))}")
+        store = ExactDedupStore(spark, path)
+        seen: set[str] = set()
+        next_id = 0
+        for batch in batches:
+            rows = [(next_id + i, t) for i, t in enumerate(batch)]
+            next_id += len(batch)
+            expect = set()
+            batch_seen: set[str] = set()
+            for i, t in rows:
+                if t not in seen and t not in batch_seen:
+                    expect.add(i)
+                    batch_seen.add(t)
+            got = {
+                r["doc_id"]
+                for r in store.process_batch(
+                    spark.createDataFrame(rows, "doc_id LONG, text STRING"),
+                    "text",
+                    "doc_id",
+                ).collect()
+            }
+            assert got == expect, (batches, rows, got, expect)
+            seen |= batch_seen
+
+    run()
