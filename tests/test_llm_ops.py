@@ -521,3 +521,34 @@ def test_exact_dedup_store_equals_first_occurrence_reference(spark, tmp_path):
             seen |= batch_seen
 
     run()
+
+
+def test_embedding_dedup_store_probe_never_shuffles_store_side(spark, tmp_path):
+    """Third store, same contract: the vector probe broadcasts the batch
+    side and prunes the postings scan to the probed centroid buckets."""
+    import re
+
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    path = str(tmp_path / "estore_plan")
+    store = EmbeddingDedupStore(spark, path, threshold=0.95, num_centroids=4, nprobe=2)
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    store.process_batch(b1, "embedding", "vec_id")
+    probe = store.probe_dups(
+        spark.createDataFrame(
+            [(10, [0.99, 0.01, 0.0]), (11, [0.5, 0.5, 0.7])],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        ),
+        "embedding",
+        "vec_id",
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in p for p in pfs), plan
+    assert {r["dup"] for r in probe.collect()} == {10}
