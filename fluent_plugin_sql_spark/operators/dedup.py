@@ -509,6 +509,48 @@ def _band_key_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     return sig.select("doc", *band_cols).selectExpr("doc", stack_expr)
 
 
+
+class _StoreFS:
+    """Hadoop-FS plumbing shared by the incremental dedup stores:
+    existence checks and the staging-dir compaction swap.  Uses the
+    Hadoop FileSystem API, so the stores work unchanged on any
+    Hadoop-compatible filesystem (local, HDFS, object stores)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        jvm = spark._jvm  # noqa: SLF001
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        )
+
+    def exists(self, sub: str) -> bool:
+        return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
+
+    def compact_table(self, sub: str, part_col: str, num_files: int) -> None:
+        """Rewrite ``{path}/{sub}`` with ``num_files`` files total,
+        preserving the ``part_col`` directory partitioning, via a
+        staging-dir swap: bucket ids (hence probe pruning) are identical
+        before and after, the live tree stays readable until the swap,
+        and a crash mid-compact just re-runs."""
+        if not self.exists(sub):
+            return
+        live = f"{self.path}/{sub}"
+        staged = f"{self.path}/_compact_{sub}"
+        (
+            self.spark.read.parquet(live)
+            .repartition(num_files, F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(staged)
+        )
+        old = self._jpath(f"{self.path}/_old_{sub}")
+        self._fs.rename(self._jpath(live), old)
+        self._fs.rename(self._jpath(staged), self._jpath(live))
+        self._fs.delete(old, True)
+
+
 class MinHashDedupStore:
     """Incremental near-dedup for CONTINUOUS ingestion — the missing
     piece between batch ``minhash_lsh_dup_pairs`` (one corpus, one shot)
@@ -566,14 +608,10 @@ class MinHashDedupStore:
         self.k = k
         self.sig_match_frac = sig_match_frac
         self.num_buckets = num_buckets
-        jvm = spark._jvm  # noqa: SLF001
-        self._jpath = jvm.org.apache.hadoop.fs.Path
-        self._fs = self._jpath(self.path).getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        )
+        self._store_fs = _StoreFS(spark, self.path)
 
     def _exists(self, sub: str) -> bool:
-        return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
+        return self._store_fs.exists(sub)
 
     def _sig_cols(self) -> list[str]:
         return [f"h{i}" for i in range(self.num_hashes)]
@@ -722,23 +760,10 @@ class MinHashDedupStore:
         contract (a crash mid-compact re-runs the compact, and the
         staging-dir rename keeps the live tree readable until the swap).
         """
-        for sub in ("band_keys", "signatures"):
-            if not self._exists(sub):
-                continue
-            live = f"{self.path}/{sub}"
-            part = "bkt" if sub == "band_keys" else "sbkt"
-            staged = f"{self.path}/_compact_{sub}"
-            (
-                self.spark.read.parquet(live)
-                .repartition(self.num_buckets * files_per_bucket, F.col(part))
-                .write.mode("overwrite")
-                .partitionBy(part)
-                .parquet(staged)
+        for sub, part in (("band_keys", "bkt"), ("signatures", "sbkt")):
+            self._store_fs.compact_table(
+                sub, part, self.num_buckets * files_per_bucket
             )
-            old = self._jpath(f"{self.path}/_old_{sub}")
-            self._fs.rename(self._jpath(live), old)
-            self._fs.rename(self._jpath(staged), self._jpath(live))
-            self._fs.delete(old, True)
 
 
 class ExactDedupStore:
@@ -769,14 +794,10 @@ class ExactDedupStore:
         self.spark = spark
         self.path = path.rstrip("/")
         self.num_buckets = num_buckets
-        jvm = spark._jvm  # noqa: SLF001
-        self._jpath = jvm.org.apache.hadoop.fs.Path
-        self._fs = self._jpath(self.path).getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        )
+        self._store_fs = _StoreFS(spark, self.path)
 
     def _exists(self) -> bool:
-        return self._fs.exists(self._jpath(f"{self.path}/hashes"))
+        return self._store_fs.exists("hashes")
 
     def _bucket(self):
         return F.pmod(F.hash("content_hash"), F.lit(self.num_buckets))
@@ -832,21 +853,9 @@ class ExactDedupStore:
     def compact(self, files_per_bucket: int = 1) -> None:
         """Rewrite the hash table with ``files_per_bucket`` files per
         bucket (see :meth:`MinHashDedupStore.compact` — same contract)."""
-        if not self._exists():
-            return
-        live = f"{self.path}/hashes"
-        staged = f"{self.path}/_compact_hashes"
-        (
-            self.spark.read.parquet(live)
-            .repartition(self.num_buckets * files_per_bucket, F.col("bkt"))
-            .write.mode("overwrite")
-            .partitionBy("bkt")
-            .parquet(staged)
+        self._store_fs.compact_table(
+            "hashes", "bkt", self.num_buckets * files_per_bucket
         )
-        old = self._jpath(f"{self.path}/_old_hashes")
-        self._fs.rename(self._jpath(live), old)
-        self._fs.rename(self._jpath(staged), self._jpath(live))
-        self._fs.delete(old, True)
 
 
 class EmbeddingDedupStore:
@@ -887,14 +896,17 @@ class EmbeddingDedupStore:
         self.num_centroids = num_centroids
         self.nprobe = nprobe
         self.store_replicas = store_replicas
-        jvm = spark._jvm  # noqa: SLF001
-        self._jpath = jvm.org.apache.hadoop.fs.Path
-        self._fs = self._jpath(self.path).getFileSystem(
-            spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        )
+        self._store_fs = _StoreFS(spark, self.path)
 
     def _exists(self, sub: str) -> bool:
-        return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
+        return self._store_fs.exists(sub)
+
+    def compact(self, files_per_bucket: int = 1) -> None:
+        """Rewrite the postings table with ``files_per_bucket`` files
+        per centroid bucket (see :meth:`MinHashDedupStore.compact`)."""
+        self._store_fs.compact_table(
+            "postings", "bucket", self.num_centroids * files_per_bucket
+        )
 
     def _centroids(self, batch_vecs: DataFrame) -> DataFrame:
         """Load the frozen centroid set, creating it from this batch on
