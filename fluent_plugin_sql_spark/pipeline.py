@@ -399,6 +399,8 @@ class Pipeline:
             )
             tag = self.in_cfg.tag_for(t)
 
+            n_batches = {"n": 0}
+
             def handle(
                 batch_df: DataFrame,
                 epoch_id: int,
@@ -406,6 +408,7 @@ class Pipeline:
                 _store: Any = stores.get(t.table),
                 _xstore: Any = xstores.get(t.table),
                 _estore: Any = estores.get(t.table),
+                _n: dict = n_batches,
             ) -> None:
                 if _xstore is not None:
                     batch_df = _xstore.process_batch(
@@ -426,6 +429,14 @@ class Pipeline:
                         ed_cfg.get("id_col", "vec_id"),
                     )
                 self.output.write_batch(batch_df.withColumn("tag", F.lit(_tag)))
+                # every micro-batch appends one small file per touched
+                # store bucket; periodic compaction keeps probe latency
+                # from decaying into file-open overhead on long streams
+                _n["n"] += 1
+                if _n["n"] % int(src.get("dedup_compact_every", 64)) == 0:
+                    for st_ in (_store, _xstore, _estore):
+                        if st_ is not None:
+                            st_.compact()
 
             writer = (
                 df.writeStream.foreachBatch(handle)
