@@ -493,6 +493,13 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select("doc", F.col("label").alias("cluster_id"))
 
 
+# Upper bound on driver-collected key lists pushed into store scans as
+# In(...) filters (second-level prune).  ~100k longs is <1 MB on the
+# driver and parses to a single InSet; beyond that the probe falls back
+# to bucket-level partition pruning alone.
+_MAX_PUSHED_KEYS = 100_000
+
+
 def _band_key_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(doc, band, band_key) unpivot of a signature matrix — stack() is a
     zero-shuffle generator (same construction as minhash_lsh_dup_pairs)."""
@@ -510,11 +517,23 @@ def _band_key_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 
 
+class ConcurrentStoreWriterError(RuntimeError):
+    """A second writer (or a stale lock from a crashed one) holds the
+    store's mutation lock.  The dedup stores are SINGLE-WRITER: absorbs
+    and compactions from concurrent sessions against one store path are
+    not safe (a compact's staging swap deletes trees an in-flight append
+    may be writing into).  Run one ingest pipeline per store path; after
+    a writer crash, delete ``{path}/_writer.lock`` to recover."""
+
+
 class _StoreFS:
     """Hadoop-FS plumbing shared by the incremental dedup stores:
-    existence checks and the staging-dir compaction swap.  Uses the
-    Hadoop FileSystem API, so the stores work unchanged on any
-    Hadoop-compatible filesystem (local, HDFS, object stores)."""
+    existence checks, the crash-safe compaction swap, and the
+    single-writer mutation lock.  Uses the Hadoop FileSystem API, so the
+    stores work unchanged on any Hadoop-compatible filesystem (local,
+    HDFS, object stores)."""
+
+    LOCK = "_writer.lock"
 
     def __init__(self, spark, path: str):
         self.spark = spark
@@ -528,27 +547,97 @@ class _StoreFS:
     def exists(self, sub: str) -> bool:
         return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
 
-    def compact_table(self, sub: str, part_col: str, num_files: int) -> None:
+    def _rename(self, src: str, dst: str) -> None:
+        """rename() with its boolean result CHECKED — Hadoop's rename
+        reports failure (e.g. a pre-existing destination) by returning
+        False, and an unchecked first rename would make the second one
+        nest the staged dir inside the live path."""
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def recover(self, sub: str) -> None:
+        """Repair an interrupted compaction swap so a crash at ANY point
+        leaves (or restores) a complete live table:
+
+        - live + ``_compact_`` present, no ``_old_``: crashed before the
+          swap — the staged rewrite may be partial; live is
+          authoritative, drop the staging dir.
+        - no live, ``_old_`` present: crashed mid-swap — the staged tree
+          (if complete) finishes the swap forward, else the ``_old_``
+          tree rolls it back.  Either way live exists again.
+        - live + ``_old_``: crashed after the swap, before cleanup —
+          drop the leftover ``_old_``.
+
+        Called on store open and before every compaction, so the
+        docstring contract "a crash mid-compact just re-runs" is
+        actually true rather than aspirational."""
+        live, staged, old = sub, f"_compact_{sub}", f"_old_{sub}"
+        if not self.exists(live):
+            if self.exists(staged) and self.exists(f"{staged}/_SUCCESS"):
+                # swap was in flight and the rewrite had committed:
+                # finish it forward
+                self._rename(f"{self.path}/{staged}", f"{self.path}/{live}")
+            elif self.exists(old):
+                # roll back to the pre-compact tree
+                self._rename(f"{self.path}/{old}", f"{self.path}/{live}")
+        for leftover in (staged, old):
+            if self.exists(live) and self.exists(leftover):
+                self._fs.delete(self._jpath(f"{self.path}/{leftover}"), True)
+
+    def lock(self, op: str = "mutate"):
+        """Exclusive store-mutation lock (atomic ``createNewFile``).
+        Fails FAST with :class:`ConcurrentStoreWriterError` instead of
+        corrupting state when two writers race — the documented
+        single-writer contract, enforced."""
+        import contextlib
+
+        fs, jp = self._fs, self._jpath
+
+        @contextlib.contextmanager
+        def _held():
+            lock_path = jp(f"{self.path}/{self.LOCK}")
+            jp_parent = jp(self.path)
+            if not fs.exists(jp_parent):
+                fs.mkdirs(jp_parent)
+            if not fs.createNewFile(lock_path):
+                raise ConcurrentStoreWriterError(
+                    f"store {self.path} is locked by another writer "
+                    f"(op={op}); if that writer crashed, delete "
+                    f"{self.path}/{self.LOCK} and retry"
+                )
+            try:
+                yield
+            finally:
+                fs.delete(lock_path, False)
+
+        return _held()
+
+    def compact_table(
+        self, sub: str, part_col: str, num_files: int, sort_col: str | None = None
+    ) -> None:
         """Rewrite ``{path}/{sub}`` with ``num_files`` files total,
         preserving the ``part_col`` directory partitioning, via a
         staging-dir swap: bucket ids (hence probe pruning) are identical
-        before and after, the live tree stays readable until the swap,
-        and a crash mid-compact just re-runs."""
+        before and after, and the live tree stays readable until the
+        swap.  ``sort_col`` additionally clusters rows WITHIN each
+        rewritten file so parquet page/row-group min-max statistics
+        become selective for the probe's pushed ``In`` filter — the
+        second-level prune that keeps probe I/O o(store) even when a
+        large batch touches every bucket directory.  Crash safety: see
+        :meth:`recover` (run first), plus checked renames."""
+        self.recover(sub)
         if not self.exists(sub):
             return
         live = f"{self.path}/{sub}"
         staged = f"{self.path}/_compact_{sub}"
-        (
-            self.spark.read.parquet(live)
-            .repartition(num_files, F.col(part_col))
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(staged)
-        )
-        old = self._jpath(f"{self.path}/_old_{sub}")
-        self._fs.rename(self._jpath(live), old)
-        self._fs.rename(self._jpath(staged), self._jpath(live))
-        self._fs.delete(old, True)
+        df = self.spark.read.parquet(live).repartition(num_files, F.col(part_col))
+        if sort_col is not None:
+            df = df.sortWithinPartitions(part_col, sort_col)
+        df.write.mode("overwrite").partitionBy(part_col).parquet(staged)
+        old = f"{self.path}/_old_{sub}"
+        self._rename(live, old)
+        self._rename(staged, live)
+        self._fs.delete(self._jpath(old), True)
 
 
 class MinHashDedupStore:
@@ -584,11 +673,30 @@ class MinHashDedupStore:
     Unlike the batch operator there is no exact-shingle verification:
     that is the deliberate trade for a text-free store, and why
     ``sig_match_frac`` exposes the estimator threshold (24 slots at 0.5
-    ≈ accepting estimated J ≥ 0.5; tighten per corpus).  Crash contract:
-    the append of state happens AFTER the survivor set is computed; a
-    crash between sink-write and state-append re-admits at most one
-    batch's near-dups (at-least-once state, matching the poll loop's
-    at-least-once emit).
+    ≈ accepting estimated J ≥ 0.5; tighten per corpus).
+
+    Crash / delivery contract: :meth:`probe_dups` is strictly read-only;
+    :meth:`absorb` mutates.  A streaming caller that wants TRUE
+    at-least-once must sink the survivors BEFORE absorbing them (probe →
+    pin → sink → absorb, as ``streaming.stream.near_dedup_stream`` and
+    ``pipeline.Pipeline.run_streaming`` do): a crash between sink and
+    absorb re-admits at most one batch's near-dups on replay, while the
+    reverse order (absorb first) would silently DROP the replayed batch —
+    its rows would look like dups of themselves and never reach the sink.
+    :meth:`process_batch` (probe+absorb in one call, for batch jobs and
+    the gate queries) absorbs before the caller can sink; use the split
+    form on any path where replay loss matters.
+
+    ``num_buckets`` sizes the directory-partition fan-out of the state
+    tables.  Guidance: probes read ``touched_buckets / num_buckets`` of
+    the store's FILES (partition pruning) and, within those, only the
+    pages whose min-max straddle a pushed band-key hash (the second-level
+    ``In`` prune; see :meth:`_candidate_pairs`) — so buckets bound file-
+    level I/O for SMALL probes while the pushed filter bounds it for
+    large ones.  256 (default) suits up to ~10^8 accepted docs; use
+    1024–16384 at 10^9+ so per-bucket directories stay a few GB and
+    small probes prune proportionally.  Buckets are fixed at store
+    creation (bucket ids live in directory names).
     """
 
     def __init__(
@@ -599,7 +707,7 @@ class MinHashDedupStore:
         bands: int = 6,
         k: int = 3,
         sig_match_frac: float = 0.5,
-        num_buckets: int = 32,
+        num_buckets: int = 256,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -609,6 +717,8 @@ class MinHashDedupStore:
         self.sig_match_frac = sig_match_frac
         self.num_buckets = num_buckets
         self._store_fs = _StoreFS(spark, self.path)
+        for sub in ("band_keys", "signatures"):
+            self._store_fs.recover(sub)  # heal any interrupted compact
 
     def _exists(self, sub: str) -> bool:
         return self._store_fs.exists(sub)
@@ -628,29 +738,69 @@ class MinHashDedupStore:
             / F.lit(float(self.num_hashes))
         )
 
-    def _bk_bucket(self):
-        """Bucket id of a (band, band_key) row — MUST match on the write
-        and probe sides (Spark's own ``hash`` over the same columns)."""
-        return F.pmod(F.hash("band", "band_key"), F.lit(self.num_buckets))
+    def _bk_hash(self):
+        """64-bit hash of a (band, band_key) row — stored as the ``bkh``
+        column, doubling as the bucket discriminator (``pmod`` of it) and
+        the second-level pushed-filter key.  MUST match on the write and
+        probe sides."""
+        return F.xxhash64("band", "band_key")
 
     def _sig_bucket(self, col: str = "doc"):
         return F.pmod(F.hash(col), F.lit(self.num_buckets))
 
     def _candidate_pairs(self, bk: DataFrame) -> DataFrame:
-        """(new doc, old doc) band-key collisions batch × store — bucket
-        ids pushed as a partition filter, batch side broadcast."""
-        probe_bkts = [
-            r[0] for r in bk.select(self._bk_bucket().alias("b")).distinct().collect()
-        ]
-        store_bk = self.spark.read.parquet(f"{self.path}/band_keys").where(
-            F.col("bkt").isin(probe_bkts)
-        )
+        """(new doc, old doc) band-key collisions batch × store.
+
+        Store-side I/O is pruned at TWO levels before the (broadcast)
+        join even sees a row:
+        1. directory partitions — the distinct bucket ids the batch's
+           band keys hash to, pushed as a partition filter;
+        2. a pushed ``In(bkh, …)`` data filter on the batch's band-key
+           hashes, which parquet evaluates against page/row-group
+           min-max statistics — after :meth:`compact` sorts each bucket
+           by ``bkh``, non-matching pages are skipped outright, so a
+           500-row probe reads o(store) even when its ~3000 band keys
+           touch every bucket directory (the regime where partition
+           pruning alone degenerates to a full-store read).
+        Both levels are safe over-approximations: the equi-join on
+        (band, band_key) remains the correctness gate.
+        """
         return (
-            store_bk.withColumnRenamed("doc", "old_doc")
+            self._pruned_band_key_scan(bk)
+            .withColumnRenamed("doc", "old_doc")
             .join(F.broadcast(bk), ["band", "band_key"])
             .select("doc", "old_doc")
             .distinct()
         )
+
+    def _pruned_band_key_scan(self, bk: DataFrame) -> DataFrame:
+        """The two-level-pruned read of the band_keys state table for a
+        probe batch ``bk`` — separated out so tests can execute the scan
+        alone and assert its I/O metrics stay bounded as the store
+        grows."""
+        probe_keys = [
+            r[0]
+            for r in bk.select(self._bk_hash().alias("bkh"))
+            .distinct()
+            .limit(_MAX_PUSHED_KEYS + 1)
+            .collect()
+        ]
+        store_bk = self.spark.read.parquet(f"{self.path}/band_keys")
+        if len(probe_keys) <= _MAX_PUSHED_KEYS:
+            bkts = sorted({k % self.num_buckets for k in probe_keys})
+            return store_bk.where(
+                F.col("bkt").isin(bkts) & F.col("bkh").isin(probe_keys)
+            )
+        # degenerate mega-batch: keep the partition filter only
+        bkts = [
+            r[0]
+            for r in bk.select(
+                F.pmod(self._bk_hash(), F.lit(self.num_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return store_bk.where(F.col("bkt").isin(bkts))
 
     def _cross_batch_dups(self, bk: DataFrame, sig: DataFrame) -> DataFrame | None:
         """Batch ids that near-match something already in the store.
@@ -668,15 +818,35 @@ class MinHashDedupStore:
         cand = self._candidate_pairs(bk).localCheckpoint(
             eager=True
         )  # small; feeds bucket-collect + join
-        sig_bkts = [
+        old_docs = [
             r[0]
-            for r in cand.select(self._sig_bucket("old_doc").alias("b"))
-            .distinct()
-            .collect()
+            for r in cand.select("old_doc").distinct().limit(_MAX_PUSHED_KEYS + 1).collect()
         ]
-        store_sig = self.spark.read.parquet(f"{self.path}/signatures").where(
-            F.col("sbkt").isin(sig_bkts)
-        )
+        store_sig = self.spark.read.parquet(f"{self.path}/signatures")
+        if len(old_docs) <= _MAX_PUSHED_KEYS:
+            # candidate ids pushed straight into the signature scan:
+            # partition prune on their buckets + In(doc, …) page prune
+            # (compact sorts each bucket by doc) — the probe reads the
+            # candidates' signatures, not the bucket's
+            sig_bkts = sorted(
+                {
+                    r[0]
+                    for r in cand.select(self._sig_bucket("old_doc").alias("b"))
+                    .distinct()
+                    .collect()
+                }
+            )
+            store_sig = store_sig.where(
+                F.col("sbkt").isin(sig_bkts) & F.col("doc").isin(old_docs)
+            )
+        else:
+            sig_bkts = [
+                r[0]
+                for r in cand.select(self._sig_bucket("old_doc").alias("b"))
+                .distinct()
+                .collect()
+            ]
+            store_sig = store_sig.where(F.col("sbkt").isin(sig_bkts))
         return (
             store_sig.alias("o")
             .join(
@@ -705,9 +875,13 @@ class MinHashDedupStore:
         dup_ids = self._cross_batch_dups(bk, sig)
 
         # batch-internal near-dups: bucket expansion (keep lowest id).
-        # Star pairing above the threshold is LOSSLESS here — the store
-        # only needs "is this doc a dup of an earlier one", and within a
-        # mega-bucket the min-anchored pairs decide exactly that.
+        # Star pairing above the threshold bounds a mega-bucket's fan-out
+        # at O(n) CANDIDATES, but is not lossless end-to-end: candidates
+        # still pass the signature-match verification below, so a doc
+        # whose signature matches a non-min bucket member yet not the
+        # bucket min survives — a bounded recall trade inside oversized
+        # buckets only (near-identical boilerplate floods), where the min
+        # is overwhelmingly a true match anyway.
         buckets = (
             bk.groupBy("band", "band_key")
             .agg(F.collect_list("doc").alias("docs"))
@@ -725,9 +899,43 @@ class MinHashDedupStore:
         )
         return internal if dup_ids is None else dup_ids.unionByName(internal).distinct()
 
+    def _absorb_sig(self, sig_keep: DataFrame) -> None:
+        """Append accepted signatures' state under the writer lock.
+        ``repartition`` on the bucket column first, so each append lands
+        ONE file per touched bucket instead of one per (task × bucket)."""
+        with self._store_fs.lock("absorb"):
+            (
+                _band_key_rows(sig_keep, self.num_hashes, self.bands)
+                .withColumn("bkh", self._bk_hash())
+                .withColumn("bkt", F.pmod(F.col("bkh"), F.lit(self.num_buckets)))
+                .repartition(F.col("bkt"))
+                .write.mode("append")
+                .partitionBy("bkt")
+                .parquet(f"{self.path}/band_keys")
+            )
+            (
+                sig_keep.withColumn("sbkt", self._sig_bucket())
+                .repartition(F.col("sbkt"))
+                .write.mode("append")
+                .partitionBy("sbkt")
+                .parquet(f"{self.path}/signatures")
+            )
+
+    def absorb(self, survivors: DataFrame, text_col: str, id_col: str) -> None:
+        """Mutating half of the split contract: record ``survivors`` (rows
+        the caller has already probed AND sunk) as accepted.  Signs the
+        rows again — signing is a pure map, and re-deriving it keeps this
+        callable on a replayed/pinned DataFrame with no handoff state."""
+        sig = minhash_signatures(survivors, text_col, id_col, self.num_hashes, self.k)
+        self._absorb_sig(sig)
+
     def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        """Return the near-dup-free subset of ``df`` and absorb it into
-        the store.  Output columns = input columns."""
+        """Probe + absorb in one call (batch jobs, gate queries): return
+        the near-dup-free subset of ``df`` and absorb it into the store.
+        Output columns = input columns.  Streaming callers should use the
+        split ``probe_dups`` → sink → ``absorb`` sequence instead — this
+        form mutates the store before the caller can sink, so a crash in
+        between drops the batch on replay (see class docstring)."""
         sig = minhash_signatures(
             df, text_col, id_col, self.num_hashes, self.k
         ).localCheckpoint(eager=True)  # feeds 3 consumers; compute once
@@ -738,32 +946,30 @@ class MinHashDedupStore:
         ).localCheckpoint(eager=True)  # pin BEFORE the store mutates
 
         keep = survivors.select(F.col(id_col).alias("doc"))
-        sig_keep = sig.join(keep, "doc", "left_semi")
-        _band_key_rows(sig_keep, self.num_hashes, self.bands).withColumn(
-            "bkt", self._bk_bucket()
-        ).write.mode("append").partitionBy("bkt").parquet(f"{self.path}/band_keys")
-        sig_keep.withColumn("sbkt", self._sig_bucket()).write.mode("append").partitionBy(
-            "sbkt"
-        ).parquet(f"{self.path}/signatures")
+        self._absorb_sig(sig.join(keep, "doc", "left_semi"))
         return survivors
 
     def compact(self, files_per_bucket: int = 1) -> None:
         """Rewrite both state tables with ``files_per_bucket`` files per
-        bucket directory.
+        bucket directory, each bucket SORTED by its probe key (``bkh`` /
+        ``doc``) so parquet page statistics make the probe's pushed
+        ``In`` filters skip non-matching pages.
 
-        Every ``process_batch`` appends one small file per touched bucket,
-        so a long-running ingest accumulates O(batches) files per bucket
-        and probe latency decays into file-open overhead.  Run this
+        Every absorb appends one file per touched bucket, so a
+        long-running ingest accumulates O(batches) files per bucket and
+        probe latency decays into file-open overhead.  Run this
         periodically (e.g. every N batches, or from a maintenance job) —
         bucket ids are preserved, so probes are identical before and
-        after; the rewrite is atomic-enough for the store's at-least-once
-        contract (a crash mid-compact re-runs the compact, and the
-        staging-dir rename keeps the live tree readable until the swap).
+        after; crash safety per :meth:`_StoreFS.recover`.
         """
-        for sub, part in (("band_keys", "bkt"), ("signatures", "sbkt")):
-            self._store_fs.compact_table(
-                sub, part, self.num_buckets * files_per_bucket
-            )
+        with self._store_fs.lock("compact"):
+            for sub, part, sort in (
+                ("band_keys", "bkt", "bkh"),
+                ("signatures", "sbkt", "doc"),
+            ):
+                self._store_fs.compact_table(
+                    sub, part, self.num_buckets * files_per_bucket, sort_col=sort
+                )
 
 
 class ExactDedupStore:
@@ -790,11 +996,12 @@ class ExactDedupStore:
     store absorbs).
     """
 
-    def __init__(self, spark, path: str, num_buckets: int = 32):
+    def __init__(self, spark, path: str, num_buckets: int = 256):
         self.spark = spark
         self.path = path.rstrip("/")
         self.num_buckets = num_buckets
         self._store_fs = _StoreFS(spark, self.path)
+        self._store_fs.recover("hashes")  # heal any interrupted compact
 
     def _exists(self) -> bool:
         return self._store_fs.exists("hashes")
@@ -804,7 +1011,12 @@ class ExactDedupStore:
 
     def probe_new(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         """Read-only: the subset of ``df`` that is NOT already in the
-        store and NOT a lower-id duplicate within the batch."""
+        store and NOT a lower-id duplicate within the batch.  The store
+        scan is pruned at two levels: partition filter on the batch's
+        bucket ids, plus a pushed ``In(content_hash, …)`` that parquet
+        evaluates against page statistics (:meth:`compact` sorts each
+        bucket by content_hash), so probe I/O stays o(store) even when
+        the batch's hashes touch every bucket directory."""
         hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
         # batch-internal: keep the lowest id per content hash (groupBy-min
         # + broadcast join back keeps map-side combine; renamed key avoids
@@ -819,13 +1031,33 @@ class ExactDedupStore:
         ).drop("_ch", "_keep_id")
         if not self._exists():
             return firsts
-        probe_bkts = [
+        probe_hashes = [
             r[0]
-            for r in hashed.select(self._bucket().alias("b")).distinct().collect()
+            for r in hashed.select("content_hash")
+            .distinct()
+            .limit(_MAX_PUSHED_KEYS + 1)
+            .collect()
         ]
-        store = self.spark.read.parquet(f"{self.path}/hashes").where(
-            F.col("bkt").isin(probe_bkts)
-        )
+        store = self.spark.read.parquet(f"{self.path}/hashes")
+        if len(probe_hashes) <= _MAX_PUSHED_KEYS:
+            probe_bkts = sorted(
+                {
+                    r[0]
+                    for r in hashed.select(self._bucket().alias("b"))
+                    .distinct()
+                    .collect()
+                }
+            )
+            store = store.where(
+                F.col("bkt").isin(probe_bkts)
+                & F.col("content_hash").isin(probe_hashes)
+            )
+        else:
+            probe_bkts = [
+                r[0]
+                for r in hashed.select(self._bucket().alias("b")).distinct().collect()
+            ]
+            store = store.where(F.col("bkt").isin(probe_bkts))
         seen = (
             store.join(
                 F.broadcast(hashed.select("content_hash").distinct()),
@@ -837,25 +1069,54 @@ class ExactDedupStore:
         )
         return firsts.join(F.broadcast(seen), "content_hash", "left_anti")
 
+    def absorb(self, survivors: DataFrame, text_col: str, id_col: str) -> None:
+        """Record ``survivors`` (already probed and sunk by the caller)
+        as accepted — the mutating half of the at-least-once split (sink
+        BEFORE absorb; see :class:`MinHashDedupStore` docstring)."""
+        with self._store_fs.lock("absorb"):
+            (
+                survivors.select(F.md5(F.col(text_col)).alias("content_hash"))
+                .distinct()
+                .withColumn("bkt", self._bucket())
+                .repartition(F.col("bkt"))
+                .write.mode("append")
+                .partitionBy("bkt")
+                .parquet(f"{self.path}/hashes")
+            )
+
     def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        """Return the exact-dup-free subset of ``df`` (first occurrence
-        wins across ALL prior batches and within the batch by lowest id)
-        and absorb the survivors' content hashes.  Output columns =
-        input columns."""
+        """Probe + absorb in one call: return the exact-dup-free subset
+        of ``df`` (first occurrence wins across ALL prior batches and
+        within the batch by lowest id) and absorb the survivors' content
+        hashes.  Output columns = input columns.  Streaming callers
+        should sink between ``probe_new`` and ``absorb`` instead."""
         survivors = self.probe_new(df, text_col, id_col).localCheckpoint(
             eager=True
         )  # pin BEFORE the store mutates
-        survivors.select("content_hash").distinct().withColumn(
-            "bkt", self._bucket()
-        ).write.mode("append").partitionBy("bkt").parquet(f"{self.path}/hashes")
+        with self._store_fs.lock("absorb"):
+            (
+                survivors.select("content_hash")
+                .distinct()
+                .withColumn("bkt", self._bucket())
+                .repartition(F.col("bkt"))
+                .write.mode("append")
+                .partitionBy("bkt")
+                .parquet(f"{self.path}/hashes")
+            )
         return survivors.drop("content_hash")
 
     def compact(self, files_per_bucket: int = 1) -> None:
         """Rewrite the hash table with ``files_per_bucket`` files per
-        bucket (see :meth:`MinHashDedupStore.compact` — same contract)."""
-        self._store_fs.compact_table(
-            "hashes", "bkt", self.num_buckets * files_per_bucket
-        )
+        bucket, sorted by content_hash within each bucket so the probe's
+        pushed ``In`` filter page-prunes (see
+        :meth:`MinHashDedupStore.compact` — same contract)."""
+        with self._store_fs.lock("compact"):
+            self._store_fs.compact_table(
+                "hashes",
+                "bkt",
+                self.num_buckets * files_per_bucket,
+                sort_col="content_hash",
+            )
 
 
 class EmbeddingDedupStore:
@@ -865,20 +1126,46 @@ class EmbeddingDedupStore:
     duplicates whose text differs but whose embeddings coincide).
 
     IVF layout (operators/similarity.build_ivf_index pattern): centroids
-    are picked deterministically from the FIRST batch (smallest
-    xxhash64(id) — no trained model, stable across restarts) and frozen;
-    state is one append-only postings table (bucket, doc, vec)
-    partitioned by home bucket.  A probe assigns each new vector to its
-    ``nprobe`` nearest centroids, reads ONLY those bucket directories
-    (partition pruning; ≤ num_centroids ids collected), and broadcasts
-    the batch side — the store is never shuffled, same contract as the
-    sibling stores.  Recall is the IVF trade: a true near-dup pair's
-    vectors are nearly parallel, so they agree on home centroid (and a
-    fortiori on one of ``nprobe``) except when the pair straddles a
-    centroid boundary — raise ``nprobe`` to taste.
+    are picked deterministically from the FIRST absorbed batch (smallest
+    xxhash64(id) — no trained model, stable across restarts) and frozen
+    until :meth:`recluster`; state is one append-only postings table
+    (bucket, doc, vec) partitioned by home bucket.  A probe assigns each
+    new vector to its ``nprobe`` nearest centroids, reads ONLY those
+    bucket directories (partition pruning; ≤ num_centroids ids
+    collected), and broadcasts the batch side — the store is never
+    shuffled, same contract as the sibling stores.  Recall is the IVF
+    trade: a true near-dup pair's vectors are nearly parallel, so they
+    agree on home centroid (and a fortiori on one of ``nprobe``) except
+    when the pair straddles a centroid boundary — raise ``nprobe`` to
+    taste.
+
+    ``num_centroids`` is the probe-I/O denominator: each probe reads
+    ~``nprobe / num_centroids`` of the store, so the default (16) is a
+    small-corpus setting.  Guidance — size it so each centroid bucket
+    holds ~10^5–10^6 vectors (≈ sqrt(N) within a factor of a few):
+
+    =============  ==============  =====================
+    accepted docs  num_centroids   probe reads (~nprobe=2)
+    =============  ==============  =====================
+    ≤ 10^5         16              12%
+    10^6           64              3%
+    10^8           1024            0.2%
+    10^9+          4096–16384      ≲ 0.05%
+    =============  ==============  =====================
+
+    A skewed or tiny first batch yields unrepresentative frozen
+    centroids (lopsided buckets forever); :meth:`recluster` is the
+    offline maintenance path that re-picks centroids uniformly over ALL
+    accepted vectors (optionally Lloyd-refined), re-homes every posting,
+    and can change ``num_centroids`` — run it once the store has
+    outgrown its creation-time settings.
 
     Crash contract: state appends AFTER the survivor set is pinned;
     replays converge (their vectors now match themselves in the store).
+    :meth:`probe_dups` is strictly read-only (an empty-store probe uses
+    an ephemeral centroid pick and writes nothing); sink survivors
+    before :meth:`absorb` for true at-least-once (see
+    :class:`MinHashDedupStore` docstring).
     """
 
     def __init__(
@@ -897,6 +1184,35 @@ class EmbeddingDedupStore:
         self.nprobe = nprobe
         self.store_replicas = store_replicas
         self._store_fs = _StoreFS(spark, self.path)
+        self._recluster_recover()  # heal an interrupted two-table swap first
+        for sub in ("postings", "centroids"):
+            self._store_fs.recover(sub)  # then single-table compact leftovers
+
+    _RECLUSTER_MARK = "_recluster_inflight"
+
+    def _recluster_recover(self) -> None:
+        """Heal a crash inside :meth:`recluster`'s two-table swap.  The
+        commit point is the CENTROIDS swap (done last, with both
+        ``_old_`` trees retained until after it): while the staged
+        centroids (``_compact_centroids``) still exist the swap has not
+        committed — roll both tables BACK from their ``_old_`` trees;
+        once the staged centroids are gone the new pair is live — roll
+        FORWARD by just deleting leftovers.  Either way the store ends
+        with a centroid set and the postings homed under it."""
+        sfs = self._store_fs
+        if not sfs.exists(self._RECLUSTER_MARK):
+            return
+        roll_back = sfs.exists("_compact_centroids")
+        for sub in ("postings", "centroids"):
+            live, old, staged = sub, f"_old_{sub}", f"_compact_{sub}"
+            if roll_back and sfs.exists(old):
+                if sfs.exists(live):
+                    sfs._fs.delete(sfs._jpath(f"{self.path}/{live}"), True)
+                sfs._rename(f"{self.path}/{old}", f"{self.path}/{live}")
+            for leftover in (staged,) if roll_back else (staged, old):
+                if sfs.exists(leftover):
+                    sfs._fs.delete(sfs._jpath(f"{self.path}/{leftover}"), True)
+        sfs._fs.delete(sfs._jpath(f"{self.path}/{self._RECLUSTER_MARK}"), False)
 
     def _exists(self, sub: str) -> bool:
         return self._store_fs.exists(sub)
@@ -904,22 +1220,34 @@ class EmbeddingDedupStore:
     def compact(self, files_per_bucket: int = 1) -> None:
         """Rewrite the postings table with ``files_per_bucket`` files
         per centroid bucket (see :meth:`MinHashDedupStore.compact`)."""
-        self._store_fs.compact_table(
-            "postings", "bucket", self.num_centroids * files_per_bucket
+        with self._store_fs.lock("compact"):
+            self._store_fs.compact_table(
+                "postings", "bucket", self.num_centroids * files_per_bucket
+            )
+
+    def _pick_centroids(self, vecs: DataFrame, n: int) -> DataFrame:
+        """Deterministic uniform pick: the ``n`` vectors with the
+        smallest ``xxhash64(doc)`` — a content-independent uniform
+        sample, stable across runs and partitionings."""
+        return (
+            vecs.withColumn("_h", F.xxhash64("doc"))
+            .orderBy("_h")
+            .limit(n)
+            .select(F.col("doc").alias("centroid_id"), F.col("vec").alias("centvec"))
         )
 
-    def _centroids(self, batch_vecs: DataFrame) -> DataFrame:
-        """Load the frozen centroid set, creating it from this batch on
-        first use."""
+    def _load_centroids(self) -> DataFrame | None:
         if not self._exists("centroids"):
-            (
-                batch_vecs.withColumn("_h", F.xxhash64("doc"))
-                .orderBy("_h")
-                .limit(self.num_centroids)
-                .select(F.col("doc").alias("centroid_id"), F.col("vec").alias("centvec"))
-                .write.mode("overwrite")
-                .parquet(f"{self.path}/centroids")
-            )
+            return None
+        return self.spark.read.parquet(f"{self.path}/centroids")
+
+    def _ensure_centroids(self, batch_vecs: DataFrame) -> DataFrame:
+        """Load the frozen centroid set, creating it from this batch on
+        first ABSORB (never from a probe)."""
+        if not self._exists("centroids"):
+            self._pick_centroids(batch_vecs, self.num_centroids).write.mode(
+                "overwrite"
+            ).parquet(f"{self.path}/centroids")
         return self.spark.read.parquet(f"{self.path}/centroids")
 
     def _assign(self, vecs: DataFrame, centroids: DataFrame, top_n: int) -> DataFrame:
@@ -941,15 +1269,21 @@ class EmbeddingDedupStore:
         )
 
     def probe_dups(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-        """Read-only: ids in ``df`` whose vector matches (cosine ≥
-        threshold) an accepted vector in a probed bucket, or a lower-id
-        batch row sharing a home bucket."""
+        """STRICTLY read-only: ids in ``df`` whose vector matches
+        (cosine ≥ threshold) an accepted vector in a probed bucket, or a
+        lower-id batch row sharing a home bucket.  Against an empty
+        store, batch-internal candidates are bucketed by an EPHEMERAL
+        deterministic centroid pick from this batch — nothing is
+        written, so probing can never freeze centroids from a batch that
+        is never absorbed."""
         from .similarity import cosine
 
         vecs = df.select(
             F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
         ).localCheckpoint(eager=True)  # feeds centroid-init + 2 assigns
-        centroids = self._centroids(vecs)
+        centroids = self._load_centroids()
+        if centroids is None:
+            centroids = self._pick_centroids(vecs, self.num_centroids)
         probes = self._assign(vecs, centroids, self.nprobe).localCheckpoint(eager=True)
 
         # batch-internal: any shared probe bucket, keep the lower id
@@ -982,22 +1316,111 @@ class EmbeddingDedupStore:
         )
         return cross.unionByName(internal).distinct()
 
+    def absorb(self, survivors: DataFrame, vec_col: str, id_col: str) -> None:
+        """Record ``survivors`` (already probed and sunk by the caller)
+        as accepted — the mutating half of the at-least-once split.
+        Freezes the centroid set from the first absorbed batch."""
+        vecs = survivors.select(
+            F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+        )
+        with self._store_fs.lock("absorb"):
+            centroids = self._ensure_centroids(vecs)
+            homes = self._assign(vecs, centroids, self.store_replicas).select(
+                "bucket", "doc", "vec"
+            )
+            homes.repartition(F.col("bucket")).write.mode("append").partitionBy(
+                "bucket"
+            ).parquet(f"{self.path}/postings")
+
     def process_batch(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-        """Return the semantically-novel subset of ``df`` and absorb its
-        vectors.  Output columns = input columns."""
+        """Probe + absorb in one call: return the semantically-novel
+        subset of ``df`` and absorb its vectors.  Output columns = input
+        columns.  Streaming callers should sink between ``probe_dups``
+        and ``absorb`` instead (see :class:`MinHashDedupStore`)."""
         dup_ids = self.probe_dups(df, vec_col, id_col)
         survivors = df.join(
             dup_ids.withColumnRenamed("dup", id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # pin BEFORE the store mutates
-
-        vecs = survivors.select(
-            F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
-        )
-        centroids = self._centroids(vecs)
-        homes = self._assign(vecs, centroids, self.store_replicas).select(
-            "bucket", "doc", "vec"
-        )
-        homes.write.mode("append").partitionBy("bucket").parquet(
-            f"{self.path}/postings"
-        )
+        self.absorb(survivors, vec_col, id_col)
         return survivors
+
+    def recluster(
+        self, num_centroids: int | None = None, lloyd_iters: int = 2
+    ) -> None:
+        """Offline maintenance: re-pick centroids uniformly over ALL
+        accepted vectors, refine them with ``lloyd_iters`` k-means
+        iterations, and RE-HOME every posting — the escape hatch from an
+        unrepresentative (tiny/skewed) first batch, and the way to scale
+        ``num_centroids`` as the store grows (see the class-docstring
+        sizing table).  Deterministic (hash-ordered seeding, no RNG), so
+        two runs over the same state converge to the same centroids.
+
+        Swap discipline mirrors :meth:`_StoreFS.compact_table`: the new
+        centroids and re-homed postings are staged next to the live
+        trees and swapped in with checked renames, so probes stay
+        consistent until the swap and a crash at any point is healed by
+        the recovery pass on the next store open."""
+        with self._store_fs.lock("recluster"):
+            self._recluster_recover()
+            self._store_fs.recover("postings")
+            self._store_fs.recover("centroids")
+            if not self._exists("postings"):
+                if num_centroids is not None:
+                    self.num_centroids = num_centroids
+                return
+            n = num_centroids if num_centroids is not None else self.num_centroids
+            vecs = (
+                self.spark.read.parquet(f"{self.path}/postings")
+                .select("doc", "vec")
+                .dropDuplicates(["doc"])  # collapse the store_replicas copies
+                .localCheckpoint(eager=True)  # feeds seeding + every Lloyd pass
+            )
+            cents = self._pick_centroids(vecs, n)
+            for _ in range(max(0, lloyd_iters)):
+                # one Lloyd step, all DataFrame ops: assign each vector to
+                # its nearest centroid, then take the element-wise mean per
+                # cluster (posexplode → avg per position → re-assemble).
+                assigned = self._assign(vecs, cents, 1).select("doc", "vec", "bucket")
+                cents = (
+                    assigned.select("bucket", F.posexplode("vec").alias("pos", "v"))
+                    .groupBy("bucket", "pos")
+                    .agg(F.avg("v").alias("m"))
+                    .groupBy("bucket")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                            lambda s: s["m"].cast("double"),
+                        ).alias("centvec")
+                    )
+                    .select(F.col("bucket").alias("centroid_id"), "centvec")
+                )
+            # cast refined centroids back to the postings' vector type so
+            # downstream cosine math sees a consistent element type
+            elem_t = dict(vecs.dtypes)["vec"]
+            cents = cents.select(
+                "centroid_id", F.col("centvec").cast(elem_t).alias("centvec")
+            )
+            cents.write.mode("overwrite").parquet(f"{self.path}/_compact_centroids")
+            homes = self._assign(
+                vecs, self.spark.read.parquet(f"{self.path}/_compact_centroids"),
+                self.store_replicas,
+            ).select("bucket", "doc", "vec")
+            homes.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(f"{self.path}/_compact_postings")
+            # All-or-nothing swap of BOTH tables: postings homes are only
+            # meaningful under the centroid set that assigned them, so a
+            # crash may not leave one table new and the other old.  The
+            # inflight marker + deferred _old_ deletion gives
+            # _recluster_recover an unambiguous decision point: roll BACK
+            # while the staged centroids still exist, roll FORWARD once
+            # the centroid swap (the commit point) has happened.
+            sfs = self._store_fs
+            sfs._fs.createNewFile(sfs._jpath(f"{self.path}/{self._RECLUSTER_MARK}"))
+            for sub in ("postings", "centroids"):  # centroids last = commit
+                sfs._rename(f"{self.path}/{sub}", f"{self.path}/_old_{sub}")
+                sfs._rename(f"{self.path}/_compact_{sub}", f"{self.path}/{sub}")
+            for sub in ("postings", "centroids"):
+                sfs._fs.delete(sfs._jpath(f"{self.path}/_old_{sub}"), True)
+            sfs._fs.delete(sfs._jpath(f"{self.path}/{self._RECLUSTER_MARK}"), False)
+            self.num_centroids = n

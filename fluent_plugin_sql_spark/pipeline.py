@@ -400,6 +400,9 @@ class Pipeline:
             tag = self.in_cfg.tag_for(t)
 
             n_batches = {"n": 0}
+            # parse once, outside the per-batch handler; 0/None disables
+            _raw_every = src.get("dedup_compact_every", 64)
+            compact_every = int(_raw_every) if _raw_every else 0
 
             def handle(
                 batch_df: DataFrame,
@@ -409,31 +412,62 @@ class Pipeline:
                 _xstore: Any = xstores.get(t.table),
                 _estore: Any = estores.get(t.table),
                 _n: dict = n_batches,
+                _every: int = compact_every,
             ) -> None:
+                # at-least-once ordering: every store PROBE is read-only;
+                # the sink write happens on the pinned survivor set BEFORE
+                # any store absorbs it.  A crash between sink and absorb
+                # re-emits one batch's dups on replay (at-least-once); the
+                # reverse order would make a replayed batch look like dups
+                # of itself and silently drop it (at-most-once loss).
+                survivors = batch_df
                 if _xstore is not None:
-                    batch_df = _xstore.process_batch(
-                        batch_df,
+                    survivors = _xstore.probe_new(
+                        survivors,
+                        xd_cfg.get("text_col", "text"),
+                        xd_cfg.get("id_col", "doc_id"),
+                    ).drop("content_hash")
+                if _store is not None:
+                    _id = nd_cfg.get("id_col", "doc_id")
+                    dups = _store.probe_dups(
+                        survivors, nd_cfg.get("text_col", "text"), _id
+                    )
+                    survivors = survivors.join(
+                        dups.withColumnRenamed("dup", _id), _id, "left_anti"
+                    )
+                if _estore is not None:
+                    _id = ed_cfg.get("id_col", "vec_id")
+                    dups = _estore.probe_dups(
+                        survivors, ed_cfg.get("vec_col", "embedding"), _id
+                    )
+                    survivors = survivors.join(
+                        dups.withColumnRenamed("dup", _id), _id, "left_anti"
+                    )
+                survivors = survivors.localCheckpoint(eager=True)  # pin
+                self.output.write_batch(survivors.withColumn("tag", F.lit(_tag)))
+                if _xstore is not None:
+                    _xstore.absorb(
+                        survivors,
                         xd_cfg.get("text_col", "text"),
                         xd_cfg.get("id_col", "doc_id"),
                     )
                 if _store is not None:
-                    batch_df = _store.process_batch(
-                        batch_df,
+                    _store.absorb(
+                        survivors,
                         nd_cfg.get("text_col", "text"),
                         nd_cfg.get("id_col", "doc_id"),
                     )
                 if _estore is not None:
-                    batch_df = _estore.process_batch(
-                        batch_df,
+                    _estore.absorb(
+                        survivors,
                         ed_cfg.get("vec_col", "embedding"),
                         ed_cfg.get("id_col", "vec_id"),
                     )
-                self.output.write_batch(batch_df.withColumn("tag", F.lit(_tag)))
                 # every micro-batch appends one small file per touched
                 # store bucket; periodic compaction keeps probe latency
                 # from decaying into file-open overhead on long streams
                 _n["n"] += 1
-                if _n["n"] % int(src.get("dedup_compact_every", 64)) == 0:
+                if _every and _n["n"] % _every == 0:
                     for st_ in (_store, _xstore, _estore):
                         if st_ is not None:
                             st_.compact()

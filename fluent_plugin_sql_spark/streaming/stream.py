@@ -164,10 +164,14 @@ def near_dedup_stream(
     dedup misses, with state that is O(signature) per accepted doc, not
     O(text).
 
-    Delivery composes with the store's crash contract: a replayed batch
-    re-probes the store, its already-accepted docs now LOOK like dups of
-    themselves and are filtered — so replays converge instead of
-    double-inserting (self-healing at-least-once).
+    Delivery is TRUE at-least-once: each micro-batch is (1) probed
+    read-only against the store, (2) the pinned survivor set is written
+    to ``sink``, and only then (3) absorbed into the store.  A crash
+    between sink and absorb re-emits one batch's near-dups on replay —
+    the replayed batch re-probes, already-accepted docs look like dups
+    of themselves and are filtered, so replays converge.  (The reverse
+    order — absorb before sink — would make a replayed batch look like
+    dups of ITSELF and silently drop it: at-most-once loss.)
 
     ``compact_every``: every N batches the store's state tables are
     rewritten to one file per bucket (``MinHashDedupStore.compact``) —
@@ -177,8 +181,12 @@ def near_dedup_stream(
     batches_seen = {"n": 0}
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        survivors = store.process_batch(batch_df, text_col, id_col)
+        dups = store.probe_dups(batch_df, text_col, id_col)
+        survivors = batch_df.join(
+            dups.withColumnRenamed("dup", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # pin before sink + absorb
         sink(survivors, epoch_id)
+        store.absorb(survivors, text_col, id_col)
         batches_seen["n"] += 1
         if compact_every and batches_seen["n"] % compact_every == 0:
             store.compact()

@@ -313,7 +313,9 @@ def test_dedup_store_compact_preserves_probes(spark, tmp_path):
     from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
 
     path = str(tmp_path / "store_c")
-    store = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    # few buckets on purpose: every append then hits the SAME bucket
+    # dirs, accumulating one file per append — the decay compact() fixes
+    store = MinHashDedupStore(spark, path, sig_match_frac=0.5, num_buckets=4)
     texts = [
         "the quick brown fox jumps over the lazy dog near the river bank",
         "completely different content about spark shuffles and broadcasts",
@@ -332,7 +334,7 @@ def test_dedup_store_compact_preserves_probes(spark, tmp_path):
 
     # probe decisions identical post-compact: near-copy of doc 0 dropped,
     # novel doc kept — through a FRESH instance (on-disk state only)
-    store2 = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    store2 = MinHashDedupStore(spark, path, sig_match_frac=0.5, num_buckets=4)
     b = spark.createDataFrame(
         [
             (10, texts[0].replace("river", "ocean")),
@@ -552,3 +554,279 @@ def test_embedding_dedup_store_probe_never_shuffles_store_side(spark, tmp_path):
     pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("bucket" in p for p in pfs), plan
     assert {r["dup"] for r in probe.collect()} == {10}
+
+
+# --------------------------------------------------------------------------
+# round 6: store hardening — bounded probe I/O, crash recovery, writer lock,
+# probe purity, recluster maintenance
+
+
+def _scan_num_files(df) -> int:
+    """Execute ``df`` and sum the ``numFiles`` metric over its file-scan
+    nodes — the files actually selected after partition pruning (the
+    planning-time inputFiles() does NOT reflect pruning)."""
+    df.collect()
+    total = {"n": 0}
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    total["n"] += int(kv._2().value())
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total["n"]
+
+
+def test_dedup_store_probe_io_bounded_as_store_grows(spark, tmp_path):
+    """The probe's store read must be o(store): growing the store by
+    more batches must NOT grow the files a (compacted) probe reads —
+    partition pruning bounds it by the probe's touched buckets, and the
+    pushed In(bkh) filter bounds rows within them."""
+    from fluent_plugin_sql_spark.operators.dedup import (
+        MinHashDedupStore,
+        _band_key_rows,
+        minhash_signatures,
+    )
+
+    path = str(tmp_path / "store_growth")
+    store = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+
+    def grow(ids):
+        # every doc's token set is disjoint from every other's, so each
+        # batch genuinely grows the store (no cross-doc near-dups)
+        b = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in ids],
+            "doc_id LONG, text STRING",
+        )
+        store.process_batch(b, "text", "doc_id")
+
+    probe_batch = spark.createDataFrame(
+        [(999, "totally novel probe words qq ww ee rr tt yy uu ii oo pp")],
+        "doc_id LONG, text STRING",
+    )
+    sig = minhash_signatures(probe_batch, "text", "doc_id", store.num_hashes, store.k)
+    bk = _band_key_rows(sig, store.num_hashes, store.bands)
+
+    grow(range(0, 40))
+    store.compact()
+    files_small = _scan_num_files(store._pruned_band_key_scan(bk))
+    total_small = len(
+        list((tmp_path / "store_growth" / "band_keys").rglob("*.parquet"))
+    )
+
+    for start in (40, 80, 120):
+        grow(range(start, start + 40))
+    store.compact()
+    files_large = _scan_num_files(store._pruned_band_key_scan(bk))
+    total_large = len(
+        list((tmp_path / "store_growth" / "band_keys").rglob("*.parquet"))
+    )
+
+    # the store grew (more buckets now populated) but the probe's file
+    # count did not grow beyond its own touched-bucket bound
+    assert total_large > total_small
+    assert files_large <= max(files_small, 6)  # ≤ bands buckets for 1 doc
+    # and both pruning levels are visible in the plan
+    plan = store._pruned_band_key_scan(bk)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bkt" in plan
+    assert "PushedFilters" in plan and "In(bkh" in plan, plan
+
+
+def test_exact_store_probe_pushes_hash_filter(spark, tmp_path):
+    """ExactDedupStore's probe must push both the bucket partition
+    filter and the In(content_hash) data filter into the store scan."""
+    from fluent_plugin_sql_spark.operators.dedup import ExactDedupStore
+
+    path = str(tmp_path / "xstore_push")
+    store = ExactDedupStore(spark, path)
+    b1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "ccc")], "doc_id LONG, text STRING"
+    )
+    store.process_batch(b1, "text", "doc_id")
+    b2 = spark.createDataFrame([(4, "aaa"), (5, "new")], "doc_id LONG, text STRING")
+    plan = (
+        store.probe_new(b2, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bkt" in plan
+    assert "In(content_hash" in plan, plan
+    surv = store.probe_new(b2, "text", "doc_id")
+    assert {r["doc_id"] for r in surv.collect()} == {5}
+
+
+def test_store_compact_crash_recovery(spark, tmp_path):
+    """A crash at ANY point of the compaction swap must leave (or
+    restore) a complete live table on the next store open — the three
+    interrupted states are staged manually and each must heal."""
+    import shutil
+
+    from fluent_plugin_sql_spark.operators.dedup import ExactDedupStore
+
+    path = tmp_path / "xstore_crash"
+    store = ExactDedupStore(spark, str(path))
+    b = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    store.process_batch(b, "text", "doc_id")
+    live = path / "hashes"
+
+    # state 1: crash BEFORE the swap — partial staging dir, live intact
+    shutil.copytree(live, path / "_compact_hashes")
+    (path / "_compact_hashes" / "_SUCCESS").unlink(missing_ok=True)  # partial
+    s2 = ExactDedupStore(spark, str(path))
+    assert live.exists() and not (path / "_compact_hashes").exists()
+
+    # state 2: crash MID-swap — live renamed away, staged complete
+    shutil.copytree(live, path / "_compact_hashes")
+    (path / "_compact_hashes" / "_SUCCESS").touch()
+    live.rename(path / "_old_hashes")
+    s3 = ExactDedupStore(spark, str(path))
+    assert live.exists()
+    assert not (path / "_old_hashes").exists()
+    assert not (path / "_compact_hashes").exists()
+
+    # state 3: crash AFTER the swap, before cleanup — stale _old_ left
+    shutil.copytree(live, path / "_old_hashes")
+    s4 = ExactDedupStore(spark, str(path))
+    assert live.exists() and not (path / "_old_hashes").exists()
+
+    # the healed store still dedups: all 8 hashes are present
+    replay = s4.probe_new(b, "text", "doc_id")
+    assert replay.count() == 0
+
+    # and a compact interrupted mid-swap heals even when rename would
+    # have silently failed before (leftover _old_ dir): recovery runs at
+    # compact start too
+    shutil.copytree(live, path / "_old_hashes")
+    s4.compact()
+    assert s4.probe_new(b, "text", "doc_id").count() == 0
+
+
+def test_store_single_writer_lock(spark, tmp_path):
+    """Mutations fail FAST when another writer holds the lock, and the
+    lock is released afterwards (no deadlock on the happy path)."""
+    import pytest
+
+    from fluent_plugin_sql_spark.operators.dedup import (
+        ConcurrentStoreWriterError,
+        ExactDedupStore,
+    )
+
+    path = str(tmp_path / "xstore_lock")
+    store = ExactDedupStore(spark, path)
+    b = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
+    with store._store_fs.lock("other-writer"):
+        with pytest.raises(ConcurrentStoreWriterError):
+            store.process_batch(b, "text", "doc_id")
+    # lock released by the context manager: mutation now succeeds
+    store.process_batch(b, "text", "doc_id")
+    assert not (tmp_path / "xstore_lock" / "_writer.lock").exists()
+
+
+def test_embedding_probe_dups_is_read_only(spark, tmp_path):
+    """probe_dups against an EMPTY store must detect batch-internal dups
+    and write NOTHING — probing a batch that is never absorbed must not
+    freeze centroids from it."""
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    path = tmp_path / "estore_pure"
+    store = EmbeddingDedupStore(spark, str(path), threshold=0.9)
+    b = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),  # near-parallel to 1 → internal dup
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    dups = store.probe_dups(b, "embedding", "vec_id")
+    assert {r["dup"] for r in dups.collect()} == {2}
+    assert not (path / "centroids").exists()
+    assert not (path / "postings").exists()
+
+
+def test_embedding_store_recluster_after_skewed_first_batch(spark, tmp_path):
+    """recluster() re-picks centroids over ALL accepted vectors and
+    re-homes postings: after a tiny skewed first batch froze a
+    2-centroid universe, recall must still hold post-recluster (near-dup
+    of an accepted vector detected), the store row set is preserved, and
+    num_centroids can be raised in place."""
+    import math
+
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    path = str(tmp_path / "estore_rc")
+    store = EmbeddingDedupStore(
+        spark, path, threshold=0.95, num_centroids=2, nprobe=1, store_replicas=1
+    )
+    # skewed first batch: both vectors in one tight cone
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.01, 0.0]), (2, [1.0, 0.0, 0.01])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    store.process_batch(b1, "embedding", "vec_id")
+    # broader corpus afterwards: 16 directions on a circle
+    rows = [
+        (10 + i, [math.cos(i * math.pi / 8), math.sin(i * math.pi / 8), 0.0])
+        for i in range(16)
+    ]
+    b2 = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    accepted = store.process_batch(b2, "embedding", "vec_id")
+    n_accepted = accepted.count() + 2
+
+    store.recluster(num_centroids=6)
+    assert store.num_centroids == 6
+    # row set preserved (replicas collapse to one posting per doc here)
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.select("doc").distinct().count() == n_accepted
+    assert spark.read.parquet(f"{path}/centroids").count() == 6
+
+    # recall after recluster THROUGH A FRESH INSTANCE: a near-copy of an
+    # accepted vector is caught, a novel orthogonal one is not
+    store2 = EmbeddingDedupStore(
+        spark, path, threshold=0.95, num_centroids=6, nprobe=2, store_replicas=1
+    )
+    probe = spark.createDataFrame(
+        [(100, [1.0, 0.005, 0.005]), (101, [0.0, 0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    dups = {r["dup"] for r in store2.probe_dups(probe, "embedding", "vec_id").collect()}
+    assert 100 in dups and 101 not in dups
+
+
+def test_near_dedup_probe_then_absorb_survives_sink_failure(spark, tmp_path):
+    """The streaming order is probe → sink → absorb: if the sink fails,
+    the store must be UNCHANGED so the replayed batch still reaches the
+    sink (true at-least-once; absorb-first would silently drop it)."""
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+
+    path = tmp_path / "store_alo"
+    store = MinHashDedupStore(spark, str(path), sig_match_frac=0.5, num_buckets=8)
+    b = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog by the river")],
+        "doc_id LONG, text STRING",
+    )
+    # attempt 1: probe succeeds, sink "crashes" BEFORE absorb
+    dups = store.probe_dups(b, "text", "doc_id")
+    survivors = b.join(dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti")
+    survivors.localCheckpoint(eager=True)
+    assert not (path / "band_keys").exists()  # probe wrote nothing
+
+    # attempt 2 (replay): full probe → sink → absorb; row reaches sink
+    dups2 = store.probe_dups(b, "text", "doc_id")
+    survivors2 = b.join(
+        dups2.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    assert survivors2.count() == 1  # NOT swallowed as a dup of itself
+    store.absorb(survivors2, "text", "doc_id")
+
+    # attempt 3 (replay AFTER absorb): converges — row filtered as dup
+    dups3 = store.probe_dups(b, "text", "doc_id")
+    assert {r["dup"] for r in dups3.collect()} == {1}
