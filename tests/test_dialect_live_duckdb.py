@@ -10,8 +10,11 @@ AND the `FETCH FIRST n ROWS ONLY` row-cap the oracle/db2/mssql dialects
 emit.  These tests EXECUTE the generated poll SQL on DuckDB — a second
 independent SQL parser + executor — rather than only asserting on
 strings, closing the single-live-engine risk as far as this container
-allows (MySQL backtick/backslash forms have no in-container executor and
-stay covered by the string-level tests in test_incremental.py).
+allows.  The MySQL backtick/LIMIT family is live-executed the same way
+on stdlib sqlite3 (tests/test_dialect_live_sqlite.py); only MySQL's
+default backslash-escape rule remains string-asserted
+(test_incremental.py), since SQLite implements the
+NO_BACKSLASH_ESCAPES profile.
 """
 
 from __future__ import annotations
