@@ -295,6 +295,125 @@ def embedding_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
+@query(
+    "chained_dedup_stores",
+    # The oracle encodes the PIPELINE's staged semantics exactly — for
+    # each batch: exact first-per-text, then near-dedup against (a)
+    # batch-0 FINAL survivors (all three stores absorb only the final
+    # survivor set) and (b) lower-id neighbors in the near stage's own
+    # input, then embedding-dedup the same way.  This is deliberately
+    # NOT "greedy first-acceptance over the union relation": when dup
+    # relations chain across kinds (a text-dups b, b embedding-dups c),
+    # the staged pipeline's decisions differ from the one-relation
+    # greedy set, and at sf0.1 the corpus contains such chains — the
+    # staged CTE chain below is the true contract.  Estimator caveats as
+    # in the single-store gates: est-J ≈ exact-J and full IVF recall
+    # hold on this corpus by construction.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT d.doc_id AS id, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    pj AS ({_PAIR_JACCARD}),
+    tsym AS (
+      SELECT doc_a AS me, doc_b AS other FROM pj WHERE jaccard >= 0.8
+      UNION ALL
+      SELECT doc_b AS me, doc_a AS other FROM pj WHERE jaccard >= 0.8
+    ),
+    esym AS (
+      SELECT a.id AS me, b.id AS other
+      FROM corpus a JOIN corpus b ON a.id != b.id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 4) >= 0.48
+    ),
+    b0 AS (SELECT id, text FROM corpus WHERE id % 2 = 0),
+    x0 AS (SELECT id FROM (SELECT id, row_number() OVER (
+             PARTITION BY text ORDER BY id) AS rn FROM b0) WHERE rn = 1),
+    n0 AS (SELECT id FROM x0 d WHERE NOT EXISTS (
+             SELECT 1 FROM tsym s JOIN x0 e ON e.id = s.other
+             WHERE s.me = d.id AND e.id < d.id)),
+    e0 AS (SELECT id FROM n0 d WHERE NOT EXISTS (
+             SELECT 1 FROM esym s JOIN n0 e ON e.id = s.other
+             WHERE s.me = d.id AND e.id < d.id)),
+    b1 AS (SELECT id, text FROM corpus WHERE id % 2 = 1),
+    x1 AS (SELECT id FROM (
+             SELECT b.id, row_number() OVER (
+               PARTITION BY b.text ORDER BY b.id) AS rn
+             FROM b1 b
+             WHERE NOT EXISTS (SELECT 1 FROM e0 a JOIN corpus c ON c.id = a.id
+                               WHERE c.text = b.text)
+           ) WHERE rn = 1),
+    n1 AS (SELECT id FROM x1 d
+           WHERE NOT EXISTS (SELECT 1 FROM tsym s WHERE s.me = d.id
+                             AND s.other IN (SELECT id FROM e0))
+             AND NOT EXISTS (SELECT 1 FROM tsym s JOIN x1 e ON e.id = s.other
+                             WHERE s.me = d.id AND e.id < d.id)),
+    e1 AS (SELECT id FROM n1 d
+           WHERE NOT EXISTS (SELECT 1 FROM esym s WHERE s.me = d.id
+                             AND s.other IN (SELECT id FROM e0))
+             AND NOT EXISTS (SELECT 1 FROM esym s JOIN n1 e ON e.id = s.other
+                             WHERE s.me = d.id AND e.id < d.id))
+    SELECT id AS doc_id, 0 AS batch FROM e0
+    UNION ALL
+    SELECT id AS doc_id, 1 AS batch FROM e1
+    """,
+)
+def chained_dedup_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full store family composed end-to-end the way
+    ``pipeline.Pipeline.run_streaming`` interposes them (exact →
+    MinHash-near → embedding), over one corpus (documents ⋈ embeddings
+    on id) split into two batches — using the at-least-once split API
+    (read-only probes, pin, then absorb the FINAL survivor set into all
+    three stores), exactly the streaming contract.  Survivor = novel by
+    content hash AND by estimated Jaccard AND by embedding cosine."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import (
+        EmbeddingDedupStore,
+        ExactDedupStore,
+        MinHashDedupStore,
+    )
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    corpus = docs.join(
+        emb, docs["doc_id"] == emb["vec_id"], "inner"
+    ).select("doc_id", "text", "embedding")
+    path = tempfile.mkdtemp(prefix="chained_dedup_gate_")
+    try:
+        xstore = ExactDedupStore(spark, f"{path}/exact")
+        nstore = MinHashDedupStore(spark, f"{path}/near", sig_match_frac=0.5)
+        estore = EmbeddingDedupStore(
+            spark,
+            f"{path}/emb",
+            threshold=0.48,
+            num_centroids=16,
+            nprobe=6,
+            store_replicas=3,
+        )
+        out = None
+        for batch in (0, 1):
+            b = corpus.where(F.col("doc_id") % 2 == batch)
+            surv = xstore.probe_new(b, "text", "doc_id").drop("content_hash")
+            dups = nstore.probe_dups(surv, "text", "doc_id")
+            surv = surv.join(
+                dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
+            )
+            dups = estore.probe_dups(surv, "embedding", "doc_id")
+            surv = surv.join(
+                dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)  # pin: sink-then-absorb point
+            xstore.absorb(surv, "text", "doc_id")
+            nstore.absorb(surv, "text", "doc_id")
+            estore.absorb(surv, "embedding", "doc_id")
+            s = surv.select("doc_id", (F.col("doc_id") % 2).alias("batch"))
+            out = s if out is None else out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 # ------------------------------------------------------- similarity search
 @query(
     "ann_bruteforce_top5",
