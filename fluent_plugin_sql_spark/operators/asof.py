@@ -92,6 +92,33 @@ def _broadcast_threshold_bytes(df: DataFrame) -> int:
         return 10 << 20
 
 
+# auto-strategy probe memo: logical-plan semantic hash -> "is small".
+# Poll loops re-build the same interval_join every trigger; without the
+# memo each build pays a bounded count JOB when Catalyst's estimate is
+# garbage (LocalRelation-backed plans).  Safe to cache per plan: the
+# plans whose estimates are garbage are LocalRelations (immutable data),
+# while file-backed plans re-read their (growing) file stats each build
+# and never reach the probe.  Bounded FIFO so a long-lived driver that
+# builds many distinct plans can't grow it without bound.
+_PROBE_MEMO: dict[int, bool] = {}
+_PROBE_MEMO_MAX = 256
+
+
+def _probe_is_small(right: DataFrame, max_rows: int) -> bool:
+    try:
+        key = right._jdf.queryExecution().analyzed().semanticHash()  # noqa: SLF001
+    except Exception:  # plan not hashable -> just probe
+        key = None
+    if key is not None and key in _PROBE_MEMO:
+        return _PROBE_MEMO[key]
+    small = right.limit(max_rows + 1).count() <= max_rows
+    if key is not None:
+        while len(_PROBE_MEMO) >= _PROBE_MEMO_MAX:
+            _PROBE_MEMO.pop(next(iter(_PROBE_MEMO)))
+        _PROBE_MEMO[key] = small
+    return small
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -101,6 +128,7 @@ def interval_join(
     how: str = "inner",
     strategy: str = "auto",
     bucket_width_seconds: int | None = None,
+    size_hint_rows: int | None = None,
 ) -> DataFrame:
     """Point-in-interval join: left rows matched to right intervals with
     ``start <= ts < end`` (J7).
@@ -119,6 +147,11 @@ def interval_join(
       average replication factor at a small constant.
     - ``auto`` (default): broadcast iff Catalyst's size estimate for the
       interval side is under ``spark.sql.autoBroadcastJoinThreshold``.
+      When the estimate is garbage-big the bounded row probe's verdict
+      is MEMOIZED per logical plan (semantic hash), so a poll loop
+      re-building the same join pays the probe job once, not per
+      trigger; ``size_hint_rows`` — the caller's own row-count knowledge
+      of the interval side — skips estimate and probe entirely.
 
     The bucketized path supports ``inner``/``left``/``left_semi``/
     ``left_anti`` (a left row has exactly one bucket, so unmatched left
@@ -135,11 +168,14 @@ def interval_join(
         # bounded row probe (LocalRelations behind projections report a
         # garbage default estimate, and 1e6 intervals ≈ tens of MB is still
         # comfortably broadcastable).
-        threshold = _broadcast_threshold_bytes(right)
-        small = _estimated_bytes(right) <= threshold
-        if not small and threshold > 0:
-            max_rows = 1_000_000
-            small = right.limit(max_rows + 1).count() <= max_rows
+        max_rows = 1_000_000
+        if size_hint_rows is not None:
+            small = size_hint_rows <= max_rows
+        else:
+            threshold = _broadcast_threshold_bytes(right)
+            small = _estimated_bytes(right) <= threshold
+            if not small and threshold > 0:
+                small = _probe_is_small(right, max_rows)
         if not small and not bucketizable:
             raise ValueError(
                 f"interval_join how={how!r} requires broadcasting the interval "

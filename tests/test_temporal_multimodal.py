@@ -448,3 +448,52 @@ def test_interval_join_bucketized_matches_broadcast(spark):
             interval_join(events, iv, "t", "s", "e", how="full", strategy="auto")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_interval_join_auto_probe_memoized_and_size_hint(spark, monkeypatch):
+    """The auto strategy's bounded row probe must run AT MOST ONCE per
+    logical plan (poll loops rebuild the same join every trigger), and
+    size_hint_rows must skip estimate + probe entirely."""
+    from fluent_plugin_sql_spark.operators import asof as asof_mod
+    from fluent_plugin_sql_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (2, 15)], "id LONG, ts LONG"
+    )
+    right = spark.createDataFrame(
+        [(0, 10, "w1"), (10, 20, "w2")], "s LONG, e LONG, tag STRING"
+    )
+
+    # patch the CONCRETE DataFrame class (Spark 4 splits the ABC from
+    # classic/connect implementations; instances resolve count() there)
+    DataFrame = type(right)
+    calls = {"n": 0}
+    orig_count = DataFrame.count
+
+    def spy(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    monkeypatch.setattr(asof_mod, "_PROBE_MEMO", {})
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the estimate above threshold so auto reaches the probe
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        j1 = interval_join(left, right, "ts", "s", "e")
+        first = calls["n"]
+        assert first >= 1  # the probe ran once
+        j2 = interval_join(left, right, "ts", "s", "e")
+        assert calls["n"] == first  # memo hit: no second probe job
+        # size_hint: fresh plan, no probe, no estimate needed
+        right2 = spark.createDataFrame(
+            [(0, 10, "w1")], "s LONG, e LONG, tag STRING"
+        )
+        interval_join(left, right2, "ts", "s", "e", size_hint_rows=1)
+        assert calls["n"] == first
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    # decisions were identical: both plans produce the same rows
+    assert sorted(r["tag"] for r in j1.collect()) == sorted(
+        r["tag"] for r in j2.collect()
+    )
