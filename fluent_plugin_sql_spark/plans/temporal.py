@@ -298,3 +298,136 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.pow(F.lit(decay), c["m"]) * acc + c["s"]),
     )
     return summaries.groupBy("user_id").agg(F.round(fold, 6).alias("ewma"))
+
+
+@query(
+    "rollup_store_incremental",
+    # The oracle aggregates the RAW relation in one shot; the Spark side
+    # answers from MERGED PARTIALS absorbed in three batches — equality
+    # proves the algebraic-partial contract (count/sum add, min/max
+    # re-extremize) end-to-end through the store's commit protocol.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           count(*) AS rc,
+           sum(value) AS s_value,
+           min(value) AS mn_value,
+           max(value) AS mx_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_store_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/rollup.RollupStore):
+    events absorbed in three micro-batches (``event_id % 3``), answered
+    from merged partials — the materialized-rollup pattern the reference's
+    poll loop (in_sql.rb:136-161) forces downstream consumers to rebuild
+    from raw rows every interval.  absorb cost is O(batch), snapshot cost
+    is O(partials); raw history is never re-read."""
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_gate_")
+    try:
+        store = RollupStore(
+            spark, f"{path}/s", "ts", "1 hour",
+            dims=("event_type",), sum_cols=("value",),
+        )
+        for b in (0, 1, 2):
+            store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+        store.compact()
+        out = store.snapshot().select(
+            "w_start", "event_type", "rc", "s_value", "mn_value", "mx_value"
+        )
+        # pin before the scratch store is deleted (same contract as the
+        # dedup-store gates)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "rollup_store_time_range",
+    # Exercises the pday partition-pruned snapshot path: only day
+    # directories 2024-01-10..2024-01-16 are read (plan-asserted in
+    # tests/test_llm_ops.py::test_rollup_snapshot_prunes_day_partitions).
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           count(*) AS rc,
+           sum(value) AS s_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-17 00:00:00'
+    GROUP BY 1
+    """,
+)
+def rollup_store_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ranged rollup query: the snapshot's [start, end) filter prunes
+    day directories at planning time, so a one-week dashboard query over a
+    year of rollup state reads ~7/365ths of it — the access pattern
+    continuous aggregates exist for."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_range_gate_")
+    try:
+        store = RollupStore(spark, f"{path}/s", "ts", "1 hour", sum_cols=("value",))
+        for b in (0, 1):
+            store.absorb(ev.where(F.col("event_id") % 2 == b), f"b{b}")
+        out = store.snapshot(
+            start=datetime.datetime(2024, 1, 10),
+            end=datetime.datetime(2024, 1, 17),
+        ).select("w_start", "rc", "s_value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "rollup_store_approx_users",
+    # HLL sketches (Datasketches, lgk=12) stay in exact coupon mode far
+    # beyond these per-group cardinalities (max 51 distinct users/group at
+    # sf0.1), so the estimate is INTEGER-EXACT here and hash-comparable to
+    # the oracle's exact COUNT(DISTINCT) — verified at sf0.01 and sf0.1.
+    # At production cardinalities the estimate departs (±2.2% stderr); the
+    # merge/union path being exercised is identical either way.
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+           event_type,
+           count(DISTINCT user_id) AS nd_user_id
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_store_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct rollup: per-batch HLL sketch partials unioned at
+    query time (``hll_sketch_agg`` absorb-side / ``hll_union_agg``
+    merge-side) — the mergeable-sketch contract that makes distinct counts
+    maintainable incrementally at 100 TB, where exact per-window distinct
+    over raw history is a full re-shuffle per refresh."""
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_hll_gate_")
+    try:
+        store = RollupStore(
+            spark, f"{path}/s", "ts", "1 day",
+            dims=("event_type",), hll_cols=("user_id",),
+        )
+        for b in (0, 1, 2):
+            store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+        store.compact()  # unions sketches — estimate must be unchanged
+        out = store.snapshot().select("w_start", "event_type", "nd_user_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

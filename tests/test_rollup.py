@@ -1,0 +1,211 @@
+"""RollupStore (operators/rollup.py) — continuous-aggregate contract:
+
+- snapshot over merged partials ≡ one-shot aggregation of the raw union
+- exactly-once absorb (replayed batch_id is a committed no-op)
+- crash leftovers (staging dirs) are invisible and swept
+- compact is snapshot-preserving, including HLL sketch estimates
+- time-ranged snapshots prune day directories at planning time
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.operators.rollup import RollupStore
+
+SF_DIR_001 = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR_001}/events.parquet")
+
+
+def _direct(ev):
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum("value").alias("s_value"),
+            F.min("value").alias("mn_value"),
+            F.max("value").alias("mx_value"),
+        )
+        .withColumn("w_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def _snap_map(df):
+    return {
+        (r["w_start"], r["event_type"]): (
+            r["rc"],
+            round(r["s_value"], 6),
+            r["mn_value"],
+            r["mx_value"],
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.fixture
+def store_path(tmp_path):
+    return str(tmp_path / "rollup")
+
+
+def _mk(spark, path, **kw):
+    kw.setdefault("dims", ("event_type",))
+    kw.setdefault("sum_cols", ("value",))
+    return RollupStore(spark, path, "ts", "1 hour", **kw)
+
+
+def test_snapshot_matches_direct_aggregation(spark, store_path):
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    for b in range(3):
+        assert store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+    assert _snap_map(store.snapshot()) == _snap_map(_direct(ev))
+
+
+def test_absorb_is_exactly_once_on_replay(spark, store_path):
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    assert store.absorb(b0, "b0") is True
+    before = _snap_map(store.snapshot())
+    # redelivery of a committed batch (crash after commit): must no-op,
+    # NOT double-count — this is where blind parquet appends corrupt
+    assert store.absorb(b0, "b0") is False
+    assert _snap_map(store.snapshot()) == before
+
+
+def test_uncommitted_staging_is_invisible_and_swept(spark, store_path):
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    store.absorb(ev.where(F.col("event_id") % 2 == 0), "b0")
+    before = _snap_map(store.snapshot())
+    # simulate a crash BEFORE the commit rename: partials written to a
+    # staging dir that never got renamed into data/
+    ghost = store._partials(ev.where(F.col("event_id") % 2 == 1))
+    ghost.write.mode("overwrite").partitionBy("pday").parquet(
+        f"{store_path}/_absorb_deadbeef"
+    )
+    # invisible to snapshot (data/ is the only committed tree) ...
+    assert _snap_map(store.snapshot()) == before
+    # ... and swept on the next open
+    RollupStore(spark, store_path, "ts", "1 hour",
+                dims=("event_type",), sum_cols=("value",))
+    assert glob.glob(f"{store_path}/_absorb_*") == []
+
+
+def test_compact_preserves_snapshot_and_bounds_files(spark, store_path):
+    ev = _events(spark)
+    store = _mk(spark, store_path, hll_cols=("user_id",))
+    for b in range(4):
+        store.absorb(ev.where(F.col("event_id") % 4 == b), f"b{b}")
+    before = store.snapshot()
+    before_map = _snap_map(before.drop("nd_user_id"))
+    hll_before = {(r["w_start"], r["event_type"]): r["nd_user_id"]
+                  for r in before.collect()}
+    files_before = glob.glob(f"{store_path}/data/**/*.parquet", recursive=True)
+    store.compact()
+    after = store.snapshot()
+    assert _snap_map(after.drop("nd_user_id")) == before_map
+    # HLL union is associative: estimates survive the re-merge exactly
+    assert {(r["w_start"], r["event_type"]): r["nd_user_id"]
+            for r in after.collect()} == hll_before
+    files_after = glob.glob(f"{store_path}/data/**/*.parquet", recursive=True)
+    # 4 generations -> 1: at most one file per day remains
+    assert len(files_after) < len(files_before)
+    days = {f.rsplit("pday=", 1)[1].split("/")[0] for f in files_after}
+    assert len(files_after) == len(days)
+
+
+def test_snapshot_prunes_day_partitions(spark, store_path):
+    """The [start, end) filter must reach the scan as a pday partition
+    filter — at a year of state, a one-week query reads ~7/365ths.
+    Asserted on the EXECUTED plan's numFiles scan metric (planning-time
+    inputFiles() does not reflect partition pruning)."""
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    store.absorb(ev, "all")
+    start = datetime.datetime(2024, 1, 10)
+    end = datetime.datetime(2024, 1, 13)
+
+    def scan_num_files(df) -> int:
+        df.collect()
+        total = {"n": 0}
+
+        def walk(node):
+            if "Scan" in node.nodeName():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numFiles":
+                        total["n"] += int(kv._2().value())
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+        return total["n"]
+
+    all_files = scan_num_files(store._read())
+    ranged_files = scan_num_files(store._read(start, end))
+    # events span 30 days; absorb wrote ~1 file/day -> 3-day range must
+    # read ~3/30ths of the store's files
+    assert ranged_files < all_files
+    assert ranged_files <= 3 * max(1, all_files // 30 + 1)
+    plan = store._read(start, end)._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters: [" in plan and "pday" in plan
+    # and the ranged snapshot is correct, not just pruned
+    got = {
+        r["w_start"]: r["rc"]
+        for r in store.snapshot(start=start, end=end)
+        .groupBy(F.date_format("w_start", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum("rc").alias("rc"))
+        .withColumnRenamed("d", "w_start")
+        .collect()
+    }
+    want = {
+        r["d"]: r["rc"]
+        for r in ev.where(
+            (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("rc"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hll_estimate_exact_at_coupon_cardinalities(spark, store_path):
+    ev = _events(spark)
+    store = RollupStore(
+        spark, store_path, "ts", "1 day",
+        dims=("event_type",), hll_cols=("user_id",),
+    )
+    for b in range(3):
+        store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+    got = {
+        (r["w_start"], r["event_type"]): r["nd_user_id"]
+        for r in store.snapshot().collect()
+    }
+    want = {
+        (r["w"], r["event_type"]): r["nd"]
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_batch_id_must_be_path_safe(spark, store_path):
+    store = _mk(spark, store_path)
+    with pytest.raises(ValueError):
+        store.absorb(_events(spark), "a/b")
+    with pytest.raises(ValueError):
+        store.has_batch("x y")
