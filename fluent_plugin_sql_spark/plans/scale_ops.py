@@ -169,3 +169,54 @@ def salted_join_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("user_n").alias("weight")
     )
+
+
+@query(
+    "zorder_clustered_scan",
+    # The z-order rewrite is a LAYOUT change only — a filtered aggregate
+    # over the clustered copy must equal the same over the raw relation.
+    # (The multi-column file-skipping the layout buys is asserted from
+    # parquet footer stats in tests/test_lake_scale.py.)
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(value) AS total_value
+    FROM events
+    WHERE user_id < 8 AND value BETWEEN 20 AND 120
+    GROUP BY event_type
+    """,
+)
+def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering (sinks/lake.write_zordered): events
+    rewritten range-sorted by the interleaved (user_id, value) key, then
+    queried with a two-column predicate.  At 100 TB the clustered layout
+    prunes files/row-groups on EITHER column via parquet min-max stats —
+    Delta OPTIMIZE ZORDER BY, from stock DataFrame ops (one range
+    shuffle + in-partition sort)."""
+    import shutil
+    import tempfile
+
+    from ..sinks.lake import write_zordered
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="zorder_gate_")
+    try:
+        write_zordered(
+            ev.select("event_id", "user_id", "event_type", "value"),
+            f"{path}/z",
+            ["user_id", "value"],
+            num_files=16,
+            bits_per_col=6,
+        )
+        out = (
+            spark.read.parquet(f"{path}/z")
+            .where((F.col("user_id") < 8) & F.col("value").between(20, 120))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total_value"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

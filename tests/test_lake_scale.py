@@ -309,3 +309,72 @@ def test_merge_into_parquet_partitioned_crash_recovery_and_guards(spark, tmp_pat
             spark.createDataFrame([(1, "a b", 1.0)], "k LONG, p STRING, v DOUBLE"),
             ["k"], partition_cols=["p"],
         )
+
+
+# round 6: z-order clustering
+
+
+def _file_stats(path, cols):
+    """Per-file (min, max) of ``cols`` from parquet footers — the same
+    stats the reader's predicate pushdown skips row-groups with."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for c in cols:
+                st = md.row_group(rg).column(names[c]).statistics
+                mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+        out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def _hit_fraction(stats, col, lo, hi):
+    hits = sum(1 for s in stats if not (s[col][1] < lo or s[col][0] > hi))
+    return hits / len(stats)
+
+
+def test_zorder_write_skips_files_on_every_clustered_column(spark, tmp_path):
+    """Z-ordered layout must make per-file min/max stats selective on
+    BOTH clustered columns simultaneously; a plain sorted layout is only
+    selective on its leading column and a hash layout on neither."""
+    from fluent_plugin_sql_spark.sinks.lake import write_zordered
+
+    e = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    zpath, hpath, spath = (str(tmp_path / n) for n in ("z", "h", "s"))
+    write_zordered(e, zpath, ["user_id", "value"], num_files=16, bits_per_col=4)
+    e.repartition(16).write.parquet(hpath)  # hash layout control
+    # single-column sort control: perfect on user_id, blind on value
+    e.repartitionByRange(16, "user_id").sortWithinPartitions(
+        "user_id"
+    ).write.parquet(spath)
+
+    # identical contents (clustering is a layout change, not a transform)
+    assert (
+        spark.read.parquet(zpath).orderBy("event_id").collect()
+        == e.orderBy("event_id").collect()
+    )
+
+    zs = _file_stats(zpath, ["user_id", "value"])
+    hs = _file_stats(hpath, ["user_id", "value"])
+    ss = _file_stats(spath, ["user_id", "value"])
+    # selective range on each dimension (~1/4 of the domain)
+    # ~quarter of each dimension BY MASS (bins are equal-frequency):
+    # user_id 0-3 of 0-14; value [0, 15] ~ the 25th percentile
+    for col, lo, hi in (("user_id", 0, 3), ("value", 0.0, 15.0)):
+        z_frac = _hit_fraction(zs, col, lo, hi)
+        h_frac = _hit_fraction(hs, col, lo, hi)
+        assert z_frac < 0.7, (col, z_frac)
+        assert h_frac > 0.9, (col, h_frac)  # hash layout never skips
+        assert z_frac < h_frac
+    # the single-sorted control shows why z-order earns its shuffle: it
+    # cannot skip on the non-leading column
+    assert _hit_fraction(ss, "value", 0.0, 15.0) > 0.9
+    assert _hit_fraction(zs, "value", 0.0, 15.0) < 0.7
