@@ -385,3 +385,88 @@ def ivf_topk_from_index(
         .where(F.col("rank") <= k)
         .select("query_id", "match_id", "cos", "rank")
     )
+
+
+def append_ivf_index(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    skip_existing_ids: bool = True,
+) -> None:
+    """Fold new vectors into a persisted IVF index WITHOUT rebuilding it.
+
+    Centroids are frozen (read back from the index), so assignment of a
+    vector depends only on the vector itself — an index grown by appends
+    is bit-identical in content to one built from the full corpus in one
+    shot (asserted in tests), and the nightly full rebuild becomes an
+    occasional re-balance instead of a per-batch cost.  The append is
+    one broadcast-assign map over the NEW batch plus one write of ≤
+    touched-bucket files; the existing posting lists are never read
+    (except the bucket-pruned id check below) or rewritten.
+
+    ``skip_existing_ids``: redelivered ids (at-least-once upstream) are
+    dropped via a bucket-pruned, broadcast-only probe of the posting
+    lists — same I/O contract as the dedup stores' probes.  Even when
+    disabled, duplicate postings are harmless to search correctness:
+    ``ivf_topk_from_index`` dedups (query_id, match_id) candidates — a
+    replay costs storage, not wrong answers.  Concurrent appends are NOT
+    safe (plain parquet append); one writer per index, as with the
+    dedup stores.
+    """
+    from pyspark.sql import Window
+
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    c = new_vectors.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = c.join(F.broadcast(centroids)).select(
+        "match_id", "cvec", "centroid_id",
+        cosine(F.col("cvec"), F.col("centvec")).alias("_cc"),
+    )
+    w = Window.partitionBy("match_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
+    posting = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("centroid_id").alias("bucket"), "match_id", "cvec")
+    )
+    from .dedup import _StoreFS
+
+    if skip_existing_ids and _StoreFS(spark, index_path).exists("postings"):
+        touched = [r[0] for r in posting.select("bucket").distinct().collect()]
+        existing = spark.read.parquet(f"{index_path}/postings").where(
+            F.col("bucket").isin(touched)
+        )
+        seen = (
+            existing.join(
+                F.broadcast(posting.select("match_id").distinct()),
+                "match_id",
+                "left_semi",
+            )
+            .select("match_id")
+            .distinct()
+        )
+        posting = posting.join(F.broadcast(seen), "match_id", "left_anti")
+    (
+        posting.repartition(F.col("bucket"))  # one file per touched bucket
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )
+
+
+def compact_ivf_index(spark, index_path: str, files_per_bucket: int = 1) -> None:
+    """Bound small-file decay from repeated appends: rewrite the posting
+    lists preserving bucket partitioning via the crash-safe staging swap
+    (dedup._StoreFS — an interrupted compact is healed on the next
+    compact).  Bucket ids are unchanged, so probe pruning is identical
+    before and after."""
+    from .dedup import _StoreFS
+
+    fs = _StoreFS(spark, index_path)
+    with fs.lock("compact"):
+        n_buckets = spark.read.parquet(f"{index_path}/centroids").count()
+        fs.compact_table(
+            "postings", "bucket", n_buckets * files_per_bucket, sort_col="match_id"
+        )

@@ -582,6 +582,40 @@ def ann_ivf_from_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_append_top5")  # approximate + on-disk index → rows-only;
+# append≡full-build parity asserted exactly in tests/test_llm_ops.py
+def ann_ivf_append_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search an IVF index grown INCREMENTALLY: built on half the corpus,
+    the other half folded in with ``append_ivf_index`` (frozen centroids
+    → assignment is batch-independent, so the grown index carries exactly
+    the postings a one-shot build would).  This is the continuous-ingest
+    ANN shape: per-batch cost is one broadcast-assign map + one
+    bucket-partitioned append — the corpus-sized rebuild disappears from
+    the ingest path."""
+    import tempfile
+
+    from ..operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_app_")
+    # seed: full-corpus centroid pick (frozen), postings from the even half
+    build_ivf_index(emb, path, num_centroids=16)
+    import shutil
+
+    shutil.rmtree(f"{path}/postings")
+    append_ivf_index(
+        spark, path, emb.where(F.col("vec_id") % 2 == 0), skip_existing_ids=False
+    )
+    append_ivf_index(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    return ivf_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+    )
+
+
 def _ngram_strings(text_col: str, n: int):
     """Non-distinct word n-grams as strings (repetition analysis needs
     multiplicity, unlike dedup shingles)."""

@@ -830,3 +830,70 @@ def test_near_dedup_probe_then_absorb_survives_sink_failure(spark, tmp_path):
     # attempt 3 (replay AFTER absorb): converges — row filtered as dup
     dups3 = store.probe_dups(b, "text", "doc_id")
     assert {r["dup"] for r in dups3.collect()} == {1}
+
+
+# round 6: incremental IVF index maintenance
+
+
+def test_append_ivf_index_equals_full_build(spark, tmp_path):
+    """Frozen centroids make assignment batch-independent: an index grown
+    by appends must hold exactly the postings of a one-shot full build,
+    and searches over both must agree row-for-row."""
+    from fluent_plugin_sql_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_from_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half_a = emb.where(F.col("vec_id") % 2 == 0)
+    half_b = emb.where(F.col("vec_id") % 2 == 1)
+    full_idx, grown_idx = str(tmp_path / "full"), str(tmp_path / "grown")
+
+    build_ivf_index(emb, full_idx, num_centroids=8)
+    # grown index: built from the EVEN half only — but centroids are
+    # picked by global hash-min of ids, so seed the build with the same
+    # centroid set by building on the full corpus's centroid rows first
+    build_ivf_index(half_a, grown_idx, num_centroids=8)
+    # force-identical centroids (hash-min over half_a differs from the
+    # full corpus): overwrite with the full build's, then re-home half_a
+    spark.read.parquet(f"{full_idx}/centroids").write.mode("overwrite").parquet(
+        f"{grown_idx}/centroids"
+    )
+    import shutil
+
+    shutil.rmtree(f"{grown_idx}/postings")
+    append_ivf_index(spark, grown_idx, half_a, skip_existing_ids=False)
+    append_ivf_index(spark, grown_idx, half_b)
+
+    def postings(p):
+        return sorted(
+            (r["bucket"], r["match_id"])
+            for r in spark.read.parquet(f"{p}/postings").collect()
+        )
+
+    assert postings(grown_idx) == postings(full_idx)
+
+    queries = emb.where(F.col("vec_id") < 10)
+    full_res = sorted(
+        map(tuple, ivf_topk_from_index(spark, full_idx, queries, k=5).collect())
+    )
+    grown_res = sorted(
+        map(tuple, ivf_topk_from_index(spark, grown_idx, queries, k=5).collect())
+    )
+    assert grown_res == full_res
+
+    # replayed append (at-least-once upstream) must be a no-op
+    n_before = len(postings(grown_idx))
+    append_ivf_index(spark, grown_idx, half_b)
+    assert len(postings(grown_idx)) == n_before
+
+    # compaction preserves content and bounds files
+    import glob
+
+    files_before = glob.glob(f"{grown_idx}/postings/**/*.parquet", recursive=True)
+    compact_ivf_index(spark, grown_idx)
+    assert postings(grown_idx) == postings(full_idx)
+    files_after = glob.glob(f"{grown_idx}/postings/**/*.parquet", recursive=True)
+    assert len(files_after) <= len(files_before)
