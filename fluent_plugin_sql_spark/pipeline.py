@@ -345,7 +345,15 @@ class Pipeline:
         interposes the cheaper :class:`~.operators.dedup.ExactDedupStore`
         the same way (durable content-hash first-occurrence).  Both may
         be configured together: exact runs first (cheap hash probe), the
-        near-dup store only sees content-novel rows."""
+        near-dup store only sees content-novel rows.
+
+        Optional ``source.rollup: {path, time_col, window, dims,
+        sum_cols, hll_cols}`` maintains a
+        :class:`~.operators.rollup.RollupStore` continuous aggregate over
+        the rows that reach the sink (post-dedup).  Keyed by epoch id,
+        the store's atomic-rename commit makes the rollup exactly-once
+        under micro-batch replay even though the sink is
+        at-least-once."""
         src = self.config["source"]
         if "path" not in src:
             raise ValueError("run_streaming requires a parquet-dir source (path:)")
@@ -389,6 +397,22 @@ class Pipeline:
                     store_replicas=int(ed_cfg.get("store_replicas", 2)),
                 )
 
+        ru_cfg = src.get("rollup")
+        rstores: dict[str, Any] = {}
+        if ru_cfg:
+            from .operators.rollup import RollupStore
+
+            for t in self.in_cfg.tables:
+                rstores[t.table] = RollupStore(
+                    self.spark,
+                    f"{ru_cfg['path']}/{t.table}",
+                    ru_cfg.get("time_col", t.resolve_update_column()),
+                    window=ru_cfg.get("window", "1 hour"),
+                    dims=tuple(ru_cfg.get("dims", ())),
+                    sum_cols=tuple(ru_cfg.get("sum_cols", ())),
+                    hll_cols=tuple(ru_cfg.get("hll_cols", ())),
+                )
+
         queries = []
         for t in self.in_cfg.tables:
             df = incremental_stream(
@@ -411,6 +435,8 @@ class Pipeline:
                 _store: Any = stores.get(t.table),
                 _xstore: Any = xstores.get(t.table),
                 _estore: Any = estores.get(t.table),
+                _rstore: Any = rstores.get(t.table),
+                _table: str = t.table,
                 _n: dict = n_batches,
                 _every: int = compact_every,
             ) -> None:
@@ -463,12 +489,19 @@ class Pipeline:
                         ed_cfg.get("vec_col", "embedding"),
                         ed_cfg.get("id_col", "vec_id"),
                     )
+                if _rstore is not None:
+                    # continuous aggregate over what actually REACHED the
+                    # sink; epoch_id is stable across foreachBatch
+                    # replays, so the store's atomic-rename commit makes
+                    # the rollup EXACTLY-once even though the sink path
+                    # above is at-least-once
+                    _rstore.absorb(survivors, f"{_table}-e{epoch_id}")
                 # every micro-batch appends one small file per touched
                 # store bucket; periodic compaction keeps probe latency
                 # from decaying into file-open overhead on long streams
                 _n["n"] += 1
                 if _every and _n["n"] % _every == 0:
-                    for st_ in (_store, _xstore, _estore):
+                    for st_ in (_store, _xstore, _estore, _rstore):
                         if st_ is not None:
                             st_.compact()
 

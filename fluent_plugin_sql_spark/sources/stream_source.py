@@ -75,7 +75,12 @@ def _arrow_to_spark_type(t) -> str:
     if pa.types.is_boolean(t):
         return "boolean"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # tz-less parquet timestamps (Spark INT96, plain TIMESTAMP_MICROS
+        # without isAdjustedToUTC) surface as naive datetimes, which
+        # Spark's datasource row converter only accepts for NTZ; the
+        # session is pinned UTC so values are identical either way, and
+        # streaming.ensure_event_time re-casts NTZ before any watermark.
+        return "timestamp" if t.tz else "timestamp_ntz"
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_decimal(t):
