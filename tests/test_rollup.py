@@ -209,3 +209,65 @@ def test_batch_id_must_be_path_safe(spark, store_path):
         store.absorb(_events(spark), "a/b")
     with pytest.raises(ValueError):
         store.has_batch("x y")
+
+
+# property: arbitrary batch partitionings and event shapes
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _event_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        day = draw(st.integers(min_value=1, max_value=4))
+        hour = draw(st.integers(min_value=0, max_value=23))
+        val = draw(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            )
+        )
+        typ = draw(st.sampled_from(["a", "b"]))
+        rows.append((i, datetime.datetime(2024, 2, day, hour, i % 60), typ, val))
+    n_batches = draw(st.integers(min_value=1, max_value=4))
+    assign = [draw(st.integers(min_value=0, max_value=n_batches - 1)) for _ in rows]
+    return rows, assign, n_batches
+
+
+@settings(max_examples=8, deadline=None)
+@given(_event_batches())
+def test_rollup_property_any_partitioning_matches_direct(spark, tmp_path_factory, data):
+    """For ANY event set and ANY partitioning into absorb batches
+    (including empty batches), the merged snapshot equals a one-shot
+    aggregation — the algebraic-partial invariant the store relies on."""
+    rows, assign, n_batches = data
+    path = str(tmp_path_factory.mktemp("rollup_prop") / "s")
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    store = RollupStore(
+        spark, path, "ts", "1 hour", dims=("event_type",), sum_cols=("value",)
+    )
+    ids_by_batch = {b: [i for i, a in zip(range(len(rows)), assign) if a == b]
+                    for b in range(n_batches)}
+    for b in range(n_batches):
+        batch = df.where(F.col("event_id").isin(ids_by_batch[b] or [-1]))
+        store.absorb(batch, f"b{b}")  # empty batches must be harmless
+    got = {
+        (r["w_start"], r["event_type"]): (r["rc"], r["s_value"])
+        for r in store.snapshot().collect()
+    }
+    want = {
+        (r["w"], r["event_type"]): (r["rc"], r["s"])
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("rc"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) <= 1e-6 * max(1.0, abs(want[k][1]))
