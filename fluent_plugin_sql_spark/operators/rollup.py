@@ -228,6 +228,40 @@ class RollupStore:
                 ).drop(f"hll_{c}")
         return merged
 
+    # ---------------------------------------------------------- retention
+
+    def expire(self, before) -> int:
+        """Drop all partials for windows strictly before ``before``
+        (must be day-aligned, since retention is enforced at the pday
+        directory level — sub-day expiry would need a rewrite, not a
+        delete).  Cost is O(day directories dropped): a directory listing
+        plus one recursive delete per expired day per batch generation —
+        no data is read or rewritten, which is what makes retention
+        viable on a store with years of history.  Returns the number of
+        day-directories removed."""
+        import datetime as _dt
+
+        day = before.date() if isinstance(before, _dt.datetime) else before
+        if isinstance(before, _dt.datetime) and (
+            before.hour or before.minute or before.second or before.microsecond
+        ):
+            raise ValueError(f"expire() cutoff must be day-aligned, got {before}")
+        cutoff = day.strftime("%Y-%m-%d")
+        if not self._exists():
+            return 0
+        jp, fs = self._fs._jpath, self._fs._fs
+        dropped = 0
+        with self._fs.lock("expire"):
+            for gen in fs.listStatus(jp(f"{self.path}/data")):
+                if not gen.getPath().getName().startswith("batch="):
+                    continue
+                for dstat in fs.listStatus(gen.getPath()):
+                    name = dstat.getPath().getName()
+                    if name.startswith("pday=") and name[5:] < cutoff:
+                        fs.delete(dstat.getPath(), True)
+                        dropped += 1
+        return dropped
+
     # ------------------------------------------------------------ compact
 
     def compact(self, files_per_day: int = 1) -> None:

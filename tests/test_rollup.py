@@ -271,3 +271,23 @@ def test_rollup_property_any_partitioning_matches_direct(spark, tmp_path_factory
     for k in got:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) <= 1e-6 * max(1.0, abs(want[k][1]))
+
+
+def test_expire_drops_only_old_days(spark, store_path):
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    for b in range(2):
+        store.absorb(ev.where(F.col("event_id") % 2 == b), f"b{b}")
+    cutoff = datetime.datetime(2024, 1, 15)
+    dropped = store.expire(cutoff)
+    assert dropped > 0
+    got = _snap_map(store.snapshot())
+    want = _snap_map(_direct(ev.where(F.col("ts") >= F.lit(cutoff))))
+    # windows are hour-aligned and the cutoff day-aligned, so directory
+    # retention equals the row-level filter exactly
+    assert got == want
+    # idempotent; sub-day cutoffs are rejected rather than silently
+    # rounded (directory-level retention can't split a day)
+    assert store.expire(cutoff) == 0
+    with pytest.raises(ValueError):
+        store.expire(datetime.datetime(2024, 1, 15, 12, 30))
