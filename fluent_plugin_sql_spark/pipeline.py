@@ -504,6 +504,16 @@ class Pipeline:
                     for st_ in (_store, _xstore, _estore, _rstore):
                         if st_ is not None:
                             st_.compact()
+                    # retention rides the compaction cadence: expire() is
+                    # a directory listing + deletes, not worth paying
+                    # every micro-batch
+                    _ret = (ru_cfg or {}).get("retention_days")
+                    if _rstore is not None and _ret:
+                        import datetime as _dt
+
+                        _rstore.expire(
+                            _dt.date.today() - _dt.timedelta(days=int(_ret))
+                        )
 
             writer = (
                 df.writeStream.foreachBatch(handle)
