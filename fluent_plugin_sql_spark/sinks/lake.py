@@ -323,20 +323,37 @@ def zorder_key(df: DataFrame, cols: list[str], bits_per_col: int = 8):
 
     nbins = 1 << bits_per_col
     qs = [i / nbins for i in range(1, nbins)]
+    # timestamp/date dimensions cluster by their epoch value (a pure
+    # monotone recode, so equal-frequency bins are unchanged); numerics
+    # pass through
+    dtypes = dict(df.dtypes)
+
+    def _as_num(c):
+        t = dtypes.get(str(c), "")
+        if t.startswith("timestamp"):
+            return F.unix_timestamp(F.col(c)).cast("double")
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
+    num_names = [f"_zq_{i}" for i in range(len(cols))]
+    numeric = df.select(
+        *[_as_num(c).alias(n) for c, n in zip(cols, num_names)]
+    )
     # one pass over the data per call; boundaries become plan literals
-    bounds = df.approxQuantile([str(c) for c in cols], qs, 0.001)
+    bounds = numeric.approxQuantile(num_names, qs, 0.001)
     bin_ids = []
     for c, bnds in zip(cols, bounds):
         uniq = sorted(set(bnds))
         # count boundaries <= value == equal-frequency bin id (codegen
         # fold over a literal array; ≤ nbins adds per row)
         arr = F.array(*[F.lit(float(b)) for b in uniq])
+        expr = _as_num(c)
         bin_ids.append(
             F.aggregate(
                 arr,
                 F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+                lambda acc, b: acc + F.when(expr >= b, 1).otherwise(0),
             )
         )
     morton = F.lit(0).cast("long")

@@ -378,3 +378,36 @@ def test_zorder_write_skips_files_on_every_clustered_column(spark, tmp_path):
     # cannot skip on the non-leading column
     assert _hit_fraction(ss, "value", 0.0, 15.0) > 0.9
     assert _hit_fraction(zs, "value", 0.0, 15.0) < 0.7
+
+
+def test_zorder_supports_timestamp_dimensions(spark, tmp_path):
+    """Clustering by (ts, user_id) — the bread-and-butter layout for
+    time-series + entity queries: both dimensions must skip files."""
+    from fluent_plugin_sql_spark.sinks.lake import write_zordered
+
+    e = load_table(spark, SF, "events").select("event_id", "ts", "user_id")
+    zpath = str(tmp_path / "zt")
+    write_zordered(e, zpath, ["ts", "user_id"], num_files=16, bits_per_col=4)
+    assert spark.read.parquet(zpath).count() == e.count()
+    stats = _file_stats(zpath, ["user_id"])
+    assert _hit_fraction(stats, "user_id", 0, 3) < 0.7
+    # ts stats come back as datetimes; check a ~quarter range by mass
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lo = dt.datetime(2024, 1, 1)
+    hi = dt.datetime(2024, 1, 8)
+    hits = total = 0
+    for f in sorted(glob.glob(f"{zpath}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mn = mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names["ts"]).statistics
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        total += 1
+        if not (mx.replace(tzinfo=None) < lo or mn.replace(tzinfo=None) > hi):
+            hits += 1
+    assert hits / total < 0.7, (hits, total)
