@@ -296,6 +296,66 @@ def embedding_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dedup_recluster",
+    # Same first-acceptance contract as embedding_dedup_two_batches: the
+    # recluster between the batches re-homes state but must not change
+    # ACCEPTANCE decisions (recall holds on this corpus both before and
+    # after — the maintenance path is behavior-preserving, which is the
+    # point of gating it).
+    oracle="""
+    SELECT vec_id, vec_id % 2 AS batch FROM embeddings e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM embeddings o
+      WHERE o.vec_id != e.vec_id
+        AND round(list_cosine_similarity(o.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]), 4) >= 0.48
+        AND (o.vec_id % 2 < e.vec_id % 2
+             OR (o.vec_id % 2 = e.vec_id % 2 AND o.vec_id < e.vec_id))
+    )
+    """,
+)
+def embedding_dedup_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbeddingDedupStore.recluster() under gate scrutiny: the store is
+    DELIBERATELY mis-sized at creation (4 centroids frozen from batch 0 —
+    the skewed-first-batch hazard the maintenance path exists for), then
+    reclustered to 16 rebalanced centroids before batch 1 probes.  The
+    oracle is the exact first-acceptance relation, so any recall lost to
+    the skewed pre-recluster state OR any state corrupted by the re-home
+    swap shows up as a hash mismatch."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import EmbeddingDedupStore
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="embedding_reclus_gate_")
+    try:
+        store = EmbeddingDedupStore(
+            spark,
+            f"{path}/store",
+            threshold=0.48,
+            num_centroids=4,
+            nprobe=4,  # pre-recluster: probe ALL 4 buckets (full recall)
+            store_replicas=3,
+        )
+        b0 = emb.where(F.col("vec_id") % 2 == 0)
+        s0 = (
+            store.process_batch(b0, "embedding", "vec_id")
+            .select("vec_id", (F.col("vec_id") % 2).alias("batch"))
+        )
+        store.recluster(num_centroids=16)
+        store.nprobe = 6  # post-recluster: the sibling gate's settings
+        b1 = emb.where(F.col("vec_id") % 2 == 1)
+        s1 = (
+            store.process_batch(b1, "embedding", "vec_id")
+            .select("vec_id", (F.col("vec_id") % 2).alias("batch"))
+        )
+        return s0.unionByName(s1)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "chained_dedup_stores",
     # The oracle encodes the PIPELINE's staged semantics exactly — for
     # each batch: exact first-per-text, then near-dedup against (a)

@@ -435,3 +435,41 @@ def rollup_store_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "rollup_store_retention",
+    # Retention is directory-granular: expiring before 2024-01-15 must
+    # leave EXACTLY the windows the row-level filter keeps (windows are
+    # hour-aligned, cutoff day-aligned, so the two coincide).
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           count(*) AS rc,
+           sum(value) AS s_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1
+    """,
+)
+def rollup_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup retention path: absorb in two batches, ``expire()`` day
+    directories before 2024-01-15 (O(dropped dirs) deletes — no reads or
+    rewrites), snapshot what remains.  The production shape for bounded
+    rollup state over unbounded streams."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_ret_gate_")
+    try:
+        store = RollupStore(spark, f"{path}/s", "ts", "1 hour", sum_cols=("value",))
+        for b in (0, 1):
+            store.absorb(ev.where(F.col("event_id") % 2 == b), f"b{b}")
+        store.expire(datetime.datetime(2024, 1, 15))
+        out = store.snapshot().select("w_start", "rc", "s_value")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
