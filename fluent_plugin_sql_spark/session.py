@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # floor on scan splits: a single small parquet file otherwise
+        # plans as ONE split, serializing compute-heavy map stages
+        # (minhash signing, text stats) onto one core.  At cluster scale
+        # files outnumber cores and this is a no-op; on small inputs it
+        # keeps every core busy.  AQE still coalesces downstream.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
