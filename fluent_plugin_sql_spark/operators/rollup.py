@@ -69,10 +69,18 @@ class RollupStore:
     hll_cols : columns rolled up as HLL sketches (approx distinct).
         ``lgk`` sizes the sketch (Datasketches lgConfigK; 12 → ~1.6 KB
         per group per column, ±2.2% standard error at any cardinality).
+    hist_cols : ``{col: (lo, hi, nbins)}`` — columns rolled up as
+        fixed-bin histograms, the mergeable-quantile partial Spark lacks
+        natively (``approx_percentile`` state is not re-mergeable across
+        separate aggregations; equal-width bin counts merge by exact
+        element-wise addition, forever).  Estimate error is bounded by
+        the bin width ``(hi-lo)/nbins``; values outside [lo, hi) land in
+        under/overflow bins and clamp the estimate to the range edge.
 
     State: ``{path}/data/batch=<id>/pday=<utc-day>/*.parquet`` with
     columns ``w_start`` (window start), dims, ``rc`` (row count),
-    ``s_<c>/mn_<c>/mx_<c>`` per sum col, ``hll_<c>`` per sketch col.
+    ``s_<c>/mn_<c>/mx_<c>`` per sum col, ``hll_<c>`` per sketch col,
+    ``hg_<c>`` (array<bigint>, nbins+2) per histogram col.
     """
 
     def __init__(
@@ -85,6 +93,7 @@ class RollupStore:
         sum_cols: tuple[str, ...] = (),
         hll_cols: tuple[str, ...] = (),
         lgk: int = 12,
+        hist_cols: dict[str, tuple[float, float, int]] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -94,6 +103,7 @@ class RollupStore:
         self.sum_cols = tuple(sum_cols)
         self.hll_cols = tuple(hll_cols)
         self.lgk = lgk
+        self.hist_cols = dict(hist_cols or {})
         self._fs = _StoreFS(spark, self.path)
         self._fs.recover("data")  # heal an interrupted compact swap
         self._sweep_staging()
@@ -133,6 +143,22 @@ class RollupStore:
             ]
         for c in self.hll_cols:
             aggs.append(F.hll_sketch_agg(F.col(c), F.lit(self.lgk)).alias(f"hll_{c}"))
+        for c, (lo, hi, nb) in self.hist_cols.items():
+            # bin 0 = underflow, 1..nb = in-range, nb+1 = overflow; one
+            # conditional-sum per bin, folded into an array — pure
+            # codegen, partial-mergeable like every other agg here
+            bw = (hi - lo) / nb
+            bin_id = F.when(F.col(c) < lo, 0).when(F.col(c) >= hi, nb + 1).otherwise(
+                F.floor((F.col(c) - F.lit(lo)) / F.lit(bw)).cast("int") + 1
+            )
+            aggs.append(
+                F.array(
+                    *[
+                        F.sum(F.when(bin_id == i, F.lit(1)).otherwise(F.lit(0)))
+                        for i in range(nb + 2)
+                    ]
+                ).alias(f"hg_{c}")
+            )
         return (
             df.groupBy(w.alias("w"), *[F.col(d) for d in self.dims])
             .agg(*aggs)
@@ -142,7 +168,7 @@ class RollupStore:
         )
 
     @staticmethod
-    def _merge_aggs(sum_cols, hll_cols):
+    def _merge_aggs(sum_cols, hll_cols, hist_cols=()):
         aggs = [F.sum("rc").alias("rc")]
         for c in sum_cols:
             aggs += [
@@ -152,6 +178,17 @@ class RollupStore:
             ]
         for c in hll_cols:
             aggs.append(F.hll_union_agg(F.col(f"hll_{c}")).alias(f"hll_{c}"))
+        for c in hist_cols:
+            # element-wise sum of the partial count arrays (exact merge)
+            aggs.append(
+                F.aggregate(
+                    F.collect_list(F.col(f"hg_{c}")),
+                    F.lit(None).cast("array<bigint>"),
+                    lambda acc, h: F.when(acc.isNull(), h).otherwise(
+                        F.zip_with(acc, h, lambda a, b: a + b)
+                    ),
+                ).alias(f"hg_{c}")
+            )
         return aggs
 
     # ------------------------------------------------------------- absorb
@@ -219,7 +256,7 @@ class RollupStore:
         merged = (
             self._read(start, end)
             .groupBy("w_start", *self.dims)
-            .agg(*self._merge_aggs(self.sum_cols, self.hll_cols))
+            .agg(*self._merge_aggs(self.sum_cols, self.hll_cols, self.hist_cols))
         )
         if estimate_hll:
             for c in self.hll_cols:
@@ -227,6 +264,50 @@ class RollupStore:
                     f"nd_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
                 ).drop(f"hll_{c}")
         return merged
+
+    def quantile_expr(self, col: str, q: float):
+        """Column expression estimating the q-quantile of ``col`` from a
+        snapshot's merged histogram ``hg_<col>`` (linear interpolation
+        inside the target bin; under/overflow mass clamps to the range
+        edge).  Within one bin width of the RANK-BASED empirical
+        quantile (smallest v with #(x ≤ v) ≥ q·n) wherever the mass is
+        in-range — the fixed trade that buys exact mergeability.  (The
+        interpolated percentile() definition can sit arbitrarily far
+        between sparse order statistics; that gap is definitional, not
+        estimator error.)"""
+        lo, hi, nb = self.hist_cols[col]
+        w = (hi - lo) / nb
+        h = F.col(f"hg_{col}")
+        total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+        target = total.cast("double") * F.lit(q)
+        # cumulative counts BEFORE each in-range bin i (1..nb):
+        # rank r(i) = sum(h[0..i-1]); the target bin is the first with
+        # cumulative >= target.  Fold once, carrying (cum, answer).
+        def step(acc, pair):
+            cum, ans, idx = acc["cum"], acc["ans"], acc["idx"]
+            cnt = pair
+            new_cum = cum + cnt
+            bin_lo = F.lit(lo) + (idx - 1).cast("double") * F.lit(w)
+            # interpolated position inside this bin
+            frac = (target - cum.cast("double")) / F.when(
+                cnt > 0, cnt.cast("double")
+            ).otherwise(F.lit(1.0))
+            est = F.when(idx == 0, F.lit(lo)).when(
+                idx == nb + 1, F.lit(hi)
+            ).otherwise(bin_lo + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)) * F.lit(w))
+            hit = ans.isNull() & (new_cum.cast("double") >= target)
+            return F.struct(
+                new_cum.alias("cum"),
+                F.when(hit, est).otherwise(ans).alias("ans"),
+                (idx + 1).alias("idx"),
+            )
+        zero = F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(None).cast("double").alias("ans"),
+            F.lit(0).alias("idx"),
+        )
+        folded = F.aggregate(h, zero, step)
+        return F.coalesce(folded["ans"], F.lit(hi))
 
     # ---------------------------------------------------------- retention
 
@@ -281,7 +362,7 @@ class RollupStore:
             merged = (
                 self.spark.read.parquet(f"{self.path}/data")
                 .groupBy("pday", "w_start", *self.dims)
-                .agg(*self._merge_aggs(self.sum_cols, self.hll_cols))
+                .agg(*self._merge_aggs(self.sum_cols, self.hll_cols, self.hist_cols))
                 .withColumn("batch", F.lit(gen))
                 # (pday, salt) repartition → at most files_per_day files
                 # per day dir; the salt splits a hot day across tasks

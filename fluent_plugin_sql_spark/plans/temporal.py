@@ -473,3 +473,55 @@ def rollup_store_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "rollup_store_histogram",
+    # The merged histogram arrays are EXACT (integer bin counts merged by
+    # element-wise addition), so exploding them to (window, type, bin,
+    # cnt) rows hash-compares against binning the raw relation directly.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           CASE WHEN value < 0 THEN 0
+                WHEN value >= 400 THEN 81
+                ELSE CAST(floor(value / 5) AS INT) + 1 END AS bin,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def rollup_store_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile partials (RollupStore hist_cols): per-batch
+    fixed-bin histograms merged by exact element-wise addition — the
+    incremental percentile machinery Spark's approx_percentile cannot
+    provide (its state is not re-mergeable across separate
+    aggregations).  The gate compares the merged arrays bin-for-bin
+    against direct SQL binning of the raw relation."""
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_hist_gate_")
+    try:
+        store = RollupStore(
+            spark, f"{path}/s", "ts", "1 hour",
+            dims=("event_type",), hist_cols={"value": (0.0, 400.0, 80)},
+        )
+        for b in (0, 1, 2):
+            store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+        store.compact()
+        out = (
+            store.snapshot()
+            .select(
+                "w_start",
+                "event_type",
+                F.posexplode("hg_value").alias("bin", "cnt"),
+            )
+            .where(F.col("cnt") > 0)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -291,3 +291,38 @@ def test_expire_drops_only_old_days(spark, store_path):
     assert store.expire(cutoff) == 0
     with pytest.raises(ValueError):
         store.expire(datetime.datetime(2024, 1, 15, 12, 30))
+
+
+def test_histogram_quantiles_within_bin_width(spark, store_path):
+    """Merged fixed-bin histograms estimate the rank-based empirical
+    quantile (smallest v with #(x ≤ v) ≥ q·n) within one bin width —
+    compared against that definition, not the interpolated percentile(),
+    which can sit arbitrarily far between sparse order statistics."""
+    ev = _events(spark)
+    lo, hi, nb = 0.0, 400.0, 80
+    bw = (hi - lo) / nb
+    store = RollupStore(
+        spark, store_path, "ts", "1 day",
+        dims=("event_type",), hist_cols={"value": (lo, hi, nb)},
+    )
+    for b in range(3):
+        store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+    snap = store.snapshot().withColumn("p50", store.quantile_expr("value", 0.5))
+    got = {(r["w_start"], r["event_type"]): r["p50"] for r in snap.collect()}
+    exact = {
+        (r["w"], r["event_type"]): r["vals"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("w"), "event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vals"))
+        .collect()
+    }
+    import math
+
+    for k, vals in exact.items():
+        n = len(vals)
+        emp = vals[max(0, math.ceil(0.5 * n) - 1)]
+        assert abs(got[k] - emp) <= bw + 1e-9, (k, got[k], emp)
+    # compact preserves the arrays exactly (element-wise-sum merge)
+    store.compact()
+    snap2 = store.snapshot().withColumn("p50", store.quantile_expr("value", 0.5))
+    got2 = {(r["w_start"], r["event_type"]): r["p50"] for r in snap2.collect()}
+    assert got2 == got
