@@ -411,6 +411,12 @@ class Pipeline:
                     dims=tuple(ru_cfg.get("dims", ())),
                     sum_cols=tuple(ru_cfg.get("sum_cols", ())),
                     hll_cols=tuple(ru_cfg.get("hll_cols", ())),
+                    hist_cols={
+                        c: (float(lo), float(hi), int(nb))
+                        for c, (lo, hi, nb) in dict(
+                            ru_cfg.get("hist_cols", {})
+                        ).items()
+                    },
                 )
 
         queries = []
