@@ -169,10 +169,13 @@ def interval_join(
         # garbage default estimate, and 1e6 intervals ≈ tens of MB is still
         # comfortably broadcastable).
         max_rows = 1_000_000
+        threshold = _broadcast_threshold_bytes(right)
         if size_hint_rows is not None:
-            small = size_hint_rows <= max_rows
+            # the hint replaces the estimate/probe, NOT the operator's
+            # broadcast policy: threshold <= 0 means broadcasting was
+            # explicitly disabled and the hint must not re-enable it
+            small = threshold > 0 and size_hint_rows <= max_rows
         else:
-            threshold = _broadcast_threshold_bytes(right)
             small = _estimated_bytes(right) <= threshold
             if not small and threshold > 0:
                 small = _probe_is_small(right, max_rows)

@@ -612,6 +612,48 @@ class _StoreFS:
 
         return _held()
 
+    META = "_meta.json"
+
+    def read_meta(self) -> dict | None:
+        """Store metadata (creation-time layout constants).  None when
+        the store predates metadata or doesn't exist yet."""
+        import json
+
+        jp = self._jpath(f"{self.path}/{self.META}")
+        if not self._fs.exists(jp):
+            return None
+        jvm = self.spark._jvm  # noqa: SLF001
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(self._fs.open(jp), "UTF-8")
+        )
+        try:
+            line = reader.readLine()
+        finally:
+            reader.close()
+        return json.loads(line) if line else None
+
+    def write_meta(self, meta: dict) -> None:
+        import json
+
+        out = self._fs.create(self._jpath(f"{self.path}/{self.META}"), True)
+        try:
+            out.write(bytearray(json.dumps(meta), "utf-8"))
+        finally:
+            out.close()
+
+    def heal_on_open(self, *subs: str) -> bool:
+        """Run :meth:`recover` for ``subs`` UNLESS another session's
+        writer lock is present.  Healing deletes staging trees; doing
+        that from a read-only open while a live writer is mid-compact
+        would destroy its in-flight work (the documented recovery for a
+        CRASHED writer is deleting the lock file, after which the next
+        open heals).  Returns True if healing ran."""
+        if self.exists(self.LOCK):
+            return False
+        for sub in subs:
+            self.recover(sub)
+        return True
+
     def compact_table(
         self, sub: str, part_col: str, num_files: int, sort_col: str | None = None
     ) -> None:
@@ -717,8 +759,37 @@ class MinHashDedupStore:
         self.sig_match_frac = sig_match_frac
         self.num_buckets = num_buckets
         self._store_fs = _StoreFS(spark, self.path)
-        for sub in ("band_keys", "signatures"):
-            self._store_fs.recover(sub)  # heal any interrupted compact
+        self._store_fs.heal_on_open("band_keys", "signatures")
+        meta = self._store_fs.read_meta()
+        if meta is not None:
+            # the on-disk directory layout was hashed with the CREATION-
+            # time bucket count; probing with any other modulus would
+            # push partition filters that match no directory and
+            # SILENTLY miss every stored duplicate
+            if meta["num_buckets"] != self.num_buckets:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "store %s was created with num_buckets=%s; overriding "
+                    "the requested %s", self.path, meta["num_buckets"],
+                    self.num_buckets,
+                )
+            self.num_buckets = int(meta["num_buckets"])
+        elif self._store_fs.exists("band_keys"):
+            # pre-metadata state: verify it carries the bkh probe column
+            # (the v2 layout) instead of failing later — or worse,
+            # probing wrongly
+            schema = spark.read.parquet(f"{self.path}/band_keys").schema
+            if "bkh" not in schema.names:
+                raise ValueError(
+                    f"store {self.path} uses a pre-bkh band_keys layout; "
+                    "rebuild it (re-absorb the corpus) — in-place "
+                    "migration is not supported"
+                )
+
+    def _write_meta_if_absent(self) -> None:
+        if self._store_fs.read_meta() is None:
+            self._store_fs.write_meta({"num_buckets": self.num_buckets})
 
     def _exists(self, sub: str) -> bool:
         return self._store_fs.exists(sub)
@@ -904,6 +975,7 @@ class MinHashDedupStore:
         ``repartition`` on the bucket column first, so each append lands
         ONE file per touched bucket instead of one per (task × bucket)."""
         with self._store_fs.lock("absorb"):
+            self._write_meta_if_absent()
             (
                 _band_key_rows(sig_keep, self.num_hashes, self.bands)
                 .withColumn("bkh", self._bk_hash())
@@ -1001,7 +1073,25 @@ class ExactDedupStore:
         self.path = path.rstrip("/")
         self.num_buckets = num_buckets
         self._store_fs = _StoreFS(spark, self.path)
-        self._store_fs.recover("hashes")  # heal any interrupted compact
+        self._store_fs.heal_on_open("hashes")
+        meta = self._store_fs.read_meta()
+        if meta is not None:
+            # same layout contract as MinHashDedupStore: probe pruning
+            # must use the creation-time bucket modulus or it silently
+            # prunes AWAY the real state directories
+            if meta["num_buckets"] != self.num_buckets:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "store %s was created with num_buckets=%s; overriding "
+                    "the requested %s", self.path, meta["num_buckets"],
+                    self.num_buckets,
+                )
+            self.num_buckets = int(meta["num_buckets"])
+
+    def _write_meta_if_absent(self) -> None:
+        if self._store_fs.read_meta() is None:
+            self._store_fs.write_meta({"num_buckets": self.num_buckets})
 
     def _exists(self) -> bool:
         return self._store_fs.exists("hashes")
@@ -1074,6 +1164,7 @@ class ExactDedupStore:
         as accepted — the mutating half of the at-least-once split (sink
         BEFORE absorb; see :class:`MinHashDedupStore` docstring)."""
         with self._store_fs.lock("absorb"):
+            self._write_meta_if_absent()
             (
                 survivors.select(F.md5(F.col(text_col)).alias("content_hash"))
                 .distinct()
@@ -1094,6 +1185,7 @@ class ExactDedupStore:
             eager=True
         )  # pin BEFORE the store mutates
         with self._store_fs.lock("absorb"):
+            self._write_meta_if_absent()
             (
                 survivors.select("content_hash")
                 .distinct()
@@ -1184,9 +1276,14 @@ class EmbeddingDedupStore:
         self.nprobe = nprobe
         self.store_replicas = store_replicas
         self._store_fs = _StoreFS(spark, self.path)
-        self._recluster_recover()  # heal an interrupted two-table swap first
-        for sub in ("postings", "centroids"):
-            self._store_fs.recover(sub)  # then single-table compact leftovers
+        if not self._store_fs.exists(_StoreFS.LOCK):
+            # healing mutates; skip it when another session's writer is
+            # live (or crashed — its documented recovery is deleting the
+            # lock, after which the next open heals).  See
+            # _StoreFS.heal_on_open.
+            self._recluster_recover()  # interrupted two-table swap first
+            for sub in ("postings", "centroids"):
+                self._store_fs.recover(sub)  # then compact leftovers
 
     _RECLUSTER_MARK = "_recluster_inflight"
 

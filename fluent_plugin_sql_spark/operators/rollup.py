@@ -28,12 +28,16 @@ Scale contract (the whole point of the design):
 
 Exactly-once absorbs (stronger than the dedup stores' at-least-once,
 because double-absorbing partials DOUBLE-COUNTS instead of converging):
-each absorb writes its partials to a staging dir, then commits with ONE
-atomic directory rename to ``data/batch=<batch_id>``.  The rename is the
-commit point — a crash before it leaves only unreferenced staging
-garbage (swept on open/compact), a replay of a committed batch sees the
-directory exists and no-ops.  No marker files, no commit log: the
-partition layout IS the ledger.
+each absorb writes its partials to a staging dir, commits with ONE
+atomic directory rename to ``data/batch=<batch_id>``, then drops a
+zero-byte marker in ``_ledger/``.  The rename is the commit point — a
+crash before it leaves only unreferenced staging garbage (swept on
+open), a crash after it is healed by the marker backfill on replay.
+The ledger exists because ``compact()`` rewrites the per-batch dirs
+into one generation: replay memory must survive that rewrite, so
+``has_batch`` = batch dir present OR marker present.  Markers are
+zero-byte and checked by exact path (no listing), so the ledger costs
+namespace only.
 
 Built entirely from batch DataFrame ops + Hadoop FS renames — works
 unchanged on HDFS/S3A-with-rename-semantics/local.
@@ -105,8 +109,13 @@ class RollupStore:
         self.lgk = lgk
         self.hist_cols = dict(hist_cols or {})
         self._fs = _StoreFS(spark, self.path)
-        self._fs.recover("data")  # heal an interrupted compact swap
-        self._sweep_staging()
+        # Healing on open is a MUTATION: when another session's writer
+        # lock is present (live compact/absorb in flight — or a crashed
+        # one, whose documented recovery is deleting the lock), opening
+        # for read must not delete its staging trees out from under it.
+        if not self._fs.exists(_StoreFS.LOCK):
+            self._fs.recover("data")  # heal an interrupted compact swap
+            self._sweep_staging()
 
     # ------------------------------------------------------------------ fs
 
@@ -194,38 +203,77 @@ class RollupStore:
     # ------------------------------------------------------------- absorb
 
     def has_batch(self, batch_id: str) -> bool:
-        return self._fs.exists(f"data/batch={_sanitize_batch_id(batch_id)}")
+        """Committed = the batch's data generation exists OR its ledger
+        marker does.  The ledger (zero-byte files under ``_ledger/``)
+        survives :meth:`compact` — which rewrites the ``batch=`` dirs
+        into one generation — so a replayed epoch stays a no-op even
+        when compaction has erased its data directory.  Without it, a
+        crash in the window between a post-compact handler return and
+        the streaming checkpoint commit would double-count the replayed
+        batch."""
+        bid = _sanitize_batch_id(batch_id)
+        return self._fs.exists(f"data/batch={bid}") or self._fs.exists(
+            f"_ledger/{bid}"
+        )
+
+    def _mark_committed(self, bid: str) -> None:
+        jp, fs = self._fs._jpath, self._fs._fs
+        fs.mkdirs(jp(f"{self.path}/_ledger"))
+        fs.createNewFile(jp(f"{self.path}/_ledger/{bid}"))
+
+    def _staged_has_files(self, staging: str) -> bool:
+        jp, fs = self._fs._jpath, self._fs._fs
+        for st in fs.listStatus(jp(staging)):
+            if st.getPath().getName().startswith("pday="):
+                return True
+        return False
 
     def absorb(self, df: DataFrame, batch_id: str) -> bool:
         """Fold one micro-batch into the store, exactly once.
 
         Returns True if absorbed, False if ``batch_id`` was already
-        committed (replay after a crash PAST the commit rename — the
-        no-op makes redelivery safe, unlike blind parquet appends which
-        would double-count).  Commit protocol: write partials to
-        ``_absorb_<uuid>``, then one atomic rename to
-        ``data/batch=<id>`` — rename-fails-if-destination-exists doubles
-        as the winner-takes-all race arbiter."""
+        committed (replay after a crash PAST the commit — the no-op
+        makes redelivery safe, unlike blind parquet appends which would
+        double-count).  Commit protocol: write partials to
+        ``_absorb_<uuid>``, one atomic rename to ``data/batch=<id>``
+        (the commit point), then a ledger marker (compact-proof replay
+        memory; backfilled on replay if the crash hit between rename
+        and marker).  A batch with NO partial rows commits as marker
+        only — an empty ``batch=`` dir would otherwise be a data-file-
+        less generation that breaks parquet schema inference once it is
+        the only one.  Mutations hold the store writer lock (single-
+        writer contract, as with the dedup stores)."""
         bid = _sanitize_batch_id(batch_id)
         if self.has_batch(bid):
+            # crash landed between commit rename and marker: backfill
+            self._mark_committed(bid)
             return False
-        staging = f"{self.path}/_absorb_{uuid.uuid4().hex}"
-        (
-            self._partials(df)
-            .repartition(F.col("pday"))  # one file per touched day
-            .write.mode("overwrite")
-            .partitionBy("pday")
-            .parquet(staging)
-        )
-        jp, fs = self._fs._jpath, self._fs._fs
-        dest = jp(f"{self.path}/data/batch={bid}")
-        fs.mkdirs(jp(f"{self.path}/data"))
-        if not fs.rename(jp(staging), dest):
-            # lost a commit race (or a concurrent replay won): roll back
-            fs.delete(jp(staging), True)
+        with self._fs.lock("absorb"):
             if self.has_batch(bid):
+                self._mark_committed(bid)
                 return False
-            raise IOError(f"commit rename failed: {staging} -> {dest}")
+            staging = f"{self.path}/_absorb_{uuid.uuid4().hex}"
+            (
+                self._partials(df)
+                .repartition(F.col("pday"))  # one file per touched day
+                .write.mode("overwrite")
+                .partitionBy("pday")
+                .parquet(staging)
+            )
+            jp, fs = self._fs._jpath, self._fs._fs
+            if not self._staged_has_files(staging):
+                fs.delete(jp(staging), True)
+                self._mark_committed(bid)
+                return True
+            dest = jp(f"{self.path}/data/batch={bid}")
+            fs.mkdirs(jp(f"{self.path}/data"))
+            if not fs.rename(jp(staging), dest):
+                fs.delete(jp(staging), True)
+                if self.has_batch(bid):
+                    self._mark_committed(bid)
+                    return False
+                raise IOError(f"commit rename failed: {staging} -> {dest}")
+            self._mark_committed(bid)
         return True
 
     # ------------------------------------------------------------ queries
@@ -336,11 +384,29 @@ class RollupStore:
             for gen in fs.listStatus(jp(f"{self.path}/data")):
                 if not gen.getPath().getName().startswith("batch="):
                     continue
+                # ledger the id before any delete can empty this
+                # generation — its dir may be removed below
+                self._mark_committed(gen.getPath().getName()[len("batch="):])
+                remaining = 0
                 for dstat in fs.listStatus(gen.getPath()):
                     name = dstat.getPath().getName()
                     if name.startswith("pday=") and name[5:] < cutoff:
                         fs.delete(dstat.getPath(), True)
                         dropped += 1
+                    elif name.startswith("pday="):
+                        remaining += 1
+                if remaining == 0:
+                    # a data-file-less generation breaks parquet schema
+                    # inference once every generation is empty; its
+                    # exactly-once memory lives in the ledger now
+                    fs.delete(gen.getPath(), True)
+            if not any(
+                st.getPath().getName().startswith("batch=")
+                for st in fs.listStatus(jp(f"{self.path}/data"))
+            ):
+                # fully-expired store reads as empty (documented
+                # ValueError) instead of failing schema inference
+                fs.delete(jp(f"{self.path}/data"), True)
         return dropped
 
     # ------------------------------------------------------------ compact
@@ -358,6 +424,14 @@ class RollupStore:
             self._sweep_staging()
             if not self._exists():
                 return
+            # the swap below erases the per-batch dirs — make sure every
+            # committed id is in the ledger FIRST, or a post-compact
+            # replay of one of them would re-absorb (double-count)
+            jp, fs = self._fs._jpath, self._fs._fs
+            for st in fs.listStatus(jp(f"{self.path}/data")):
+                name = st.getPath().getName()
+                if name.startswith("batch="):
+                    self._mark_committed(name[len("batch="):])
             gen = f"compacted-{uuid.uuid4().hex[:12]}"
             merged = (
                 self.spark.read.parquet(f"{self.path}/data")

@@ -477,6 +477,18 @@ class Pipeline:
                     )
                 survivors = survivors.localCheckpoint(eager=True)  # pin
                 self.output.write_batch(survivors.withColumn("tag", F.lit(_tag)))
+                if _rstore is not None:
+                    # continuous aggregate over what actually REACHED the
+                    # sink; epoch_id is stable across foreachBatch
+                    # replays, so the store's atomic-rename commit makes
+                    # the rollup EXACTLY-once even though the sink path
+                    # is at-least-once.  Absorbed BEFORE any dedup store
+                    # mutates: a crash after dedup absorbs would make the
+                    # replayed batch look like dups of itself (survivors
+                    # empty), and a rollup absorbed after that point
+                    # would commit an empty generation for rows that DID
+                    # reach the sink — permanent undercount
+                    _rstore.absorb(survivors, f"{_table}-e{epoch_id}")
                 if _xstore is not None:
                     _xstore.absorb(
                         survivors,
@@ -495,13 +507,6 @@ class Pipeline:
                         ed_cfg.get("vec_col", "embedding"),
                         ed_cfg.get("id_col", "vec_id"),
                     )
-                if _rstore is not None:
-                    # continuous aggregate over what actually REACHED the
-                    # sink; epoch_id is stable across foreachBatch
-                    # replays, so the store's atomic-rename commit makes
-                    # the rollup EXACTLY-once even though the sink path
-                    # above is at-least-once
-                    _rstore.absorb(survivors, f"{_table}-e{epoch_id}")
                 # every micro-batch appends one small file per touched
                 # store bucket; periodic compaction keeps probe latency
                 # from decaying into file-open overhead on long streams

@@ -897,3 +897,80 @@ def test_append_ivf_index_equals_full_build(spark, tmp_path):
     assert postings(grown_idx) == postings(full_idx)
     files_after = glob.glob(f"{grown_idx}/postings/**/*.parquet", recursive=True)
     assert len(files_after) <= len(files_before)
+
+
+# round-6 review fixes: store metadata, guarded open-healing
+
+
+def test_store_bucket_count_is_pinned_by_metadata(spark, tmp_path):
+    """Probe pruning uses pmod(hash, num_buckets) against directories
+    written with the CREATION-time modulus — reopening with a different
+    num_buckets must adopt the persisted value, or every partition
+    filter prunes away the real state and dups are silently missed."""
+    from fluent_plugin_sql_spark.operators.dedup import (
+        ExactDedupStore,
+        MinHashDedupStore,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta content one"),
+         (1, "totally different filler text here")],
+        "doc_id LONG, text STRING",
+    )
+    dup = spark.createDataFrame(
+        [(2, "alpha beta gamma delta content one")], "doc_id LONG, text STRING"
+    )
+
+    xpath = str(tmp_path / "xd")
+    ExactDedupStore(spark, xpath, num_buckets=8).process_batch(
+        docs, "text", "doc_id"
+    )
+    reopened = ExactDedupStore(spark, xpath)  # default 256 requested
+    assert reopened.num_buckets == 8  # metadata wins
+    assert reopened.probe_new(dup, "text", "doc_id").count() == 0
+
+    mpath = str(tmp_path / "md")
+    MinHashDedupStore(spark, mpath, num_buckets=8, sig_match_frac=0.5
+                      ).process_batch(docs, "text", "doc_id")
+    reopened_m = MinHashDedupStore(spark, mpath, sig_match_frac=0.5)
+    assert reopened_m.num_buckets == 8
+    assert reopened_m.probe_dups(dup, "text", "doc_id").count() == 1
+
+
+def test_pre_bkh_store_layout_is_rejected_loudly(spark, tmp_path):
+    """A band_keys table from before the bkh probe column must fail at
+    OPEN with a rebuild instruction, not at first probe (or silently)."""
+    import pytest as _pytest
+
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+
+    path = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(1, 0, "k1", 3)], "doc LONG, band INT, band_key STRING, bkt INT"
+    ).write.partitionBy("bkt").parquet(f"{path}/band_keys")
+    with _pytest.raises(ValueError, match="pre-bkh"):
+        MinHashDedupStore(spark, path)
+
+
+def test_open_does_not_heal_while_writer_lock_held(spark, tmp_path):
+    """Opening a store is read-only when another session's writer lock
+    is present: its in-flight compact staging must survive the open."""
+    import os
+
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+
+    path = str(tmp_path / "locked")
+    docs = spark.createDataFrame(
+        [(0, "some words for the store here")], "doc_id LONG, text STRING"
+    )
+    MinHashDedupStore(spark, path, sig_match_frac=0.5).process_batch(
+        docs, "text", "doc_id"
+    )
+    ghost = f"{path}/_compact_band_keys"
+    os.makedirs(ghost)
+    open(f"{path}/_writer.lock", "w").close()
+    MinHashDedupStore(spark, path, sig_match_frac=0.5)  # must not sweep
+    assert os.path.isdir(ghost)
+    os.remove(f"{path}/_writer.lock")
+    MinHashDedupStore(spark, path, sig_match_frac=0.5)  # heals now
+    assert not os.path.isdir(ghost)

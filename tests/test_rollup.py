@@ -326,3 +326,81 @@ def test_histogram_quantiles_within_bin_width(spark, store_path):
     snap2 = store.snapshot().withColumn("p50", store.quantile_expr("value", 0.5))
     got2 = {(r["w_start"], r["event_type"]): r["p50"] for r in snap2.collect()}
     assert got2 == got
+
+
+# round-6 review fixes: compact-proof replay ledger, empty batches,
+# locked absorbs
+
+
+def test_replay_after_compact_is_still_a_noop(spark, store_path):
+    """compact() rewrites the batch= dirs into one generation; the
+    _ledger markers must keep has_batch true so a replayed epoch (crash
+    between handler return and streaming-checkpoint commit) cannot
+    double-count."""
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    store.absorb(b0, "b0")
+    store.absorb(ev.where(F.col("event_id") % 2 == 1), "b1")
+    store.compact()
+    before = _snap_map(store.snapshot())
+    assert store.has_batch("b0")
+    assert store.absorb(b0, "b0") is False  # replay post-compact
+    assert _snap_map(store.snapshot()) == before
+
+
+def test_empty_batch_commits_without_wedging_the_store(spark, store_path):
+    """A fully-filtered first micro-batch must not create a data-file-
+    less generation (which would break parquet schema inference for
+    every later snapshot) — it commits as ledger marker only."""
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    empty = ev.where(F.lit(False))
+    assert store.absorb(empty, "e0") is True
+    assert store.has_batch("e0")
+    assert store.absorb(empty, "e0") is False  # exactly-once holds
+    with pytest.raises(ValueError):  # still reads as an empty store
+        store.snapshot()
+    store.absorb(ev, "b0")
+    # real data flows normally after the empty commit
+    assert _snap_map(store.snapshot()) == _snap_map(_direct(ev))
+
+
+def test_full_expiry_reads_as_empty_store(spark, store_path):
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    store.absorb(ev, "b0")
+    store.expire(datetime.datetime(2024, 3, 1))  # everything is older
+    with pytest.raises(ValueError):
+        store.snapshot()
+    assert store.has_batch("b0")  # exactly-once memory survives expiry
+    assert store.absorb(ev, "b0") is False
+
+
+def test_absorb_fails_fast_under_foreign_writer_lock(spark, store_path):
+    from fluent_plugin_sql_spark.operators.dedup import (
+        ConcurrentStoreWriterError,
+    )
+
+    ev = _events(spark)
+    store = _mk(spark, store_path)
+    store.absorb(ev.where(F.col("event_id") % 2 == 0), "b0")
+    # simulate another session's writer mid-operation
+    lock = f"{store_path}/_writer.lock"
+    open(lock, "w").close()
+    with pytest.raises(ConcurrentStoreWriterError):
+        store.absorb(ev.where(F.col("event_id") % 2 == 1), "b1")
+    # opening the store while the lock is held must NOT sweep the
+    # writer's staging trees
+    ghost = f"{store_path}/_absorb_inflight"
+    store._partials(ev.limit(5)).write.mode("overwrite").parquet(ghost)
+    RollupStore(spark, store_path, "ts", "1 hour",
+                dims=("event_type",), sum_cols=("value",))
+    import os
+
+    assert os.path.isdir(ghost)
+    os.remove(lock)
+    # lock gone -> next open heals normally
+    RollupStore(spark, store_path, "ts", "1 hour",
+                dims=("event_type",), sum_cols=("value",))
+    assert not os.path.isdir(ghost)

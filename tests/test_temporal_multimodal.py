@@ -497,3 +497,29 @@ def test_interval_join_auto_probe_memoized_and_size_hint(spark, monkeypatch):
     assert sorted(r["tag"] for r in j1.collect()) == sorted(
         r["tag"] for r in j2.collect()
     )
+
+
+def test_interval_join_size_hint_respects_disabled_broadcast(spark):
+    """size_hint_rows replaces the size probe, NOT the broadcast policy:
+    with autoBroadcastJoinThreshold disabled the auto strategy must fall
+    through to the bucketized plan even for a tiny hinted side."""
+    import datetime
+
+    from fluent_plugin_sql_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 5))], "id LONG, ts TIMESTAMP"
+    )
+    right = spark.createDataFrame(
+        [("w", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2))],
+        "w STRING, s TIMESTAMP, e TIMESTAMP",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = interval_join(left, right, "ts", "s", "e", size_hint_rows=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert out.count() == 1  # bucketized path, same answer
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
