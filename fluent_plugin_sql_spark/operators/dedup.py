@@ -23,7 +23,7 @@ across runs and partitionings, which is all they need.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, simhash60_from_hashes, token_hashes, tokens
@@ -491,6 +491,136 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster_id"))
+
+
+# ------------------------------------------------------------ span dedup
+def _duplicate_span_intervals(
+    df: DataFrame, text_col: str, id_col: str, n: int, min_count: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of substring-level dedup: (base, merged dup intervals).
+
+    ``base``  = (__doc, __toks, __nt) one row per document;
+    ``spans`` = (__doc, __s, __e) disjoint merged 0-based token intervals
+    covered by at least one n-gram that occurs >= min_count times in the
+    corpus (across documents OR repeated within one document).
+
+    This is the MapReduce approximation of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): every duplicated span of >= n tokens is found exactly
+    (each of its length-n windows is globally duplicated); spans shorter
+    than n are below the detection floor by design.
+
+    Scale shape (the suffix-array original is single-machine): signing is
+    a map (transform over the token array, no explode until the gram
+    rows), gram counting is one shuffle-on-hash with map-side combine,
+    the hit join is a key shuffle, and interval merging is one window per
+    doc — everything linear in corpus token count, nothing quadratic.
+    Gram identity uses xxhash64(gram) so only 8-byte keys shuffle, never
+    the gram strings.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("__doc"), toks.alias("__toks")).withColumn(
+        "__nt", F.size("__toks")
+    )
+    grams = base.select(
+        "__doc",
+        F.posexplode(
+            F.when(
+                F.col("__nt") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nt") - (n - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i, n))),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__pos", "__gh"),
+    )
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__gh")
+    )
+    hits = grams.join(dup, "__gh").select(
+        "__doc",
+        F.col("__pos").alias("__s"),
+        (F.col("__pos") + (n - 1)).alias("__e"),
+    )
+    # classic overlapping-interval merge: start positions are distinct per
+    # doc, so the window ordering is total and the result deterministic
+    w = Window.partitionBy("__doc").orderBy("__s")
+    prev_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "__new",
+        F.when(F.col("__s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    spans = (
+        marked.withColumn(
+            "__gid",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("__doc", "__gid")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+        .select("__doc", "__s", "__e")
+    )
+    return base, spans
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Per-document duplicated-substring accounting: (id, n_tokens,
+    dup_tokens, n_spans) where dup_tokens counts token positions lying in
+    some duplicated span of >= n tokens and n_spans counts the disjoint
+    merged spans.  Documents with no duplication report 0/0."""
+    base, spans = _duplicate_span_intervals(df, text_col, id_col, n, min_count)
+    per = spans.groupBy("__doc").agg(
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("__dup"),
+        F.count("*").alias("__ns"),
+    )
+    return (
+        base.select("__doc", "__nt")
+        .join(per, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("__nt").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce(F.col("__ns"), F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Rewrite each document with every duplicated span (>= n tokens,
+    occurring >= min_count times corpus-wide) removed: (id, clean_text,
+    n_tokens, clean_tokens).  Removal drops ALL occurrences — the
+    deterministic variant of span dedup (keeping exactly one occurrence
+    would need a global order over occurrences, a cross-doc dependency
+    with no stable distributed answer).
+
+    The rewrite is pure codegen: covered positions flatten to one array
+    per doc (merged intervals are disjoint, so no duplicates), and
+    concat_ws skips the masked-out (null) tokens."""
+    base, spans = _duplicate_span_intervals(df, text_col, id_col, n, min_count)
+    cov = spans.groupBy("__doc").agg(
+        F.flatten(F.collect_list(F.sequence("__s", "__e"))).alias("__cov")
+    )
+    j = base.join(cov, "__doc", "left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    )
+    masked = F.transform(
+        "__toks",
+        lambda x, i: F.when(F.array_contains(F.col("__cov"), i), F.lit(None)).otherwise(
+            x
+        ),
+    )
+    return j.select(
+        F.col("__doc").alias(id_col),
+        F.concat_ws(" ", masked).alias("clean_text"),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        (F.col("__nt") - F.size("__cov")).cast("long").alias("clean_tokens"),
+    )
 
 
 # Upper bound on driver-collected key lists pushed into store scans as

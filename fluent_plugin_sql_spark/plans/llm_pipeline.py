@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..io import load_table
 from ..operators.dedup import (
+    duplicate_span_stats,
     embedding_dup_pairs,
     exact_dedup,
     jaccard_dup_pairs,
     minhash_lsh_dup_pairs,
+    remove_duplicate_spans,
     simhash_dup_pairs,
 )
 from ..operators.similarity import brute_force_topk, lsh_topk
@@ -917,6 +919,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
     )
     return dup_clusters(pairs)
+
+
+# shared oracle core for substring-level span dedup: dup 8-grams → hit
+# windows → merged disjoint intervals per doc (same interval-merge
+# construction as the Spark side, re-derived in SQL from raw gram strings)
+_SPAN_IV = """
+    b AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS nt
+          FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS s, i + 6 AS e,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM b, LATERAL (SELECT unnest(generate_series(1, nt - 7)) AS i) x
+      WHERE nt >= 8
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    h AS (SELECT doc_id, s, e FROM g WHERE gram IN (SELECT gram FROM dup)),
+    m AS (SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS nw
+          FROM h),
+    sp AS (SELECT doc_id, s, e,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+           FROM m),
+    iv AS (SELECT doc_id, gid, min(s) AS s, max(e) AS e
+           FROM sp GROUP BY doc_id, gid)
+"""
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH {_SPAN_IV},
+    p AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens, count(*) AS n_spans
+          FROM iv GROUP BY doc_id)
+    SELECT b.doc_id, b.nt::BIGINT AS n_tokens,
+           coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+           coalesce(p.n_spans, 0)::BIGINT AS n_spans
+    FROM b LEFT JOIN p USING (doc_id)
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate accounting (Lee et al. suffix-array
+    dedup, n-gram MapReduce form): per doc, how many token positions sit
+    inside a >= 8-token span that occurs >= 2 times corpus-wide, and how
+    many disjoint such spans exist.  Reference has no analogue — this is
+    the LLM-pipeline operator family (BASELINE.json north star)."""
+    return duplicate_span_stats(
+        _docs(spark, sf_dir), "text", "doc_id", n=8, min_count=2
+    )
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH {_SPAN_IV},
+    cov AS (SELECT doc_id, flatten(list(generate_series(s, e))) AS cov
+            FROM iv GROUP BY doc_id)
+    SELECT b.doc_id,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- concat_ws over an all-null array is ''
+           coalesce(array_to_string(
+             list_filter(b.toks,
+                         (x, i) -> NOT list_contains(coalesce(c.cov, []), i - 1)),
+             ' '), '') AS clean_text,
+           b.nt::BIGINT AS n_tokens,
+           (b.nt - coalesce(len(c.cov), 0))::BIGINT AS clean_tokens
+    FROM b LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The destructive half of span dedup: rewrite every document with
+    all duplicated >= 8-token spans removed (all occurrences — the
+    deterministic distributed policy; see remove_duplicate_spans).
+    Value-hash compares the rewritten TEXTS, so tokenization, interval
+    merge, and reconstruction must all agree with the SQL re-derivation
+    to pass."""
+    return remove_duplicate_spans(
+        _docs(spark, sf_dir), "text", "doc_id", n=8, min_count=2
+    )
 
 
 @query(

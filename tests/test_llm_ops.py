@@ -974,3 +974,92 @@ def test_open_does_not_heal_while_writer_lock_held(spark, tmp_path):
     os.remove(f"{path}/_writer.lock")
     MinHashDedupStore(spark, path, sig_match_frac=0.5)  # heals now
     assert not os.path.isdir(ghost)
+
+
+# ---------------------------------------------------------------- span dedup
+class TestDuplicateSpans:
+    """Substring-level dedup on handcrafted docs where the expected
+    intervals are known by construction (n=3 keeps the examples small)."""
+
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        shared = "alpha beta gamma delta"  # 4-token span shared by docs 1+2
+        return spark.createDataFrame(
+            [
+                (1, f"one two {shared} three four"),
+                (2, f"{shared} five six seven eight nine"),
+                (3, "unique tokens only nothing repeats here at all"),
+                (4, "x y"),  # shorter than n: no grams, never duplicated
+                (5, "loop loop loop loop loop loop"),  # self-repetition
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_stats_finds_shared_span(self, spark, span_docs):
+        from fluent_plugin_sql_spark.operators.dedup import duplicate_span_stats
+
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_span_stats(
+                span_docs, "text", "doc_id", n=3, min_count=2
+            ).collect()
+        }
+        assert len(out) == 5
+        # docs 1 and 2 share the 4-token run -> one merged 4-token span each
+        for d in (1, 2):
+            assert out[d]["dup_tokens"] == 4
+            assert out[d]["n_spans"] == 1
+        assert out[3]["dup_tokens"] == 0 and out[3]["n_spans"] == 0
+        assert out[4]["dup_tokens"] == 0 and out[4]["n_tokens"] == 2
+        # "loop"*6: every trigram is "loop loop loop" (4 occurrences
+        # globally) -> whole doc is one duplicated span
+        assert out[5]["dup_tokens"] == 6 and out[5]["n_spans"] == 1
+
+    def test_removal_rewrites_only_covered_tokens(self, spark, span_docs):
+        from fluent_plugin_sql_spark.operators.dedup import remove_duplicate_spans
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_duplicate_spans(
+                span_docs, "text", "doc_id", n=3, min_count=2
+            ).collect()
+        }
+        assert out[1]["clean_text"] == "one two three four"
+        assert out[2]["clean_text"] == "five six seven eight nine"
+        assert out[3]["clean_text"] == out[3]["clean_text"]  # untouched
+        assert out[3]["clean_tokens"] == out[3]["n_tokens"]
+        assert out[4]["clean_text"] == "x y"
+        assert out[5]["clean_text"] == ""  # fully duplicated doc vanishes
+        assert out[5]["clean_tokens"] == 0
+
+    def test_min_count_three_ignores_pairwise_repeats(self, spark, span_docs):
+        from fluent_plugin_sql_spark.operators.dedup import duplicate_span_stats
+
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_span_stats(
+                span_docs, "text", "doc_id", n=3, min_count=3
+            ).collect()
+        }
+        # the shared span occurs only twice -> below threshold now
+        assert out[1]["dup_tokens"] == 0 and out[2]["dup_tokens"] == 0
+        # but the self-repeating trigram occurs 4 times -> still caught
+        assert out[5]["dup_tokens"] == 6
+
+    def test_overlapping_hits_merge_into_one_interval(self, spark):
+        from fluent_plugin_sql_spark.operators.dedup import duplicate_span_stats
+
+        # two docs sharing a 5-token run: three overlapping trigram hits
+        # per doc must merge to a single 5-token interval, not 9 tokens
+        df = spark.createDataFrame(
+            [(1, "a b c d e tail1"), (2, "head a b c d e")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in duplicate_span_stats(df, "text", "doc_id", n=3, min_count=2)
+            .collect()
+        }
+        for d in (1, 2):
+            assert out[d]["dup_tokens"] == 5
+            assert out[d]["n_spans"] == 1
