@@ -1651,3 +1651,226 @@ class EmbeddingDedupStore:
                 sfs._fs.delete(sfs._jpath(f"{self.path}/_old_{sub}"), True)
             sfs._fs.delete(sfs._jpath(f"{self.path}/{self._RECLUSTER_MARK}"), False)
             self.num_centroids = n
+
+
+class SimHashDedupStore:
+    """Incremental SimHash near-dedup for continuous ingestion — the
+    durable store form of :func:`simhash_dup_pairs`, completing the
+    store family (exact / MinHash / SimHash / embedding).
+
+    State is ONE append-only parquet table ``blocks``: the accepted
+    documents' pigeonhole block keys with the full 60-bit sketch carried
+    on every row — (doc, sk, blk_idx, blk_val, bvh, bkt), ``max_hamming
+    + 1`` rows ≈ 250 bytes per accepted doc, never the text.  Because
+    the sketch rides along, candidate generation AND hamming
+    verification happen in the same bucket-pruned join; unlike the
+    MinHash store there is no second state table to read.
+
+    Probe scale contract (same as the sibling stores):
+    - store side is NEVER shuffled: batch blocks broadcast, store
+      streams through a BroadcastHashJoin;
+    - store I/O is pruned at two levels: the batch's block-key hashes'
+      bucket ids push as a partition filter, and the key hashes
+      themselves push as ``In(bvh, …)`` that parquet evaluates against
+      page min-max stats (:meth:`compact` sorts buckets by ``bvh``).
+    - recall is exact, not probabilistic: pigeonhole guarantees two
+      sketches within ``max_hamming`` agree on ≥ 1 of the
+      ``max_hamming + 1`` blocks, so a true near-dup cannot be missed
+      by blocking (the MinHash store's banding is probabilistic).
+
+    Sketches use the engine-portable md5-derived 60-bit token hashes
+    (functions.text), so acceptance decisions are reproducible across
+    engines — the DuckDB gate oracle recomputes identical sketches.
+
+    Delivery contract: :meth:`probe_dups` is strictly read-only,
+    :meth:`absorb` mutates; streaming callers sink between the two
+    (probe → pin → sink → absorb) for true at-least-once, exactly as
+    documented on :class:`MinHashDedupStore`.
+
+    Reference parity: absorbs the poll-loop re-delivery of
+    in_sql.rb:136-161 like the other stores (SURVEY §2.9 T5).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        max_hamming: int = 6,
+        num_buckets: int = 256,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.max_hamming = max_hamming
+        self.num_buckets = num_buckets
+        self._store_fs = _StoreFS(spark, self.path)
+        self._store_fs.heal_on_open("blocks")
+        meta = self._store_fs.read_meta()
+        if meta is not None:
+            # layout constants are creation-time-pinned: bucket ids live
+            # in directory names, and block boundaries define blk_val —
+            # probing with different values would silently miss state
+            import logging
+
+            for key, attr in (("num_buckets", "num_buckets"),
+                              ("max_hamming", "max_hamming")):
+                if meta[key] != getattr(self, attr):
+                    logging.getLogger(__name__).warning(
+                        "store %s was created with %s=%s; overriding the "
+                        "requested %s", self.path, key, meta[key],
+                        getattr(self, attr),
+                    )
+                    setattr(self, attr, int(meta[key]))
+
+    # block boundaries: max_hamming+1 contiguous slices of the 60 bits
+    def _bounds(self) -> list[int]:
+        nb = self.max_hamming + 1
+        return [i * 60 // nb for i in range(nb)] + [60]
+
+    def _write_meta_if_absent(self) -> None:
+        if self._store_fs.read_meta() is None:
+            self._store_fs.write_meta(
+                {"num_buckets": self.num_buckets, "max_hamming": self.max_hamming}
+            )
+
+    def _exists(self) -> bool:
+        return self._store_fs.exists("blocks")
+
+    def _bvh(self):
+        """64-bit hash of a (blk_idx, blk_val) row — the ``bvh`` column,
+        bucket discriminator (pmod) and second-level pushed-filter key.
+        MUST match on write and probe sides."""
+        return F.xxhash64("blk_idx", "blk_val")
+
+    def _sketch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """(doc, sk): portable 60-bit SimHash per row — a pure map."""
+        hs = df.select(
+            F.col(id_col).alias("doc"), token_hashes(text_col).alias("hs")
+        )
+        return hs.select("doc", simhash60_from_hashes("hs").alias("sk"))
+
+    def _block_rows(self, sk: DataFrame) -> DataFrame:
+        """(doc, sk, blk_idx, blk_val) unpivot — stack() is a
+        zero-shuffle generator, same construction as simhash_dup_pairs."""
+        bounds = self._bounds()
+        nb = self.max_hamming + 1
+        block_cols = [
+            F.shiftright("sk", bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias(f"blk{i}")
+            for i in range(nb)
+        ]
+        stack_expr = (
+            f"stack({nb}, "
+            + ", ".join(f"{i}, blk{i}" for i in range(nb))
+            + ") as (blk_idx, blk_val)"
+        )
+        return sk.select("doc", "sk", *block_cols).selectExpr(
+            "doc", "sk", stack_expr
+        )
+
+    def _pruned_block_scan(self, blocks: DataFrame) -> DataFrame:
+        """Two-level-pruned read of the blocks state table for a probe
+        batch — separated out so tests can assert its I/O metrics."""
+        probe_keys = [
+            r[0]
+            for r in blocks.select(self._bvh().alias("bvh"))
+            .distinct()
+            .limit(_MAX_PUSHED_KEYS + 1)
+            .collect()
+        ]
+        store = self.spark.read.parquet(f"{self.path}/blocks")
+        if len(probe_keys) <= _MAX_PUSHED_KEYS:
+            bkts = sorted({k % self.num_buckets for k in probe_keys})
+            return store.where(
+                F.col("bkt").isin(bkts) & F.col("bvh").isin(probe_keys)
+            )
+        bkts = [
+            r[0]
+            for r in blocks.select(
+                F.pmod(self._bvh(), F.lit(self.num_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return store.where(F.col("bkt").isin(bkts))
+
+    def _dup_ids(self, blocks: DataFrame) -> DataFrame:
+        """Batch ids that are within ``max_hamming`` of the store OR of a
+        lower-id row in the same batch."""
+        ham = F.bit_count(F.col("o.sk").bitwiseXOR(F.col("n.sk")))
+        internal = (
+            blocks.alias("o")
+            .join(
+                blocks.alias("n"),
+                (F.col("o.blk_idx") == F.col("n.blk_idx"))
+                & (F.col("o.blk_val") == F.col("n.blk_val"))
+                & (F.col("o.doc") < F.col("n.doc")),
+            )
+            .where(ham <= self.max_hamming)
+            .select(F.col("n.doc").alias("dup"))  # keep the lower id
+            .distinct()
+        )
+        if not self._exists():
+            return internal
+        cross = (
+            self._pruned_block_scan(blocks)
+            .alias("o")
+            .join(
+                F.broadcast(blocks).alias("n"),
+                (F.col("o.blk_idx") == F.col("n.blk_idx"))
+                & (F.col("o.blk_val") == F.col("n.blk_val")),
+            )
+            .where(ham <= self.max_hamming)
+            .select(F.col("n.doc").alias("dup"))
+            .distinct()
+        )
+        return cross.unionByName(internal).distinct()
+
+    def probe_dups(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Read-only: ids in ``df`` within ``max_hamming`` of the store
+        or of a lower-id row in the same batch."""
+        sk = self._sketch(df, text_col, id_col).localCheckpoint(eager=True)
+        return self._dup_ids(self._block_rows(sk))
+
+    def absorb(self, survivors: DataFrame, text_col: str, id_col: str) -> None:
+        """Record ``survivors`` (already probed and sunk) as accepted.
+        Re-derives the sketches — a pure map, so the method stays
+        callable on a replayed/pinned DataFrame with no handoff state."""
+        sk = self._sketch(survivors, text_col, id_col)
+        self._absorb_blocks(self._block_rows(sk))
+
+    def _absorb_blocks(self, blocks: DataFrame) -> None:
+        with self._store_fs.lock("absorb"):
+            self._write_meta_if_absent()
+            (
+                blocks.withColumn("bvh", self._bvh())
+                .withColumn("bkt", F.pmod(F.col("bvh"), F.lit(self.num_buckets)))
+                .repartition(F.col("bkt"))
+                .write.mode("append")
+                .partitionBy("bkt")
+                .parquet(f"{self.path}/blocks")
+            )
+
+    def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """Probe + absorb in one call (batch jobs, gate queries): return
+        the near-dup-free subset of ``df`` and absorb it.  Streaming
+        callers should sink between ``probe_dups`` and ``absorb``."""
+        sk = self._sketch(df, text_col, id_col).localCheckpoint(eager=True)
+        blocks = self._block_rows(sk)
+        dup_ids = self._dup_ids(blocks)
+        survivors = df.join(
+            dup_ids.withColumnRenamed("dup", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)  # pin BEFORE the store mutates
+        keep = survivors.select(F.col(id_col).alias("doc"))
+        self._absorb_blocks(blocks.join(keep, "doc", "left_semi"))
+        return survivors
+
+    def compact(self, files_per_bucket: int = 1) -> None:
+        """Rewrite the blocks table to ``files_per_bucket`` files per
+        bucket, sorted by ``bvh`` so pushed ``In`` filters prune pages.
+        Bucket ids are preserved; crash safety per _StoreFS.recover."""
+        with self._store_fs.lock("compact"):
+            self._store_fs.compact_table(
+                "blocks", "bkt", self.num_buckets * files_per_bucket,
+                sort_col="bvh",
+            )

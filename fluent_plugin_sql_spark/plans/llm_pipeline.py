@@ -358,6 +358,91 @@ def embedding_dedup_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_dedup_two_batches",
+    # Exact oracle, no estimator OR clique caveat: the store's
+    # acceptance test IS hamming <= 6 on the engine-portable md5-derived
+    # sketch (pigeonhole blocking has exact recall, unlike MinHash
+    # banding), and the SQL recomputes identical sketches bit-for-bit
+    # (same construction as the dedup_simhash pair oracle).  The CTEs
+    # encode the store's STAGED decision procedure exactly — batch 0:
+    # reject on any lower-id in-batch neighbor; batch 1: reject on any
+    # lower-id in-batch neighbor OR any batch-0 SURVIVOR neighbor (the
+    # store only ever absorbs survivors) — so hamming chains, which this
+    # low-entropy corpus is full of at distance 6, are handled
+    # correctly, where a flat "no lexicographically-earlier neighbor"
+    # NOT EXISTS would over-reject (it mismatched by 12 docs at sf0.01).
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS doc,
+             list_transform(string_split(text, ' '), s -> {_H.format(x='s')}) AS hs
+      FROM documents
+    ),
+    sk AS (
+      SELECT doc,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(0, 60), b ->
+                 CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                        list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)),
+                      (acc, x) -> acc + x) > 0
+                      THEN 1::BIGINT ELSE 0::BIGINT END)),
+               (acc, x) -> acc * 2 + x) AS sk
+      FROM t
+    ),
+    b0 AS (SELECT doc, sk FROM sk WHERE doc % 2 = 0),
+    b1 AS (SELECT doc, sk FROM sk WHERE doc % 2 = 1),
+    acc0 AS (
+      SELECT doc, sk FROM b0 d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM b0 o
+        WHERE o.doc < d.doc AND bit_count(xor(o.sk, d.sk)) <= 6)
+    ),
+    acc1 AS (
+      SELECT doc FROM b1 d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM b1 o
+        WHERE o.doc < d.doc AND bit_count(xor(o.sk, d.sk)) <= 6)
+      AND NOT EXISTS (
+        SELECT 1 FROM acc0 a
+        WHERE bit_count(xor(a.sk, d.sk)) <= 6)
+    )
+    SELECT doc, 0 AS batch FROM acc0
+    UNION ALL
+    SELECT doc, 1 AS batch FROM acc1
+    """,
+)
+def simhash_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash near-dedup through the persisted block store
+    (operators/dedup.SimHashDedupStore): documents split by ``doc_id %
+    2`` into batch 0 then batch 1, each run through ``process_batch`` —
+    batch-1 docs are checked against accepted sketches via the
+    bucket-pruned pigeonhole probe.  Completes the store-family gate
+    coverage (exact / MinHash / SimHash / embedding)."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import SimHashDedupStore
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="simhash_dedup_gate_")
+    try:
+        store = SimHashDedupStore(spark, f"{path}/store", max_hamming=6)
+        out = None
+        for batch in (0, 1):
+            b = docs.where(F.col("doc_id") % 2 == batch)
+            s = (
+                store.process_batch(b, "text", "doc_id")
+                .select(
+                    F.col("doc_id").alias("doc"),
+                    (F.col("doc_id") % 2).alias("batch"),
+                )
+            )
+            out = s if out is None else out.unionByName(s)
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "chained_dedup_stores",
     # The oracle encodes the PIPELINE's staged semantics exactly — for
     # each batch: exact first-per-text, then near-dedup against (a)

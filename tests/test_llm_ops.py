@@ -1063,3 +1063,135 @@ class TestDuplicateSpans:
         for d in (1, 2):
             assert out[d]["dup_tokens"] == 5
             assert out[d]["n_spans"] == 1
+
+
+# ----------------------------------------------------------- simhash store
+class TestSimHashDedupStore:
+    BASE = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to hide from every hunter"
+    )
+    OTHER = (
+        "completely different content about spark shuffles partitions "
+        "and broadcast joins at terabyte scale with adaptive execution"
+    )
+    THIRD = (
+        "yet another unrelated document mentioning watermarks streaming "
+        "state stores checkpoints and exactly once sinks for pipelines"
+    )
+
+    def test_incremental_and_durability(self, spark, tmp_path):
+        """Cross-batch near-dup dropped via the persisted block store,
+        within-batch dups keep the lowest id, and a fresh instance on
+        the same path keeps filtering."""
+        from fluent_plugin_sql_spark.operators.dedup import SimHashDedupStore
+
+        variant = self.BASE.replace("green", "dark")
+        path = str(tmp_path / "shstore")
+        store = SimHashDedupStore(spark, path)
+
+        b1 = spark.createDataFrame(
+            [(1, self.BASE), (2, self.OTHER)], "doc_id LONG, text STRING"
+        )
+        assert {r["doc_id"] for r in store.process_batch(b1, "text", "doc_id").collect()} == {1, 2}
+
+        b2 = spark.createDataFrame(
+            [(10, self.THIRD), (11, self.THIRD), (12, variant)],
+            "doc_id LONG, text STRING",
+        )
+        assert {r["doc_id"] for r in store.process_batch(b2, "text", "doc_id").collect()} == {10}
+
+        store2 = SimHashDedupStore(spark, path)
+        b3 = spark.createDataFrame(
+            [(20, self.BASE), (21, self.THIRD),
+             (22, "totally novel text about nothing seen before with many fresh words")],
+            "doc_id LONG, text STRING",
+        )
+        assert {r["doc_id"] for r in store2.process_batch(b3, "text", "doc_id").collect()} == {22}
+
+    def test_probe_never_shuffles_store_side(self, spark, tmp_path):
+        """Same scale contract as the sibling stores: store side streams
+        through a BroadcastHashJoin, bucket ids push as partition
+        filters, block-key hashes push as an In data filter."""
+        import re
+
+        from fluent_plugin_sql_spark.operators.dedup import SimHashDedupStore
+
+        path = str(tmp_path / "shstore_plan")
+        store = SimHashDedupStore(spark, path)
+        b1 = spark.createDataFrame(
+            [(1, self.BASE), (2, self.OTHER)], "doc_id LONG, text STRING"
+        )
+        store.process_batch(b1, "text", "doc_id")
+
+        b2 = spark.createDataFrame(
+            [(3, self.BASE), (4, self.THIRD)], "doc_id LONG, text STRING"
+        )
+        sk = store._sketch(b2, "text", "doc_id").localCheckpoint(eager=True)
+        blocks = store._block_rows(sk)
+
+        scan = store._pruned_block_scan(blocks)
+        scan_plan = scan._jdf.queryExecution().executedPlan().toString()
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", scan_plan)
+        assert any("bkt" in p for p in pfs), scan_plan
+        assert "bvh" in scan_plan  # pushed In filter reaches the scan
+
+        probe = store._dup_ids(blocks)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the store-side join must be broadcast (batch side broadcast);
+        # the batch-internal self-join is tiny either way
+        assert "BroadcastHashJoin" in plan
+        pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any("bkt" in p for p in pfs), plan
+        assert {r["dup"] for r in probe.collect()} == {3}
+
+    def test_replay_converges(self, spark, tmp_path):
+        """At-least-once self-healing: reprocessing an absorbed batch
+        yields zero survivors (its rows look like dups of themselves)."""
+        from fluent_plugin_sql_spark.operators.dedup import SimHashDedupStore
+
+        path = str(tmp_path / "shstore_replay")
+        store = SimHashDedupStore(spark, path)
+        b = spark.createDataFrame(
+            [(1, self.BASE), (2, self.OTHER)], "doc_id LONG, text STRING"
+        )
+        assert store.process_batch(b, "text", "doc_id").count() == 2
+        assert store.process_batch(b, "text", "doc_id").count() == 0
+
+    def test_split_probe_absorb_contract(self, spark, tmp_path):
+        """probe_dups is strictly read-only; absorb makes state durable."""
+        from fluent_plugin_sql_spark.operators.dedup import SimHashDedupStore
+
+        path = str(tmp_path / "shstore_split")
+        store = SimHashDedupStore(spark, path)
+        b = spark.createDataFrame(
+            [(1, self.BASE), (2, self.OTHER)], "doc_id LONG, text STRING"
+        )
+        assert store.probe_dups(b, "text", "doc_id").count() == 0
+        assert not store._exists()  # probe did not mutate
+        store.absorb(b, "text", "doc_id")
+        # now a near-copy probes as dup
+        b2 = spark.createDataFrame(
+            [(3, self.BASE.replace("green", "dark"))], "doc_id LONG, text STRING"
+        )
+        assert {r["dup"] for r in store.probe_dups(b2, "text", "doc_id").collect()} == {3}
+
+    def test_compact_preserves_probes_and_meta_pins_layout(self, spark, tmp_path):
+        from fluent_plugin_sql_spark.operators.dedup import SimHashDedupStore
+
+        path = str(tmp_path / "shstore_compact")
+        store = SimHashDedupStore(spark, path, num_buckets=8)
+        for i, txt in enumerate((self.BASE, self.OTHER, self.THIRD)):
+            store.process_batch(
+                spark.createDataFrame([(i, txt)], "doc_id LONG, text STRING"),
+                "text", "doc_id",
+            )
+        store.compact()
+        # reopening with different layout params adopts the stored ones
+        store2 = SimHashDedupStore(spark, path, max_hamming=3, num_buckets=64)
+        assert store2.num_buckets == 8 and store2.max_hamming == 6
+        b = spark.createDataFrame(
+            [(9, self.BASE.replace("green", "dark")), (10, "fresh unseen words only here")],
+            "doc_id LONG, text STRING",
+        )
+        assert {r["dup"] for r in store2.probe_dups(b, "text", "doc_id").collect()} == {9}
