@@ -343,9 +343,12 @@ class Pipeline:
 
         Optional ``source.exact_dedup: {path, text_col, id_col}``
         interposes the cheaper :class:`~.operators.dedup.ExactDedupStore`
-        the same way (durable content-hash first-occurrence).  Both may
-        be configured together: exact runs first (cheap hash probe), the
-        near-dup store only sees content-novel rows.
+        the same way (durable content-hash first-occurrence), and
+        ``source.simhash_dedup: {path, text_col, id_col, max_hamming}``
+        the :class:`~.operators.dedup.SimHashDedupStore` (exact-recall
+        pigeonhole near-dedup on the 60-bit sketch).  All may be
+        configured together, probing cheapest-first: exact (hash) →
+        simhash (one sketch join) → MinHash near → embedding.
 
         Optional ``source.rollup: {path, time_col, window, dims,
         sum_cols, hll_cols}`` maintains a
@@ -381,6 +384,17 @@ class Pipeline:
             for t in self.in_cfg.tables:
                 xstores[t.table] = ExactDedupStore(
                     self.spark, f"{xd_cfg['path']}/{t.table}"
+                )
+        sd_cfg = src.get("simhash_dedup")
+        sstores: dict[str, Any] = {}
+        if sd_cfg:
+            from .operators.dedup import SimHashDedupStore
+
+            for t in self.in_cfg.tables:
+                sstores[t.table] = SimHashDedupStore(
+                    self.spark,
+                    f"{sd_cfg['path']}/{t.table}",
+                    max_hamming=int(sd_cfg.get("max_hamming", 6)),
                 )
         ed_cfg = src.get("embedding_dedup")
         estores: dict[str, Any] = {}
@@ -440,6 +454,7 @@ class Pipeline:
                 _tag: str = tag,
                 _store: Any = stores.get(t.table),
                 _xstore: Any = xstores.get(t.table),
+                _sstore: Any = sstores.get(t.table),
                 _estore: Any = estores.get(t.table),
                 _rstore: Any = rstores.get(t.table),
                 _table: str = t.table,
@@ -459,6 +474,14 @@ class Pipeline:
                         xd_cfg.get("text_col", "text"),
                         xd_cfg.get("id_col", "doc_id"),
                     ).drop("content_hash")
+                if _sstore is not None:
+                    _id = sd_cfg.get("id_col", "doc_id")
+                    dups = _sstore.probe_dups(
+                        survivors, sd_cfg.get("text_col", "text"), _id
+                    )
+                    survivors = survivors.join(
+                        dups.withColumnRenamed("dup", _id), _id, "left_anti"
+                    )
                 if _store is not None:
                     _id = nd_cfg.get("id_col", "doc_id")
                     dups = _store.probe_dups(
@@ -501,6 +524,12 @@ class Pipeline:
                         nd_cfg.get("text_col", "text"),
                         nd_cfg.get("id_col", "doc_id"),
                     )
+                if _sstore is not None:
+                    _sstore.absorb(
+                        survivors,
+                        sd_cfg.get("text_col", "text"),
+                        sd_cfg.get("id_col", "doc_id"),
+                    )
                 if _estore is not None:
                     _estore.absorb(
                         survivors,
@@ -512,7 +541,7 @@ class Pipeline:
                 # from decaying into file-open overhead on long streams
                 _n["n"] += 1
                 if _every and _n["n"] % _every == 0:
-                    for st_ in (_store, _xstore, _estore, _rstore):
+                    for st_ in (_store, _xstore, _sstore, _estore, _rstore):
                         if st_ is not None:
                             st_.compact()
                     # retention rides the compaction cadence: expire() is

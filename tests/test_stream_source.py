@@ -596,3 +596,64 @@ def test_run_streaming_rollup_config(spark, tmp_path):
     assert got == want
     # replaying an already-committed epoch is a no-op
     assert store.absorb(src.limit(5), "events-e0") is False
+
+
+def test_run_streaming_simhash_dedup_config(spark, tmp_path):
+    """source.simhash_dedup interposes the pigeonhole block store: a
+    near-copy (one word changed, hamming << 6) arriving in a later
+    micro-batch never reaches the sink; genuinely different docs pass."""
+    import time
+
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    rows = [(0, base),
+            (1, "completely different content about spark shuffles "
+                "partitions and broadcast joins at terabyte scale"),
+            (2, "yet another unrelated document mentioning watermarks "
+                "streaming state stores checkpoints and sinks"),
+            # second micro-batch: near copy of 0 + two novel docs
+            (3, base.replace("green", "dark")),
+            (4, "fresh and unrelated words about parquet footers page "
+                "statistics bloom filters and row group pruning"),
+            (5, "final novel text with its own vocabulary entirely "
+                "disjoint from everything that came before today")]
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(1).write.parquet(
+        str(src_dir / "documents.parquet")
+    )
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 3,
+            "tables": [{"table": "documents", "update_column": "doc_id"}],
+            "simhash_dedup": {
+                "path": str(tmp_path / "sdstore"),
+                "text_col": "text",
+                "id_col": "doc_id",
+                "max_hamming": 6,
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "clean_docs"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "clean_docs")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 5:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out / "clean_docs")).collect()}
+    assert got == {0, 1, 2, 4, 5}  # 3 = near copy of 0, filtered
