@@ -1682,6 +1682,17 @@ class SimHashDedupStore:
     (functions.text), so acceptance decisions are reproducible across
     engines — the DuckDB gate oracle recomputes identical sketches.
 
+    Sizing ``max_hamming`` at scale: pigeonhole blocking splits the 60
+    bits into ``max_hamming + 1`` blocks, so block keys are ``60 /
+    (max_hamming + 1)`` bits wide — the ONLY selectivity the candidate
+    join has.  At the default 6 that is 8–9 bits (≤ 512 distinct values
+    per block index): fine up to ~10^6-doc stores, but at 10^9 docs a
+    probe doc collides with ~store/512 rows per block and candidate
+    volume, not I/O, becomes the bottleneck.  Use ``max_hamming`` ≤ 3
+    (4 × 15-bit blocks, the classic simhash-dedup operating point) for
+    billion-doc corpora, or prefer the MinHash store whose banding
+    selectivity is tunable independently of the distance threshold.
+
     Delivery contract: :meth:`probe_dups` is strictly read-only,
     :meth:`absorb` mutates; streaming callers sink between the two
     (probe → pin → sink → absorb) for true at-least-once, exactly as
@@ -1742,10 +1753,16 @@ class SimHashDedupStore:
         return F.xxhash64("blk_idx", "blk_val")
 
     def _sketch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        """(doc, sk): portable 60-bit SimHash per row — a pure map."""
+        """(doc, sk): portable 60-bit SimHash per row — a pure map.
+
+        The token-hash array is materialized (eager localCheckpoint)
+        BEFORE the 60-bit fold: without the barrier, projection collapse
+        substitutes the md5 transform into every one of the 60 per-bit
+        passes — the 60× recompute simhash_dup_pairs documents (79 s at
+        sf0.1 when it regressed there)."""
         hs = df.select(
             F.col(id_col).alias("doc"), token_hashes(text_col).alias("hs")
-        )
+        ).localCheckpoint(eager=True)
         return hs.select("doc", simhash60_from_hashes("hs").alias("sk"))
 
     def _block_rows(self, sk: DataFrame) -> DataFrame:
