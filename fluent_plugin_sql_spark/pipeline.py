@@ -350,6 +350,14 @@ class Pipeline:
         configured together, probing cheapest-first: exact (hash) →
         simhash (one sketch join) → MinHash near → embedding.
 
+        Optional ``source.ivf_index: {path, vec_col, id_col,
+        num_centroids}`` maintains a persisted, searchable IVF
+        similarity index over the rows that reach the sink: the first
+        micro-batch builds it (centroids freeze then), later batches
+        fold in via :func:`~.operators.similarity.append_ivf_index`,
+        whose id-dedup probe makes replayed batches no-ops — so the
+        index is exactly-once by id under the at-least-once sink.
+
         Optional ``source.rollup: {path, time_col, window, dims,
         sum_cols, hll_cols}`` maintains a
         :class:`~.operators.rollup.RollupStore` continuous aggregate over
@@ -411,6 +419,8 @@ class Pipeline:
                     store_replicas=int(ed_cfg.get("store_replicas", 2)),
                 )
 
+        iv_cfg = src.get("ivf_index")
+
         ru_cfg = src.get("rollup")
         rstores: dict[str, Any] = {}
         if ru_cfg:
@@ -457,6 +467,7 @@ class Pipeline:
                 _sstore: Any = sstores.get(t.table),
                 _estore: Any = estores.get(t.table),
                 _rstore: Any = rstores.get(t.table),
+                _ivcfg: Any = iv_cfg,
                 _table: str = t.table,
                 _n: dict = n_batches,
                 _every: int = compact_every,
@@ -512,6 +523,35 @@ class Pipeline:
                     # would commit an empty generation for rows that DID
                     # reach the sink — permanent undercount
                     _rstore.absorb(survivors, f"{_table}-e{epoch_id}")
+                if _ivcfg is not None:
+                    # searchable similarity index over what reached the
+                    # sink; append's id-dedup probe makes a replayed
+                    # batch a no-op (exactly-once by id), so ordering
+                    # relative to the other absorbs doesn't matter —
+                    # but it still runs before the dedup stores mutate
+                    # so a crash here can't orphan sink rows
+                    from .operators.similarity import (
+                        append_ivf_index,
+                        build_ivf_index,
+                    )
+
+                    _ipath = f"{_ivcfg['path']}/{_table}"
+                    _vec = _ivcfg.get("vec_col", "embedding")
+                    _vid = _ivcfg.get("id_col", "vec_id")
+                    from .operators.dedup import _StoreFS
+
+                    if _StoreFS(self.spark, _ipath).exists("centroids"):
+                        append_ivf_index(self.spark, _ipath, survivors, _vec, _vid)
+                    elif survivors.limit(1).count() > 0:
+                        # an empty first batch must NOT build: it would
+                        # freeze ZERO centroids and every later append
+                        # would assign against nothing — build waits for
+                        # the first non-empty survivor set (the count is
+                        # one cheap job over the pinned checkpoint)
+                        build_ivf_index(
+                            survivors, _ipath, _vec, _vid,
+                            num_centroids=int(_ivcfg.get("num_centroids", 16)),
+                        )
                 if _xstore is not None:
                     _xstore.absorb(
                         survivors,
@@ -544,6 +584,13 @@ class Pipeline:
                     for st_ in (_store, _xstore, _sstore, _estore, _rstore):
                         if st_ is not None:
                             st_.compact()
+                    if _ivcfg is not None:
+                        from .operators.dedup import _StoreFS
+                        from .operators.similarity import compact_ivf_index
+
+                        _ipath = f"{_ivcfg['path']}/{_table}"
+                        if _StoreFS(self.spark, _ipath).exists("postings"):
+                            compact_ivf_index(self.spark, _ipath)
                     # retention rides the compaction cadence: expire() is
                     # a directory listing + deletes, not worth paying
                     # every micro-batch

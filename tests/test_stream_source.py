@@ -657,3 +657,80 @@ def test_run_streaming_simhash_dedup_config(spark, tmp_path):
             q.awaitTermination(30)
     got = {r["doc_id"] for r in spark.read.parquet(str(out / "clean_docs")).collect()}
     assert got == {0, 1, 2, 4, 5}  # 3 = near copy of 0, filtered
+
+
+def test_run_streaming_ivf_index_config(spark, tmp_path):
+    """source.ivf_index maintains a persisted, searchable IVF index over
+    the rows that reach the sink: after the stream drains (multiple
+    micro-batches), the index holds every id exactly once and a search
+    against it returns the true nearest neighbor."""
+    import math
+    import time
+
+    from fluent_plugin_sql_spark.operators.similarity import ivf_topk_from_index
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    # 24 unit-ish vectors on a circle: nearest neighbor = adjacent angle
+    rows = [
+        (i, [math.cos(2 * math.pi * i / 24), math.sin(2 * math.pi * i / 24)])
+        for i in range(24)
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).coalesce(1).write.parquet(str(src_dir / "embeddings.parquet"))
+    out = tmp_path / "out"
+    ipath = tmp_path / "ivf"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 9,  # forces multiple micro-batches
+            "tables": [{"table": "embeddings", "update_column": "vec_id"}],
+            "ivf_index": {
+                "path": str(ipath),
+                "vec_col": "embedding",
+                "id_col": "vec_id",
+                "num_centroids": 4,
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "routed"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        # wait on the INDEX, not the sink: the sink write precedes the
+        # index append inside the same micro-batch, so stopping at
+        # sink==24 races the final batch's append and interrupts it
+        def done():
+            try:
+                return (
+                    spark.read.parquet(str(ipath / "embeddings" / "postings"))
+                    .count()
+                )
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 24:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+
+    postings = spark.read.parquet(str(ipath / "embeddings" / "postings"))
+    got = sorted(r["match_id"] for r in postings.collect())
+    assert got == list(range(24))  # every id exactly once, replays deduped
+
+    # the index answers searches: each query vector's top hit (excluding
+    # itself) is an angular neighbor
+    qdf = spark.createDataFrame(rows[:4], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    hits = ivf_topk_from_index(
+        spark, str(ipath / "embeddings"), qdf, k=2, nprobe=3
+    ).collect()
+    for r in hits:
+        if r["match_id"] != r["query_id"]:
+            assert min(
+                abs(r["match_id"] - r["query_id"]),
+                24 - abs(r["match_id"] - r["query_id"]),
+            ) <= 3
