@@ -693,6 +693,74 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tfc AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, sum(c) AS len FROM tfc GROUP BY 1),
+    dfq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT t.doc_id, t.term,
+             (t.c * 1.0 / l.len)
+               * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score
+      FROM tfc t JOIN dlen l USING (doc_id) JOIN dfq d USING (term), n
+    ),
+    r AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM sc
+    )
+    SELECT doc_id, term, rank::BIGINT AS rank, round(score, 6) AS score
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))
+    + 1, the sklearn convention) — the keyword-extraction primitive of a
+    text pipeline (salient-term indexing, boilerplate spotting).
+
+    Shape at scale: token explode → (doc, term) count with map-side
+    combine; document frequency is a second keyed agg over the ALREADY
+    collapsed (doc, term) rows (never the raw token stream); the corpus
+    size N joins in as a broadcast 1-row aggregate so the plan stays
+    fully declarative; final top-k is one window per doc.  Ties break on
+    the term itself, so ordering is deterministic across engines."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tfc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    dlen = tfc.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    dfq = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    sc = (
+        tfc.join(dlen, "doc_id")
+        .join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("c") / F.col("len"))
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "term", F.col("rank").cast("long").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 @query("ann_ivf_top5")  # approximate by construction → rows-only + recall test
 def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (deterministic centroid pick,
