@@ -599,27 +599,42 @@ def remove_duplicate_spans(
     would need a global order over occurrences, a cross-doc dependency
     with no stable distributed answer).
 
-    The rewrite is pure codegen: covered positions flatten to one array
-    per doc (merged intervals are disjoint, so no duplicates), and
-    concat_ws skips the masked-out (null) tokens."""
+    The rewrite is pure codegen, and per-token work scales with the
+    number of MERGED intervals, not covered tokens: coverage is tested
+    with an exists() over the doc's disjoint (start, end) interval
+    structs — a fully duplicated 100k-token document merges to ONE
+    interval, so masking it costs O(n_tokens), where a flattened
+    covered-position array would cost O(n_tokens x covered) membership
+    scans.  (Worst case — alternating covered/clean runs — is bounded
+    by n_tokens / (n + 1) intervals.)  concat_ws then skips the
+    masked-out (null) tokens."""
     base, spans = _duplicate_span_intervals(df, text_col, id_col, n, min_count)
-    cov = spans.groupBy("__doc").agg(
-        F.flatten(F.collect_list(F.sequence("__s", "__e"))).alias("__cov")
+    iv = spans.groupBy("__doc").agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__iv"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("__ncov"),
     )
-    j = base.join(cov, "__doc", "left").withColumn(
-        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    j = (
+        base.join(iv, "__doc", "left")
+        .withColumn(
+            "__iv",
+            F.coalesce(
+                F.col("__iv"),
+                F.array().cast("array<struct<__s:int,__e:int>>"),
+            ),
+        )
+        .withColumn("__ncov", F.coalesce(F.col("__ncov"), F.lit(0)))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__iv"), lambda s: (i >= s["__s"]) & (i <= s["__e"])
     )
     masked = F.transform(
-        "__toks",
-        lambda x, i: F.when(F.array_contains(F.col("__cov"), i), F.lit(None)).otherwise(
-            x
-        ),
+        "__toks", lambda x, i: F.when(covered(i), F.lit(None)).otherwise(x)
     )
     return j.select(
         F.col("__doc").alias(id_col),
         F.concat_ws(" ", masked).alias("clean_text"),
         F.col("__nt").cast("long").alias("n_tokens"),
-        (F.col("__nt") - F.size("__cov")).cast("long").alias("clean_tokens"),
+        (F.col("__nt") - F.col("__ncov")).cast("long").alias("clean_tokens"),
     )
 
 
@@ -676,6 +691,23 @@ class _StoreFS:
 
     def exists(self, sub: str) -> bool:
         return self._fs.exists(self._jpath(f"{self.path}/{sub}"))
+
+    def has_data(self, sub: str) -> bool:
+        """True iff ``sub`` exists AND contains at least one non-marker
+        entry (a ``part=`` directory or data file — anything not
+        ``_``-prefixed).  The probe-side existence check for state
+        tables: an absorb of an EMPTY batch creates the table directory
+        with only ``_SUCCESS``, and a bare exists() would then route the
+        next probe into ``spark.read.parquet`` on a data-less dir —
+        UNABLE_TO_INFER_SCHEMA, wedging every subsequent batch.  One
+        driver-side listStatus; no Spark job."""
+        jp = self._jpath(f"{self.path}/{sub}")
+        if not self._fs.exists(jp):
+            return False
+        for st in self._fs.listStatus(jp):
+            if not st.getPath().getName().startswith("_"):
+                return True
+        return False
 
     def _rename(self, src: str, dst: str) -> None:
         """rename() with its boolean result CHECKED — Hadoop's rename
@@ -905,7 +937,7 @@ class MinHashDedupStore:
                     self.num_buckets,
                 )
             self.num_buckets = int(meta["num_buckets"])
-        elif self._store_fs.exists("band_keys"):
+        elif self._store_fs.has_data("band_keys"):
             # pre-metadata state: verify it carries the bkh probe column
             # (the v2 layout) instead of failing later — or worse,
             # probing wrongly
@@ -922,7 +954,7 @@ class MinHashDedupStore:
             self._store_fs.write_meta({"num_buckets": self.num_buckets})
 
     def _exists(self, sub: str) -> bool:
-        return self._store_fs.exists(sub)
+        return self._store_fs.has_data(sub)
 
     def _sig_cols(self) -> list[str]:
         return [f"h{i}" for i in range(self.num_hashes)]
@@ -1224,7 +1256,7 @@ class ExactDedupStore:
             self._store_fs.write_meta({"num_buckets": self.num_buckets})
 
     def _exists(self) -> bool:
-        return self._store_fs.exists("hashes")
+        return self._store_fs.has_data("hashes")
 
     def _bucket(self):
         return F.pmod(F.hash("content_hash"), F.lit(self.num_buckets))
@@ -1442,7 +1474,7 @@ class EmbeddingDedupStore:
         sfs._fs.delete(sfs._jpath(f"{self.path}/{self._RECLUSTER_MARK}"), False)
 
     def _exists(self, sub: str) -> bool:
-        return self._store_fs.exists(sub)
+        return self._store_fs.has_data(sub)
 
     def compact(self, files_per_bucket: int = 1) -> None:
         """Rewrite the postings table with ``files_per_bucket`` files
@@ -1722,15 +1754,14 @@ class SimHashDedupStore:
             # probing with different values would silently miss state
             import logging
 
-            for key, attr in (("num_buckets", "num_buckets"),
-                              ("max_hamming", "max_hamming")):
-                if meta[key] != getattr(self, attr):
+            for key in ("num_buckets", "max_hamming"):
+                if meta[key] != getattr(self, key):
                     logging.getLogger(__name__).warning(
                         "store %s was created with %s=%s; overriding the "
                         "requested %s", self.path, key, meta[key],
-                        getattr(self, attr),
+                        getattr(self, key),
                     )
-                    setattr(self, attr, int(meta[key]))
+                    setattr(self, key, int(meta[key]))
 
     # block boundaries: max_hamming+1 contiguous slices of the 60 bits
     def _bounds(self) -> list[int]:
@@ -1744,7 +1775,7 @@ class SimHashDedupStore:
             )
 
     def _exists(self) -> bool:
-        return self._store_fs.exists("blocks")
+        return self._store_fs.has_data("blocks")
 
     def _bvh(self):
         """64-bit hash of a (blk_idx, blk_val) row — the ``bvh`` column,

@@ -433,7 +433,7 @@ def append_ivf_index(
     )
     from .dedup import _StoreFS
 
-    if skip_existing_ids and _StoreFS(spark, index_path).exists("postings"):
+    if skip_existing_ids and _StoreFS(spark, index_path).has_data("postings"):
         touched = [r[0] for r in posting.select("bucket").distinct().collect()]
         existing = spark.read.parquet(f"{index_path}/postings").where(
             F.col("bucket").isin(touched)

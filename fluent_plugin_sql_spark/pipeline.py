@@ -540,18 +540,31 @@ class Pipeline:
                     _vid = _ivcfg.get("id_col", "vec_id")
                     from .operators.dedup import _StoreFS
 
-                    if _StoreFS(self.spark, _ipath).exists("centroids"):
+                    if _StoreFS(self.spark, _ipath).has_data("centroids"):
                         append_ivf_index(self.spark, _ipath, survivors, _vec, _vid)
-                    elif survivors.limit(1).count() > 0:
+                    else:
                         # an empty first batch must NOT build: it would
                         # freeze ZERO centroids and every later append
                         # would assign against nothing — build waits for
                         # the first non-empty survivor set (the count is
                         # one cheap job over the pinned checkpoint)
-                        build_ivf_index(
-                            survivors, _ipath, _vec, _vid,
-                            num_centroids=int(_ivcfg.get("num_centroids", 16)),
-                        )
+                        _nc = int(_ivcfg.get("num_centroids", 16))
+                        _nrows = survivors.count()
+                        if _nrows > 0:
+                            if _nrows < _nc:
+                                log.warning(
+                                    "ivf_index %s: first micro-batch has "
+                                    "%d rows < num_centroids=%d — the "
+                                    "index freezes with %d centroids and "
+                                    "probe pruning degrades; rebuild "
+                                    "offline with build_ivf_index over "
+                                    "the full corpus when convenient",
+                                    _ipath, _nrows, _nc, _nrows,
+                                )
+                            build_ivf_index(
+                                survivors, _ipath, _vec, _vid,
+                                num_centroids=_nc,
+                            )
                 if _xstore is not None:
                     _xstore.absorb(
                         survivors,
@@ -589,7 +602,7 @@ class Pipeline:
                         from .operators.similarity import compact_ivf_index
 
                         _ipath = f"{_ivcfg['path']}/{_table}"
-                        if _StoreFS(self.spark, _ipath).exists("postings"):
+                        if _StoreFS(self.spark, _ipath).has_data("postings"):
                             compact_ivf_index(self.spark, _ipath)
                     # retention rides the compaction cadence: expire() is
                     # a directory listing + deletes, not worth paying

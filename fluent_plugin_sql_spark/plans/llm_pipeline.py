@@ -703,9 +703,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
     n AS (SELECT count(*) AS n_docs FROM documents),
     sc AS (
+      -- rank on the ROUNDED score: ln() may differ by final-bit ULPs
+      -- between engines, and ranking on full precision would let
+      -- near-tied terms order differently in Spark vs here
       SELECT t.doc_id, t.term,
-             (t.c * 1.0 / l.len)
-               * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS score
+             round((t.c * 1.0 / l.len)
+               * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score
       FROM tfc t JOIN dlen l USING (doc_id) JOIN dfq d USING (term), n
     ),
     r AS (
@@ -714,7 +717,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY score DESC, term) AS rank
       FROM sc
     )
-    SELECT doc_id, term, rank::BIGINT AS rank, round(score, 6) AS score
+    SELECT doc_id, term, rank::BIGINT AS rank, score
     FROM r WHERE rank <= 3
     """,
 )
@@ -727,8 +730,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine; document frequency is a second keyed agg over the ALREADY
     collapsed (doc, term) rows (never the raw token stream); the corpus
     size N joins in as a broadcast 1-row aggregate so the plan stays
-    fully declarative; final top-k is one window per doc.  Ties break on
-    the term itself, so ordering is deterministic across engines."""
+    fully declarative; final top-k is one window per doc.  Ranking uses
+    the ROUNDED score (ln() can differ by final-bit ULPs across
+    engines; full-precision ordering would let near-tied terms flip)
+    with the term itself as tiebreak, so ordering is deterministic and
+    engine-stable."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
@@ -744,9 +750,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            F.round(
                 (F.col("c") / F.col("len"))
-                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
             ).alias("score"),
         )
     )
@@ -755,8 +762,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select(
-            "doc_id", "term", F.col("rank").cast("long").alias("rank"),
-            F.round("score", 6).alias("score"),
+            "doc_id", "term", F.col("rank").cast("long").alias("rank"), "score",
         )
     )
 

@@ -1026,7 +1026,9 @@ class TestDuplicateSpans:
         }
         assert out[1]["clean_text"] == "one two three four"
         assert out[2]["clean_text"] == "five six seven eight nine"
-        assert out[3]["clean_text"] == out[3]["clean_text"]  # untouched
+        assert (
+            out[3]["clean_text"] == "unique tokens only nothing repeats here at all"
+        )  # untouched
         assert out[3]["clean_tokens"] == out[3]["n_tokens"]
         assert out[4]["clean_text"] == "x y"
         assert out[5]["clean_text"] == ""  # fully duplicated doc vanishes
@@ -1195,3 +1197,43 @@ class TestSimHashDedupStore:
             "doc_id LONG, text STRING",
         )
         assert {r["dup"] for r in store2.probe_dups(b, "text", "doc_id").collect()} == {9}
+
+
+def test_stores_survive_empty_first_absorb(spark, tmp_path):
+    """Absorbing an EMPTY batch into a fresh store creates the state
+    directory with only _SUCCESS; the next probe must treat that as
+    'no state' (has_data), not route spark.read.parquet into a
+    schema-less dir (UNABLE_TO_INFER_SCHEMA wedging every later batch)."""
+    from fluent_plugin_sql_spark.operators.dedup import (
+        ExactDedupStore,
+        MinHashDedupStore,
+        SimHashDedupStore,
+    )
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id LONG, text STRING",
+    )
+    for cls, sub in (
+        (SimHashDedupStore, "blocks"),
+        (ExactDedupStore, "hashes"),
+        (MinHashDedupStore, "band_keys"),
+    ):
+        store = cls(spark, str(tmp_path / cls.__name__))
+        store.absorb(empty, "text", "doc_id")
+        # probe + absorb still work after the data-less first append
+        out = store.process_batch(batch, "text", "doc_id")
+        assert out.count() == 2, cls.__name__
+        # and a REOPEN adopts the now-real state cleanly (exact store's
+        # read-only probe returns survivors; the others return dup ids)
+        store2 = cls(spark, str(tmp_path / cls.__name__))
+        if hasattr(store2, "probe_dups"):
+            assert store2.probe_dups(batch, "text", "doc_id").count() == 2, (
+                cls.__name__
+            )
+        else:
+            assert store2.probe_new(batch, "text", "doc_id").count() == 0, (
+                cls.__name__
+            )
