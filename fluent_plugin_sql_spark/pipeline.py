@@ -350,6 +350,13 @@ class Pipeline:
         configured together, probing cheapest-first: exact (hash) →
         simhash (one sketch join) → MinHash near → embedding.
 
+        Optional ``source.quality_filter: {text_col, min_tokens,
+        max_tokens, min_ttr, max_stop_ratio}`` drops low-quality rows
+        (Gopher-style length / type-token-ratio / stopword-mass
+        thresholds, functions.text) BEFORE any dedup store probes — the
+        cheapest stage runs first, so junk never costs a store lookup
+        or state append.  Pure codegen; omit any threshold to skip it.
+
         Optional ``source.ivf_index: {path, vec_col, id_col,
         num_centroids}`` maintains a persisted, searchable IVF
         similarity index over the rows that reach the sink: the first
@@ -369,6 +376,8 @@ class Pipeline:
         if "path" not in src:
             raise ValueError("run_streaming requires a parquet-dir source (path:)")
         from .sources.stream_source import incremental_stream
+
+        qf_cfg = src.get("quality_filter")
 
         nd_cfg = src.get("near_dedup")
         stores: dict[str, Any] = {}
@@ -479,6 +488,31 @@ class Pipeline:
                 # reverse order would make a replayed batch look like dups
                 # of itself and silently drop it (at-most-once loss).
                 survivors = batch_df
+                if qf_cfg is not None:
+                    # stateless quality gate first: junk rows never pay
+                    # a store probe or append state
+                    from .functions import text as _TX
+
+                    _tc = qf_cfg.get("text_col", "text")
+                    pred = F.lit(True)
+                    if "min_tokens" in qf_cfg:
+                        pred = pred & (
+                            _TX.token_count(_tc) >= int(qf_cfg["min_tokens"])
+                        )
+                    if "max_tokens" in qf_cfg:
+                        pred = pred & (
+                            _TX.token_count(_tc) <= int(qf_cfg["max_tokens"])
+                        )
+                    if "min_ttr" in qf_cfg:
+                        pred = pred & (
+                            _TX.type_token_ratio(_tc) >= float(qf_cfg["min_ttr"])
+                        )
+                    if "max_stop_ratio" in qf_cfg:
+                        pred = pred & (
+                            _TX.stopword_ratio(_tc)
+                            <= float(qf_cfg["max_stop_ratio"])
+                        )
+                    survivors = survivors.where(pred)
                 if _xstore is not None:
                     survivors = _xstore.probe_new(
                         survivors,

@@ -734,3 +734,64 @@ def test_run_streaming_ivf_index_config(spark, tmp_path):
                 abs(r["match_id"] - r["query_id"]),
                 24 - abs(r["match_id"] - r["query_id"]),
             ) <= 3
+
+
+def test_run_streaming_quality_filter_config(spark, tmp_path):
+    """source.quality_filter drops low-quality rows before the dedup
+    stores: a too-short doc and a zero-diversity doc never reach the
+    sink, and (composed with exact_dedup) never pollute store state."""
+    import time
+
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    rows = [
+        (0, "a genuinely fine document with plenty of distinct meaningful tokens here"),
+        (1, "too short"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, "another acceptable document carrying enough varied vocabulary to pass easily"),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(1).write.parquet(
+        str(src_dir / "documents.parquet")
+    )
+    out = tmp_path / "out"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 2,
+            "tables": [{"table": "documents", "update_column": "doc_id"}],
+            "quality_filter": {
+                "text_col": "text",
+                "min_tokens": 5,
+                "min_ttr": 0.5,
+            },
+            "exact_dedup": {
+                "path": str(tmp_path / "xd"),
+                "text_col": "text",
+                "id_col": "doc_id",
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "clean"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "clean")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 2:
+            time.sleep(0.5)
+        time.sleep(2)  # allow the final batch's absorb to finish
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out / "clean")).collect()}
+    assert got == {0, 3}  # 1 = too short, 2 = zero diversity
+    # rejected rows never entered store state
+    hashes = spark.read.parquet(str(tmp_path / "xd" / "documents" / "hashes"))
+    assert hashes.count() == 2
