@@ -313,6 +313,46 @@ class RollupStore:
                 ).drop(f"hll_{c}")
         return merged
 
+    def regroup(
+        self,
+        window: str | None = None,
+        dims: tuple[str, ...] | None = None,
+        start=None,
+        end=None,
+        estimate_hll: bool = True,
+    ) -> DataFrame:
+        """Answer a COARSER query from stored partials — the reason a
+        continuous aggregate exists: a dashboard asking for daily totals
+        without a dimension re-merges the hourly per-dim partials
+        (counts/sums add, min/max re-extremize, HLL sketches re-union,
+        histograms element-wise-add), never touching raw history.
+
+        ``window``: a wider bucket (e.g. ``'1 day'`` over an hourly
+        store) — partial window starts re-truncate via ``F.window``, so
+        it must be a multiple of the store grain or buckets straddle
+        partials (no finer-than-stored answers; that information is
+        gone by design).  ``dims``: subset of the store's dims to keep
+        (others merge away).  Cost is O(partials in range), same as
+        :meth:`snapshot`."""
+        dims = self.dims if dims is None else tuple(dims)
+        unknown = set(dims) - set(self.dims)
+        if unknown:
+            raise ValueError(
+                f"regroup dims {sorted(unknown)} not in store dims {self.dims}"
+            )
+        df = self._read(start, end)
+        if window is not None:
+            df = df.withColumn("w_start", F.window("w_start", window)["start"])
+        merged = df.groupBy("w_start", *dims).agg(
+            *self._merge_aggs(self.sum_cols, self.hll_cols, self.hist_cols)
+        )
+        if estimate_hll:
+            for c in self.hll_cols:
+                merged = merged.withColumn(
+                    f"nd_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
+                ).drop(f"hll_{c}")
+        return merged
+
     def quantile_expr(self, col: str, q: float):
         """Column expression estimating the q-quantile of ``col`` from a
         snapshot's merged histogram ``hg_<col>`` (linear interpolation

@@ -391,6 +391,52 @@ def rollup_store_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_store_regroup",
+    # The oracle aggregates raw events at DAILY grain with no dims; the
+    # Spark side answers from an HOURLY, per-event-type partial store
+    # via regroup('1 day', dims=()) — equality proves partials re-merge
+    # correctly across BOTH axes (window coarsening and dim collapse),
+    # the query-rewrite path continuous aggregates exist for.
+    oracle="""
+    SELECT date_trunc('day', ts)::TIMESTAMP AS w_start,
+           count(*) AS rc,
+           sum(value) AS s_value,
+           min(value) AS mn_value,
+           max(value) AS mx_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rollup_store_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarser-query answering from stored partials
+    (operators/rollup.RollupStore.regroup): an hourly x event_type store
+    answers a daily, all-types question by re-merging partials — counts
+    and sums add, extrema re-extremize — without ever re-reading raw
+    events.  This is the materialized-view rewrite a TimescaleDB-style
+    continuous aggregate performs; cost O(partials), not O(history)."""
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_regroup_gate_")
+    try:
+        store = RollupStore(
+            spark, f"{path}/s", "ts", "1 hour",
+            dims=("event_type",), sum_cols=("value",),
+        )
+        for b in (0, 1):
+            store.absorb(ev.where(F.col("event_id") % 2 == b), f"b{b}")
+        out = store.regroup(window="1 day", dims=()).select(
+            "w_start", "rc", "s_value", "mn_value", "mx_value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "rollup_store_approx_users",
     # HLL sketches (Datasketches, lgk=12) stay in exact coupon mode well
     # past these per-group cardinalities (max 51 distinct users per

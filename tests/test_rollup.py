@@ -404,3 +404,49 @@ def test_absorb_fails_fast_under_foreign_writer_lock(spark, store_path):
     RollupStore(spark, store_path, "ts", "1 hour",
                 dims=("event_type",), sum_cols=("value",))
     assert not os.path.isdir(ghost)
+
+
+def test_regroup_answers_coarser_window_and_dims(spark, store_path):
+    """regroup('1 day', dims=()) from an hourly x event_type store must
+    equal direct daily aggregation of the raw events — including the
+    HLL re-union path (a sketch union of hourly partials estimates the
+    same distinct count as one daily sketch at these cardinalities)."""
+    ev = _events(spark)
+    store = RollupStore(
+        spark, store_path, "ts", "1 hour",
+        dims=("event_type",), sum_cols=("value",), hll_cols=("user_id",),
+    )
+    for b in (0, 1, 2):
+        store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+
+    got = {
+        r["w_start"]: (r["rc"], round(r["s_value"], 6), r["nd_user_id"])
+        for r in store.regroup(window="1 day", dims=()).collect()
+    }
+    want = {
+        r["w_start"]: (
+            r["rc"], round(r["s_value"], 6), r["nd"]
+        )
+        for r in (
+            ev.groupBy(F.window("ts", "1 day")["start"].alias("w_start"))
+            .agg(
+                F.count(F.lit(1)).alias("rc"),
+                F.sum("value").alias("s_value"),
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg("user_id", F.lit(12))
+                ).alias("nd"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+    # dim subset only (window unchanged) equals the plain snapshot
+    # merged across... nothing: regroup with full dims == snapshot
+    snap = store.snapshot().select("w_start", "event_type", "rc").collect()
+    re_full = store.regroup().select("w_start", "event_type", "rc").collect()
+    assert sorted(map(tuple, snap)) == sorted(map(tuple, re_full))
+
+    # unknown dim fails loudly
+    with pytest.raises(ValueError, match="not in store dims"):
+        store.regroup(dims=("nope",))
