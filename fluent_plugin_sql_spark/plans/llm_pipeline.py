@@ -1603,3 +1603,64 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("s"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
         F.substring(red, 1, 60).alias("redacted_head"),
     )
+
+
+@query(
+    "bigram_logprob_quality",
+    # Summation order differs between engines, so the per-doc average is
+    # rounded to 3 decimals like unigram_logprob_quality (sums of a few
+    # hundred ln() terms agree far past that precision).
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i+1] AS g
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+           WHERE len(toks) >= 2),
+    n2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY 1),
+    h1 AS (SELECT w1, count(*) AS ch FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS vocab
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+    p AS (SELECT bg.doc_id,
+                 ln((n2.c2 + 0.5) / (h1.ch + 0.5 * v.vocab)) AS lp
+          FROM bg JOIN n2 USING (g) JOIN h1 USING (w1) CROSS JOIN v)
+    SELECT doc_id, round(-sum(lp) / count(*), 3) AS avg_neg_bigram_logprob
+    FROM p GROUP BY doc_id
+    """,
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (add-k smoothed, k=0.5):
+    average negative log P(w_i | w_{i-1}) per document, where the
+    conditional is estimated from the corpus itself — the next step up
+    from ``unigram_logprob_quality`` (word-order-aware: scrambled or
+    template-stitched text scores worse than natural text with the same
+    unigram mix).  History counts use bigram-start occurrences (not raw
+    unigram counts), so probabilities sum to 1 over the vocabulary per
+    history; docs with < 2 tokens have no bigrams and are excluded.
+
+    Scale shape: the bigram explode is linear in corpus tokens; both
+    count tables key-shuffle with map-side combine; vocab joins in as a
+    broadcast 1-row aggregate; the per-doc score is one final keyed agg.
+    Nothing holds the vocab² conditional table — only observed bigrams
+    materialize."""
+    d = _docs(spark, sf_dir)
+    bg = (
+        d.select("doc_id", F.explode(_ngram_strings("text", 2)).alias("g"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+    )
+    n2 = bg.groupBy("g").agg(F.count("*").alias("c2"))
+    h1 = bg.groupBy("w1").agg(F.count("*").alias("ch"))
+    v = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    lp = F.log(
+        (F.col("c2") + 0.5) / (F.col("ch") + 0.5 * F.col("vocab"))
+    )
+    return (
+        bg.join(n2, "g")
+        .join(h1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(lp) / F.count("*"), 3).alias("avg_neg_bigram_logprob")
+        )
+    )
