@@ -16,9 +16,9 @@ MySQL's default mode treats ``\\`` as an escape character (why
 with ``NO_BACKSLASH_ESCAPES`` — treats it literally.  So the
 backslash-hostile round-trip here runs under a custom Dialect with
 ``backslash_escapes=False`` (exactly the NO_BACKSLASH_ESCAPES server
-profile), and the default mysql dialect's doubling stays string-asserted
-in tests/test_incremental.py — a documented deploy-time caveat, not a
-silent gap.
+profile); the DEFAULT profile's doubled-backslash literals execute live
+on Spark SQL's parser (which shares MySQL's default escape semantics)
+in tests/test_dialect_live_sparksql.py.
 """
 
 from __future__ import annotations
