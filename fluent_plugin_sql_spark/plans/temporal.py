@@ -571,3 +571,51 @@ def rollup_store_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cohort_retention",
+    # Week arithmetic as integer day-diffs / 7 (both engines truncate
+    # weeks to Monday, so the difference is always a multiple of 7) —
+    # no engine-specific week-diff function involved.
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk
+      FROM events
+    )
+    SELECT f.cohort,
+           (datediff('day', f.cohort, a.wk) / 7)::BIGINT AS week_offset,
+           count(DISTINCT f.user_id) AS n_users
+    FROM first f JOIN act a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in every later week they were active — the standard
+    retention-triangle input.  Shape at scale: first-seen is one keyed
+    min per user; activity weeks are a distinct projection; the join is
+    user-keyed (AQE-skew-splittable); the final count collapses to
+    O(cohorts x offsets) rows.  Raw events stream through exactly two
+    keyed shuffles — no windows, no self-join on events."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
