@@ -95,3 +95,172 @@ def stream_stream_join(
             f"AND r.{right_ts} <= l.{left_ts} + interval {max_lag}"
         ),
     )
+
+
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_id: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_val: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming AS-OF join (J6 in streaming form): for every left row,
+    the latest right row with ``right_ts <= left_ts`` and equal key —
+    Spark's built-in stream-stream joins can express range windows (J8)
+    but not "latest prior", so this is a custom stateful operator.
+
+    Emission protocol (event-time timeouts): a left row is emitted only
+    once the watermark passes its timestamp — any still-missing right
+    row at or before it would be dropped as late anyway, so the answer
+    is final.  Pending left rows arm ``setTimeoutTimestamp`` so groups
+    re-fire when the watermark matures them even if no new data arrives
+    for that key.
+
+    Bounded state (the 100 TB property): per key, the state holds only
+    (a) left rows newer than the watermark, (b) right rows newer than
+    the watermark, and (c) ONE right row — the latest below the
+    watermark.  (c) is sufficient because every future emittable left
+    row has ts >= watermark, so among below-watermark right rows only
+    the latest can ever be the as-of answer.  State therefore scales
+    with in-flight data inside the watermark horizon, not with stream
+    history.
+
+    Output: (key, left_id, left_ts, right_ts_asof, right_val_asof) —
+    join back on (key, left_id) downstream for other left columns.
+    ``right_val`` is surfaced as DOUBLE (cast upstream as needed).
+
+    Deployment note: the union's watermark is the MIN of the two
+    streams' watermarks (Spark's multipleWatermarkPolicy default), so
+    an idle RIGHT stream holds back emission of matured left rows —
+    exactly the conservative behavior you want for correctness, but it
+    means both sources must keep producing (or carry heartbeats) for
+    the join to drain.
+    """
+    from pyspark.sql import functions as F
+
+    from .stream import ensure_event_time
+
+    key_field = left.schema[key]
+    out_schema = T.StructType(
+        [
+            T.StructField(key, key_field.dataType),
+            T.StructField(left_id, T.LongType()),
+            T.StructField(left_ts, T.TimestampType()),
+            T.StructField("right_ts_asof", T.TimestampType()),
+            T.StructField("right_val_asof", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("lids", T.ArrayType(T.LongType())),
+            T.StructField("lts", T.ArrayType(T.LongType())),
+            T.StructField("rts", T.ArrayType(T.LongType())),
+            T.StructField("rvals", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    lt = (
+        ensure_event_time(left, left_ts)
+        .withWatermark(left_ts, watermark)
+        .select(
+            F.col(key).alias("_k"),
+            F.lit(1).alias("_side"),
+            F.col(left_id).cast("long").alias("_id"),
+            F.col(left_ts).alias("_ts"),
+            F.lit(None).cast("double").alias("_val"),
+        )
+    )
+    rt = (
+        ensure_event_time(right, right_ts)
+        .withWatermark(right_ts, watermark)
+        .select(
+            F.col(key).alias("_k"),
+            F.lit(0).alias("_side"),
+            F.lit(None).cast("long").alias("_id"),
+            F.col(right_ts).alias("_ts"),
+            F.col(right_val).cast("double").alias("_val"),
+        )
+    )
+
+    def _us(series: pd.Series) -> list[int]:
+        s = series
+        if getattr(s.dtype, "tz", None) is not None:
+            s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        return (s.astype("int64") // 1000).tolist()  # ns -> us
+
+    def fn(key_tuple, pdfs, state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lids, lts, rts, rvals = (list(x) for x in state.get)
+        else:
+            lids, lts, rts, rvals = [], [], [], []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            lmask = pdf["_side"] == 1
+            if lmask.any():
+                lids.extend(int(x) for x in pdf.loc[lmask, "_id"])
+                lts.extend(_us(pdf.loc[lmask, "_ts"]))
+            rmask = ~lmask
+            if rmask.any():
+                rts.extend(_us(pdf.loc[rmask, "_ts"]))
+                rvals.extend(float(x) for x in pdf.loc[rmask, "_val"])
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+
+        emit_ids, emit_ts, emit_rts, emit_rvals = [], [], [], []
+        keep_ids, keep_ts = [], []
+        for i, t in zip(lids, lts):
+            if t < wm_us:
+                best_j = -1
+                for j, rt_us in enumerate(rts):
+                    if rt_us <= t and (best_j < 0 or rt_us > rts[best_j]):
+                        best_j = j
+                emit_ids.append(i)
+                emit_ts.append(t)
+                emit_rts.append(rts[best_j] if best_j >= 0 else None)
+                emit_rvals.append(rvals[best_j] if best_j >= 0 else None)
+            else:
+                keep_ids.append(i)
+                keep_ts.append(t)
+
+        # right compaction: in-horizon rows + the single latest matured one
+        keep_r = [j for j, t in enumerate(rts) if t >= wm_us]
+        matured = [j for j, t in enumerate(rts) if t < wm_us]
+        if matured:
+            keep_r.append(max(matured, key=lambda j: rts[j]))
+        rts2 = [rts[j] for j in keep_r]
+        rvals2 = [rvals[j] for j in keep_r]
+
+        if keep_ids or rts2:
+            state.update((keep_ids, keep_ts, rts2, rvals2))
+            if keep_ids:
+                # re-fire when the watermark matures the oldest pending
+                # left row (ms; must be beyond the current watermark)
+                state.setTimeoutTimestamp(max(min(keep_ts) // 1000 + 1, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        if emit_ids:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(emit_ids),
+                    left_id: emit_ids,
+                    left_ts: pd.to_datetime(emit_ts, unit="us"),
+                    "right_ts_asof": pd.to_datetime(
+                        [t if t is not None else pd.NaT for t in emit_rts],
+                        unit="us",
+                    ),
+                    "right_val_asof": emit_rvals,
+                }
+            )
+
+    return (
+        lt.unionByName(rt)
+        .groupBy("_k")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
