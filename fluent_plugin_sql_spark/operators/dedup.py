@@ -493,6 +493,112 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select("doc", F.col("label").alias("cluster_id"))
 
 
+def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") → (doc, cluster_id) with cluster_id = the component's
+    smallest doc id — same output contract as :func:`dup_clusters`.
+
+    Why a second implementation: min-label propagation converges in
+    O(component diameter) rounds — fine for the dense near-dup cliques
+    dedup produces, but a chain-shaped component of length D costs D
+    shuffles.  Star contraction converges in O(log D) rounds on ANY
+    topology (each round at least halves star heights), which is the
+    published scale path for web-graph-sized inputs; each round is two
+    keyed aggregations + two joins, all shuffle-on-key.
+
+    Phases per round over the undirected edge set E (u < v canonical):
+    - large-star: every node connects its LARGER neighbors to the
+      minimum of its neighborhood (incl. itself);
+    - small-star: every node connects its smaller-or-equal neighbors
+      and itself to that minimum.
+    Fixpoint = E is a star forest: every edge is (root, member) with
+    root the component min.  Convergence is checked with an
+    order-insensitive edge-set checksum + count (cheap driver-side
+    equality; collisions would require colliding xxhash64 sums).
+    """
+    # canonical undirected edges, self-loops dropped
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("a").alias("doc"))
+        .union(e.select(F.col("b").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            ed.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+
+    def _canon(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _sig(ed: DataFrame) -> tuple[int, int]:
+        # mod keeps the ANSI-mode sum far from long overflow at any
+        # realistic edge count; order-insensitive by construction
+        r = ed.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007))),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        return int(r["n"]), int(r["h"])
+
+    sig = _sig(e)
+    for _ in range(max_rounds):
+        sym = _sym(e)
+        mn = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        # large-star: (bigger neighbor) -> neighborhood min
+        large = (
+            sym.where(F.col("dst") > F.col("src"))
+            .join(mn, "src")
+            .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+        )
+        e = _canon(large).localCheckpoint(eager=True)
+        # small-star over the new edge set
+        sym = _sym(e)
+        small_n = sym.where(F.col("dst") <= F.col("src"))
+        mns = small_n.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        small = (
+            small_n.join(mns, "src")
+            .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+            .union(mns.select(F.col("src").alias("u"), F.col("m").alias("v")))
+        )
+        e = _canon(small).localCheckpoint(eager=True)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # final E is (root, member); roots label themselves, and nodes whose
+    # component collapsed entirely (star of size 1) fall back to self
+    labels = e.groupBy(F.col("b").alias("doc")).agg(F.min("a").alias("cluster_id"))
+    return (
+        nodes.join(labels, "doc", "left")
+        .select("doc", F.coalesce("cluster_id", F.col("doc")).alias("cluster_id"))
+    )
+
+
 # ------------------------------------------------------------ span dedup
 def _duplicate_span_intervals(
     df: DataFrame, text_col: str, id_col: str, n: int, min_count: int

@@ -1038,9 +1038,9 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+# shared oracle for BOTH connected-components implementations: the same
+# recursive-CTE transitive closure over the exact-Jaccard pair set
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sh AS ({_SHINGLES}),
     sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
     shared AS (
@@ -1065,8 +1065,10 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     )
     SELECT a AS doc, min(b) AS cluster_id FROM reach GROUP BY a
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → connected components → cluster ids (keep the
     min-id doc per cluster, drop the rest).  Spark side: iterative
@@ -1078,6 +1080,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
     )
     return dup_clusters(pairs)
+
+
+@query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components, different algorithm: alternating large-star /
+    small-star contraction (Kiveris et al.) — O(log diameter) rounds on
+    any topology vs min-label propagation's O(diameter), the published
+    scale path for web-graph-sized pair sets.  Must hash-match the same
+    recursive-CTE oracle as `dedup_clusters`, proving both
+    implementations compute identical components."""
+    from ..operators.dedup import dup_clusters_star
+
+    pairs = minhash_lsh_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
+    )
+    return dup_clusters_star(pairs)
 
 
 # shared oracle core for substring-level span dedup: dup 8-grams → hit

@@ -1237,3 +1237,58 @@ def test_stores_survive_empty_first_absorb(spark, tmp_path):
             assert store2.probe_new(batch, "text", "doc_id").count() == 0, (
                 cls.__name__
             )
+
+
+class TestDupClustersStar:
+    def test_matches_min_label_on_mixed_topologies(self, spark):
+        """Chain, triangle, isolated pair, singleton-free star: both CC
+        implementations must produce identical component labels."""
+        from fluent_plugin_sql_spark.operators.dedup import (
+            dup_clusters,
+            dup_clusters_star,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),     # 6-chain
+             (10, 11), (11, 12), (10, 12),               # triangle
+             (20, 21),                                   # pair
+             (30, 31), (30, 32), (30, 33)],              # star
+            "doc_a long, doc_b long",
+        )
+        a = {(r["doc"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+        b = {(r["doc"], r["cluster_id"]) for r in dup_clusters_star(pairs).collect()}
+        assert a == b
+        assert (6, 1) in b  # chain end reaches the chain min
+        assert (33, 30) in b
+
+    def test_long_chain_converges_in_logarithmic_rounds(self, spark):
+        """A 64-node chain needs ~63 label-propagation rounds but must
+        finish well within 16 star-contraction rounds (O(log D))."""
+        from fluent_plugin_sql_spark.operators.dedup import dup_clusters_star
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+        )
+        got = {r["doc"]: r["cluster_id"] for r in dup_clusters_star(pairs, max_rounds=16).collect()}
+        assert got == {i: 0 for i in range(65)}
+
+    def test_random_graphs_match_min_label(self, spark):
+        """Randomized cross-check on a few seeds (kept deterministic)."""
+        import random
+
+        from fluent_plugin_sql_spark.operators.dedup import (
+            dup_clusters,
+            dup_clusters_star,
+        )
+
+        for seed in (7, 23, 99):
+            rng = random.Random(seed)
+            n = 40
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+            a = {(r["doc"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+            b = {(r["doc"], r["cluster_id"]) for r in dup_clusters_star(pairs).collect()}
+            assert a == b, f"seed {seed}"
