@@ -182,3 +182,46 @@ def reservoir_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+@query(
+    "weighted_sample_documents",
+    # Efraimidis-Spirakis A-ES with the portable md5 hash as the uniform
+    # draw: key = ln(u)/w, take the top-k keys.  Deterministic, so the
+    # oracle recomputes the identical sample; inclusion probability is
+    # proportional to weight (w_i / sum w) in the k << n regime.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 1000003 + 0.5) / 1000003.0) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 9) AS sample_key
+    FROM s ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically
+    (Efraimidis-Spirakis A-ES): each doc draws u from its own portable
+    hash and scores ln(u)/weight; the k largest scores are the sample,
+    with inclusion probability proportional to weight (here n_chars —
+    longer docs sampled more often, the usual token-budget-aware
+    pretraining mix move).
+
+    Hash-derived u makes the "random" sample a pure function of content
+    ids: reproducible across engines (the oracle recomputes it), runs,
+    and incremental re-runs — and the plan is one map + one
+    TakeOrderedAndProject, no shuffle of the corpus and no RNG state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1_000_003)) + 0.5
+    ) / 1_000_003.0
+    k = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
+    )
