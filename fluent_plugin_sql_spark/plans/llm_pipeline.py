@@ -1682,3 +1682,45 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(lp) / F.count("*"), 3).alias("avg_neg_bigram_logprob")
         )
     )
+
+
+@query("text_compression_ratio")  # zlib is not SQL-expressible -> rows-only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style compressibility quality signal: zlib bytes-in /
+    bytes-out per document.  Highly repetitive or templated text
+    compresses far better than natural prose, so a high ratio flags
+    boilerplate and degenerate generations that n-gram repetition
+    signals can miss (long-range repeats beyond any fixed n).
+
+    No SQL engine exposes zlib, so this registers rows-only; the
+    semantic checks (repetitive >> natural >> random-ish ordering,
+    determinism) live in pytest.  Execution is the DECLARED Python
+    boundary done right: mapInPandas (Arrow-batched columnar transfer,
+    zlib's C loop per value) — a map with no shuffle, scaling linearly
+    with corpus bytes, never a row-at-a-time Python UDF."""
+    import zlib
+
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            nb = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": comp,
+                    "compression_ratio": [
+                        round(a / c, 6) if c else 0.0 for a, c in zip(nb, comp)
+                    ],
+                }
+            )
+
+    return d.mapInPandas(
+        gen,
+        "doc_id long, n_bytes long, n_compressed long, compression_ratio double",
+    )

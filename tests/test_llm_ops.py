@@ -1292,3 +1292,47 @@ class TestDupClustersStar:
             a = {(r["doc"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
             b = {(r["doc"], r["cluster_id"]) for r in dup_clusters_star(pairs).collect()}
             assert a == b, f"seed {seed}"
+
+
+def test_compression_ratio_orders_repetitive_above_natural(spark):
+    """zlib compressibility must rank: pathological repetition >
+    word-soup corpus text > high-entropy junk; and be deterministic."""
+    import random
+
+    from fluent_plugin_sql_spark.plans.llm_pipeline import text_compression_ratio
+    from fluent_plugin_sql_spark.plans.registry import REGISTRY
+
+    fn, oracle = REGISTRY["text_compression_ratio"]
+    assert oracle is None  # declared rows-only
+
+    rng = random.Random(13)
+    junk = " ".join(
+        "".join(chr(rng.randrange(33, 127)) for _ in range(8)) for _ in range(60)
+    )
+    rows = [
+        (1, "spam " * 300),
+        (2, "the quick brown fox jumps over the lazy dog " * 2),
+        (3, junk),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # run the registered operator against a scratch documents table
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    try:
+        (df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t"))
+           .withColumn("n_chars", F.length("text"))
+           .write.parquet(os.path.join(tmp, "documents.parquet")))
+        got = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
+        again = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
+        assert got.keys() == again.keys() and all(
+            got[k]["n_compressed"] == again[k]["n_compressed"] for k in got
+        )
+        r1, r2, r3 = (got[i]["compression_ratio"] for i in (1, 2, 3))
+        assert r1 > r2 > r3
+        assert r1 > 10  # 300x repetition compresses enormously
+        assert all(got[i]["n_bytes"] == len(rows[i - 1][1]) for i in (1, 2, 3))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
