@@ -619,3 +619,56 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value,
+           round(d.med, 6) AS med, round(m.mad, 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > 3 * m.mad
+    """,
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from their
+    type's median by more than 3x the median absolute deviation — the
+    standard data-quality screen that, unlike z-scores, is not itself
+    corrupted by the outliers it hunts.  Shape: two keyed exact
+    percentiles over a low-cardinality group (event_type), each result
+    broadcast back onto the stream — events shuffle only for the two
+    percentile aggregations, and at 100 TB both collapse to
+    approx_percentile with the same plan."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select(
+            "event_id", "event_type", "value", "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_id", "event_type", "value",
+            F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        )
+    )
