@@ -517,19 +517,21 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
     order-insensitive edge-set checksum + count (cheap driver-side
     equality; collisions would require colliding xxhash64 sums).
     """
-    # canonical undirected edges, self-loops dropped
+    # node set FIRST (from the raw pairs, so docs appearing only in
+    # self-pairs keep their singleton row — same contract as
+    # dup_clusters), then canonical undirected edges, self-loops dropped
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("a"),
             F.greatest("doc_a", "doc_b").alias("b"),
         )
         .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("a").alias("doc"))
-        .union(e.select(F.col("b").alias("doc")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -301,17 +301,10 @@ class RollupStore:
         Cost is O(partials in range) — raw events are never re-read."""
         if not self._exists():
             raise ValueError(f"empty rollup store: {self.path}")
-        merged = (
-            self._read(start, end)
-            .groupBy("w_start", *self.dims)
-            .agg(*self._merge_aggs(self.sum_cols, self.hll_cols, self.hist_cols))
+        return self.regroup(
+            window=None, dims=None, start=start, end=end,
+            estimate_hll=estimate_hll,
         )
-        if estimate_hll:
-            for c in self.hll_cols:
-                merged = merged.withColumn(
-                    f"nd_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
-                ).drop(f"hll_{c}")
-        return merged
 
     def regroup(
         self,
@@ -334,12 +327,37 @@ class RollupStore:
         gone by design).  ``dims``: subset of the store's dims to keep
         (others merge away).  Cost is O(partials in range), same as
         :meth:`snapshot`."""
+        if not self._exists():
+            raise ValueError(f"empty rollup store: {self.path}")
         dims = self.dims if dims is None else tuple(dims)
         unknown = set(dims) - set(self.dims)
         if unknown:
             raise ValueError(
                 f"regroup dims {sorted(unknown)} not in store dims {self.dims}"
             )
+        if window is not None:
+            # an unaligned range filter would SILENTLY undercount the
+            # edge buckets: partials are filtered at the stored grain,
+            # then relabeled to the coarser window — a day bucket built
+            # from a 12:00 start would contain only half its hours yet
+            # look like a full-day total.  Fail loudly instead.
+            for name, bound in (("start", start), ("end", end)):
+                if bound is not None:
+                    aligned = (
+                        self.spark.range(1)
+                        .select(
+                            F.window(
+                                F.lit(bound).cast("timestamp"), window
+                            )["start"].alias("w")
+                        )
+                        .first()["w"]
+                    )
+                    if aligned != bound:
+                        raise ValueError(
+                            f"regroup {name}={bound} is not aligned to the "
+                            f"'{window}' window (bucket starts {aligned}); "
+                            "align the range or query at the stored grain"
+                        )
         df = self._read(start, end)
         if window is not None:
             df = df.withColumn("w_start", F.window("w_start", window)["start"])

@@ -125,8 +125,11 @@ def stream_asof_join(
     watermark.  (c) is sufficient because every future emittable left
     row has ts >= watermark, so among below-watermark right rows only
     the latest can ever be the as-of answer.  State therefore scales
-    with in-flight data inside the watermark horizon, not with stream
-    history.
+    with in-flight data inside the watermark horizon plus a steady-state
+    floor of one compacted right row per key ever seen — the minimum a
+    correct as-of can retain (a future left may still need the latest
+    prior right); keys whose traffic stops re-fire once via timeout to
+    compact down to that floor.
 
     Output: (key, left_id, left_ts, right_ts_asof, right_val_asof) —
     join back on (key, left_id) downstream for other left columns.
@@ -165,6 +168,7 @@ def stream_asof_join(
     lt = (
         ensure_event_time(left, left_ts)
         .withWatermark(left_ts, watermark)
+        .where(F.col(left_ts).isNotNull())
         .select(
             F.col(key).alias("_k"),
             F.lit(1).alias("_side"),
@@ -176,6 +180,12 @@ def stream_asof_join(
     rt = (
         ensure_event_time(right, right_ts)
         .withWatermark(right_ts, watermark)
+        # null-value right rows are skipped ENTIRELY, matching the batch
+        # asof_join's last(..., ignorenulls=True): the as-of answer falls
+        # through to the previous non-null row, never to a NaN.  Null
+        # timestamps are unordered on either side and are dropped too
+        # (pandas would map NaT to INT64_MIN, i.e. "infinitely old").
+        .where(F.col(right_val).isNotNull() & F.col(right_ts).isNotNull())
         .select(
             F.col(key).alias("_k"),
             F.lit(0).alias("_side"),
@@ -210,18 +220,24 @@ def stream_asof_join(
         wm_ms = state.getCurrentWatermarkMs()
         wm_us = wm_ms * 1000
 
+        # sort right rows once; each matured left row binary-searches its
+        # latest-prior match — (L+R) log R instead of L*R linear scans,
+        # which matters for hot keys with thousands of in-horizon rows
+        import bisect
+
+        order = sorted(range(len(rts)), key=lambda j: rts[j])
+        rts_sorted = [rts[j] for j in order]
+        rvals_sorted = [rvals[j] for j in order]
+
         emit_ids, emit_ts, emit_rts, emit_rvals = [], [], [], []
         keep_ids, keep_ts = [], []
         for i, t in zip(lids, lts):
             if t < wm_us:
-                best_j = -1
-                for j, rt_us in enumerate(rts):
-                    if rt_us <= t and (best_j < 0 or rt_us > rts[best_j]):
-                        best_j = j
+                pos = bisect.bisect_right(rts_sorted, t) - 1
                 emit_ids.append(i)
                 emit_ts.append(t)
-                emit_rts.append(rts[best_j] if best_j >= 0 else None)
-                emit_rvals.append(rvals[best_j] if best_j >= 0 else None)
+                emit_rts.append(rts_sorted[pos] if pos >= 0 else None)
+                emit_rvals.append(rvals_sorted[pos] if pos >= 0 else None)
             else:
                 keep_ids.append(i)
                 keep_ts.append(t)
@@ -240,6 +256,17 @@ def stream_asof_join(
                 # re-fire when the watermark matures the oldest pending
                 # left row (ms; must be beyond the current watermark)
                 state.setTimeoutTimestamp(max(min(keep_ts) // 1000 + 1, wm_ms + 1))
+            elif len(rts2) > 1:
+                # no pending lefts, but the right buffer still holds
+                # in-horizon rows: without a timer this key would never
+                # be invoked again if its traffic stops, freezing the
+                # buffer at its last size forever.  Re-fire once the
+                # horizon passes the newest right row, which compacts
+                # the buffer to its single latest matured row — the
+                # steady-state floor of ONE row per key (the minimum a
+                # correct as-of can hold: a future left may still need
+                # the latest prior right).
+                state.setTimeoutTimestamp(max(max(rts2) // 1000 + 1, wm_ms + 1))
         elif state.exists:
             state.remove()
 

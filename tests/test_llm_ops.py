@@ -1336,3 +1336,20 @@ def test_compression_ratio_orders_repetitive_above_natural(spark):
         assert all(got[i]["n_bytes"] == len(rows[i - 1][1]) for i in (1, 2, 3))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dup_clusters_star_keeps_self_paired_docs(spark):
+    """A doc appearing only as a self-pair must keep its singleton row
+    in BOTH implementations (identical output contract)."""
+    from fluent_plugin_sql_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2)], "doc_a long, doc_b long"
+    )
+    a = {(r["doc"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+    b = {(r["doc"], r["cluster_id"]) for r in dup_clusters_star(pairs).collect()}
+    assert a == b
+    assert (7, 7) in b

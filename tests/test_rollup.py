@@ -450,3 +450,27 @@ def test_regroup_answers_coarser_window_and_dims(spark, store_path):
     # unknown dim fails loudly
     with pytest.raises(ValueError, match="not in store dims"):
         store.regroup(dims=("nope",))
+
+
+def test_regroup_guards_empty_store_and_unaligned_ranges(spark, store_path):
+    """regroup must fail loudly on an empty store (like snapshot) and on
+    a range filter not aligned to the coarser window — an unaligned
+    start would silently relabel a half-filtered day as a full one."""
+    store = RollupStore(
+        spark, store_path, "ts", "1 hour",
+        dims=("event_type",), sum_cols=("value",),
+    )
+    with pytest.raises(ValueError, match="empty rollup store"):
+        store.regroup(window="1 day")
+
+    store.absorb(_events(spark), "b0")
+    with pytest.raises(ValueError, match="not aligned"):
+        store.regroup(
+            window="1 day",
+            start=datetime.datetime(2024, 1, 10, 12, 0),
+        )
+    # aligned range works, and snapshot (which now delegates) still does
+    assert store.regroup(
+        window="1 day", start=datetime.datetime(2024, 1, 10)
+    ).count() > 0
+    assert store.snapshot().count() > 0
