@@ -466,3 +466,55 @@ def image_pipeline_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(ppm, 8, 6, strict=True)
     feats = extract_pixel_features(resized, strict=True)
     return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
+    "audio_pipeline_rms",
+    oracle="""
+    SELECT doc_id, w AS window_idx, 128::BIGINT AS n_samples,
+           ((doc_id % 100 + 1) * 50 + w * 100)::DOUBLE AS rms
+    FROM documents, LATERAL (SELECT unnest(range(0, 4)) AS w) x
+    """,
+)
+def audio_pipeline_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio pipeline through the REAL PCM operators
+    (operators/multimodal.audio_rms_windows): synthesize a 16-bit WAV
+    per document whose four segments are square waves of known
+    amplitude, then decode and compute windowed RMS — all real RIFF
+    walking and numpy signal math, no codec.  The oracle is exact
+    arithmetic: a ±A square wave's RMS is A, so DuckDB predicts every
+    output without touching audio bytes.  Scale shape: one synth map +
+    one Arrow-batched mapInPandas, zero shuffles."""
+    from ..operators.multimodal import audio_rms_windows
+
+    def synth(batches):
+        import io
+        import wave as wavmod
+
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                segs = []
+                for w in range(4):
+                    amp = (d % 100 + 1) * 50 + w * 100
+                    seg = np.empty(128, dtype="<i2")
+                    seg[0::2] = amp
+                    seg[1::2] = -amp
+                    segs.append(seg)
+                pcm = np.concatenate(segs).tobytes()
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as f:
+                    f.setnchannels(1)
+                    f.setsampwidth(2)
+                    f.setframerate(8000)
+                    f.writeframes(pcm)
+                rows.append((d, buf.getvalue()))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_rms_windows(wavs, n_windows=4, strict=True)

@@ -88,3 +88,22 @@ def test_mysql_backtick_reserved_word_live_on_spark(spark):
     q = incremental_query("t_bsl", "order", 1, 10, "mysql",
                           quote_identifiers=True)
     assert [r["v"] for r in run_poll(spark, q)] == ["b", "c"]
+
+
+def test_mysql_literal_roundtrip_property(spark):
+    """Property: for hostile strings (backslashes, quotes, separators),
+    sql_literal under the DEFAULT mysql profile parses back to the
+    exact original value on this executor.  A small deterministic
+    corpus stands in for hypothesis here because each case costs a
+    spark.sql round-trip."""
+    cases = [
+        "", "plain", "a\\b", "a\\\\b", "a'b", "a''b", "a\\'b",
+        "'; DROP TABLE x; --", "\\", "\\'", "''", "tail\\",
+        "mix\\'of''every\\\\thing'", "unicode éß中",
+    ]
+    exprs = ", ".join(
+        f"{sql_literal(s, 'mysql')} AS c{i}" for i, s in enumerate(cases)
+    )
+    row = spark.sql(f"SELECT {exprs}").first()
+    for i, s in enumerate(cases):
+        assert row[f"c{i}"] == s, repr(s)

@@ -523,3 +523,44 @@ def test_interval_join_size_hint_respects_disabled_broadcast(spark):
         assert out.count() == 1  # bucketized path, same answer
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_audio_rms_windows_real_signal_math(spark):
+    """Real PCM decode + RMS: a synthesized stereo WAV with known
+    window amplitudes must produce exact RMS values; non-WAV payloads
+    raise in strict mode and drop otherwise."""
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fluent_plugin_sql_spark.operators.multimodal import audio_rms_windows
+
+    # stereo: L = +A/-A square, R = silence -> mono mean amplitude A/2
+    segs = []
+    for w, amp in enumerate((200, 400)):
+        left = np.empty(64, dtype="<i2")
+        left[0::2], left[1::2] = amp, -amp
+        right = np.zeros(64, dtype="<i2")
+        inter = np.empty(128, dtype="<i2")
+        inter[0::2], inter[1::2] = left, right
+        segs.append(inter)
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(np.concatenate(segs).tobytes())
+
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "doc_id long, payload binary")
+    got = {r["window_idx"]: r for r in audio_rms_windows(df, n_windows=2).collect()}
+    assert got[0]["rms"] == 100.0 and got[1]["rms"] == 200.0
+    assert got[0]["n_samples"] == 64
+
+    bad = spark.createDataFrame([(2, bytearray(b"not audio at all"))],
+                                "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="codec"):
+        audio_rms_windows(bad, strict=True).collect()
+    assert audio_rms_windows(bad, strict=False).count() == 0
