@@ -395,3 +395,70 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ------------------------------------------------------- training shards
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> dict:
+    """Final-stage training-data export: deterministic, token-balanced
+    shard files plus a manifest.
+
+    Shard assignment is the portable content hash of the id
+    (``md5 % num_shards``), so a document lands in the same shard across
+    runs, engines, and incremental re-exports, and token mass balances
+    across shards by the law of large numbers (no global sort, no
+    driver-side packing).  Each shard writes as ONE file with rows
+    sorted by id inside it — a stable, reproducible training order a
+    loader can seek into.  ``_manifest.json`` records per-shard doc and
+    whitespace-token counts so downstream schedulers can plan epochs
+    without opening parquet footers.
+
+    Scale shape: one hash map + one shuffle on the shard column
+    (repartition aligns write tasks 1:1 with shards) + one write; the
+    manifest aggregation reuses the same shuffle's output.  Returns the
+    manifest dict."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import md5_long, token_count
+
+    sh = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(num_shards))
+    out = df.withColumn("shard", sh)
+    (
+        out.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = (
+        out.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(text_col)).alias("n_tokens"),
+        )
+        .collect()
+    )
+    manifest = {
+        "num_shards": num_shards,
+        "shards": {
+            str(r["shard"]): {"n_docs": r["n_docs"], "n_tokens": int(r["n_tokens"])}
+            for r in sorted(stats, key=lambda r: r["shard"])
+        },
+    }
+    spark = df.sparkSession
+    from ..operators.dedup import _StoreFS
+
+    fs = _StoreFS(spark, path)
+    outs = fs._fs.create(fs._jpath(f"{path}/_manifest.json"), True)
+    try:
+        outs.write(bytearray(json.dumps(manifest), "utf-8"))
+    finally:
+        outs.close()
+    return manifest

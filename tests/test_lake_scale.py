@@ -411,3 +411,44 @@ def test_zorder_supports_timestamp_dimensions(spark, tmp_path):
         if not (mx.replace(tzinfo=None) < lo or mn.replace(tzinfo=None) > hi):
             hits += 1
     assert hits / total < 0.7, (hits, total)
+
+
+def test_write_training_shards_balanced_deterministic(spark, tmp_path):
+    """Shard export: stable hash assignment (re-export identical), one
+    file per shard, in-file id order, token mass balanced, manifest
+    counts exact."""
+    import glob
+    import json
+
+    from fluent_plugin_sql_spark.io import load_table
+    from fluent_plugin_sql_spark.sinks.lake import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, path, num_shards=8)
+
+    # manifest totals are exact
+    total_docs = sum(s["n_docs"] for s in m1["shards"].values())
+    assert total_docs == docs.count()
+    disk_manifest = json.loads(open(f"{path}/_manifest.json").read())
+    assert disk_manifest == m1
+
+    # one data file per shard, rows sorted by id within it
+    for shard in m1["shards"]:
+        files = [
+            f for f in glob.glob(f"{path}/shard={shard}/*") if not f.startswith("_")
+        ]
+        assert len(files) == 1, shard
+        ids = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
+        assert ids == sorted(ids)
+
+    # token balance: no shard more than 2.5x the mean (law of large
+    # numbers at 500 docs / 8 shards)
+    tokens = [s["n_tokens"] for s in m1["shards"].values()]
+    assert max(tokens) < 2.5 * (sum(tokens) / len(tokens))
+
+    # determinism: re-export produces the identical manifest
+    m2 = write_training_shards(docs, str(tmp_path / "shards2"), num_shards=8)
+    assert m2 == m1
