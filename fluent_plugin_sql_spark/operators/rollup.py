@@ -98,6 +98,7 @@ class RollupStore:
         hll_cols: tuple[str, ...] = (),
         lgk: int = 12,
         hist_cols: dict[str, tuple[float, float, int]] | None = None,
+        top_cols: dict[str, int] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -108,6 +109,14 @@ class RollupStore:
         self.hll_cols = tuple(hll_cols)
         self.lgk = lgk
         self.hist_cols = dict(hist_cols or {})
+        # col -> k: mergeable top-k value tracking.  Partials keep the
+        # top 8*k candidates per group (SpaceSaving-style truncation) —
+        # merging truncated candidate sets can in principle demote a true
+        # top-k item whose mass is spread thinly across many partials;
+        # at 8x headroom that requires adversarial skew, and at small
+        # per-group cardinality (< 8k distinct) the result is EXACT
+        # (every value is a candidate), which is what the gate verifies.
+        self.top_cols = dict(top_cols or {})
         self._fs = _StoreFS(spark, self.path)
         # Healing on open is a MUTATION: when another session's writer
         # lock is present (live compact/absorb in flight — or a crashed
@@ -168,16 +177,42 @@ class RollupStore:
                     ]
                 ).alias(f"hg_{c}")
             )
+        base = df.groupBy(w.alias("w"), *[F.col(d) for d in self.dims]).agg(*aggs)
+        for c, k in self.top_cols.items():
+            # top-8k candidate values per group, stored as a map partial;
+            # the (value-count -> rank-filter -> map) chain is two keyed
+            # aggs + one window, all partial-mergeable/shuffle-on-key
+            from pyspark.sql import Window as _W
+
+            vc = df.groupBy(
+                w.alias("w"), *[F.col(d) for d in self.dims],
+                F.col(c).cast("string").alias("_val"),
+            ).agg(F.count(F.lit(1)).alias("_cnt"))
+            rn = F.row_number().over(
+                _W.partitionBy("w", *self.dims).orderBy(
+                    F.desc("_cnt"), F.asc("_val")
+                )
+            )
+            m = (
+                vc.withColumn("_rn", rn)
+                .where(F.col("_rn") <= 8 * k)
+                .groupBy("w", *self.dims)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("_val", "_cnt"))
+                    ).alias(f"tv_{c}")
+                )
+            )
+            base = base.join(m, ["w", *self.dims], "left")
         return (
-            df.groupBy(w.alias("w"), *[F.col(d) for d in self.dims])
-            .agg(*aggs)
+            base
             .withColumn("w_start", F.col("w.start"))
             .drop("w")
             .withColumn("pday", F.date_format("w_start", "yyyy-MM-dd"))
         )
 
     @staticmethod
-    def _merge_aggs(sum_cols, hll_cols, hist_cols=()):
+    def _merge_aggs(sum_cols, hll_cols, hist_cols=(), top_cols=None):
         aggs = [F.sum("rc").alias("rc")]
         for c in sum_cols:
             aggs += [
@@ -197,6 +232,31 @@ class RollupStore:
                         F.zip_with(acc, h, lambda a, b: a + b)
                     ),
                 ).alias(f"hg_{c}")
+            )
+        for c, k in (top_cols or {}).items():
+            # key-union map merge (map_zip_with sums counts over the
+            # union of candidate values), then re-truncate to the 8k
+            # candidate budget so candidate sets don't grow with the
+            # number of merged generations
+            merged_map = F.aggregate(
+                F.collect_list(F.col(f"tv_{c}")),
+                F.create_map().cast("map<string,bigint>"),
+                lambda acc, m: F.map_zip_with(
+                    acc, m,
+                    lambda _k, a, b: F.coalesce(a, F.lit(0))
+                    + F.coalesce(b, F.lit(0)),
+                ),
+            )
+            by_count = F.array_sort(
+                F.map_entries(merged_map),
+                lambda a, b: F.when(a["value"] > b["value"], -1)
+                .when(a["value"] < b["value"], 1)
+                .when(a["key"] < b["key"], -1)
+                .when(a["key"] > b["key"], 1)
+                .otherwise(0),
+            )
+            aggs.append(
+                F.map_from_entries(F.slice(by_count, 1, 8 * k)).alias(f"tv_{c}")
             )
         return aggs
 
@@ -369,6 +429,36 @@ class RollupStore:
                 merged = merged.withColumn(
                     f"nd_{c}", F.hll_sketch_estimate(F.col(f"hll_{c}"))
                 ).drop(f"hll_{c}")
+        for c, k in self.top_cols.items():
+            # candidate-map merge is relational, not an agg expression:
+            # explode the per-partial maps, re-sum per value, keep the
+            # final top-k (deterministic order: count desc, value asc) —
+            # exact whenever per-group cardinality stayed within the 8k
+            # candidate budget (see __init__ note on the truncation bound)
+            from pyspark.sql import Window as _W
+
+            ex = df.select(
+                "w_start", *dims, F.explode(F.col(f"tv_{c}")).alias("_val", "_cnt")
+            )
+            summed = ex.groupBy("w_start", *dims, "_val").agg(
+                F.sum("_cnt").alias("_cnt")
+            )
+            rn = F.row_number().over(
+                _W.partitionBy("w_start", *dims).orderBy(
+                    F.desc("_cnt"), F.asc("_val")
+                )
+            )
+            top = (
+                summed.withColumn("_rn", rn)
+                .where(F.col("_rn") <= k)
+                .groupBy("w_start", *dims)
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "_val", "_cnt"))
+                    ).alias(f"top_{c}")
+                )
+            )
+            merged = merged.join(top, ["w_start", *dims], "left")
         return merged
 
     def quantile_expr(self, col: str, q: float):
@@ -494,7 +584,9 @@ class RollupStore:
             merged = (
                 self.spark.read.parquet(f"{self.path}/data")
                 .groupBy("pday", "w_start", *self.dims)
-                .agg(*self._merge_aggs(self.sum_cols, self.hll_cols, self.hist_cols))
+                .agg(*self._merge_aggs(
+                    self.sum_cols, self.hll_cols, self.hist_cols, self.top_cols
+                ))
                 .withColumn("batch", F.lit(gen))
                 # (pday, salt) repartition → at most files_per_day files
                 # per day dir; the salt splits a hot day across tasks

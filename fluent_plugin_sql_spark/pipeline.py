@@ -450,6 +450,10 @@ class Pipeline:
                             ru_cfg.get("hist_cols", {})
                         ).items()
                     },
+                    top_cols={
+                        c: int(k)
+                        for c, k in dict(ru_cfg.get("top_cols", {})).items()
+                    },
                 )
 
         queries = []

@@ -672,3 +672,64 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
         )
     )
+
+
+@query(
+    "rollup_store_top_values",
+    # At gate cardinality (4 event types << the 8k=24 candidate budget)
+    # the candidate-map merge is EXACT, so the store's top-3 must equal
+    # the direct per-hour top-3 with the same deterministic ordering
+    # (count desc, value asc) — the same exact-at-small-cardinality
+    # construction as the HLL gate.
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS w_start, event_type,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT w_start, event_type, cnt,
+             row_number() OVER (PARTITION BY w_start
+                                ORDER BY cnt DESC, event_type) AS rank
+      FROM c
+    )
+    SELECT w_start, rank::INT AS rank, event_type AS val, cnt
+    FROM r WHERE rank <= 3
+    """,
+)
+def rollup_store_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k value tracking through the rollup store
+    (top_cols): per-batch candidate maps (top 8k values per group)
+    merged at query time by key-union map sum — the heavy-hitters
+    partial a streaming timeseries DB exposes as topN.  Events absorbed
+    in three batches, compacted mid-way, answered from partials; the
+    direct SQL oracle proves the candidate merge loses nothing at this
+    cardinality."""
+    import shutil
+    import tempfile
+
+    from ..operators.rollup import RollupStore
+
+    ev = _events(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rollup_topv_gate_")
+    try:
+        store = RollupStore(
+            spark, f"{path}/s", "ts", "1 hour", top_cols={"event_type": 3},
+        )
+        for b in (0, 1, 2):
+            store.absorb(ev.where(F.col("event_id") % 3 == b), f"b{b}")
+            if b == 1:
+                store.compact()  # candidate maps must survive compaction
+        out = (
+            store.regroup()
+            .select("w_start", F.explode("top_event_type").alias("t"))
+            .select(
+                "w_start",
+                F.col("t._rn").alias("rank"),
+                F.col("t._val").alias("val"),
+                F.col("t._cnt").alias("cnt"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -474,3 +474,32 @@ def test_regroup_guards_empty_store_and_unaligned_ranges(spark, store_path):
         window="1 day", start=datetime.datetime(2024, 1, 10)
     ).count() > 0
     assert store.snapshot().count() > 0
+
+
+def test_top_values_candidate_truncation_bound(spark, store_path):
+    """top_cols keeps only 8k candidates per group per batch: with
+    cardinality inside the budget the merged top-k is exact even after
+    compaction; the candidate maps in state never exceed 8k entries."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 5, 1)
+    # one hour, 20 distinct values with distinct frequencies 1..20
+    for v in range(20):
+        for _ in range(v + 1):
+            rows.append((len(rows), t0 + dt.timedelta(minutes=1), f"v{v:02d}"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, val string")
+    store = RollupStore(
+        spark, store_path, "ts", "1 hour", top_cols={"val": 2},  # budget 16 < 20
+    )
+    for b in (0, 1):
+        store.absorb(ev.where(F.col("event_id") % 2 == b), f"b{b}")
+    store.compact()
+    top = store.regroup().select(F.explode("top_val").alias("t")).collect()
+    got = [(r["t"]["_rn"], r["t"]["_val"], r["t"]["_cnt"]) for r in top]
+    # exact top-2 despite 20 distinct > 16 budget: the tail values the
+    # truncation drops are precisely the ones that cannot reach top-2
+    assert got == [(1, "v19", 20), (2, "v18", 19)]
+    # state maps respect the budget
+    tvs = spark.read.parquet(f"{store_path}/data").select("tv_val").collect()
+    assert all(len(r["tv_val"]) <= 16 for r in tvs)
