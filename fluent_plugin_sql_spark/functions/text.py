@@ -150,3 +150,23 @@ def simhash60_from_hashes(hashes_col: str) -> Column:
           cast(0 as bigint), (acc, x) -> acc * 2 + x)
         """
     )
+
+
+def quality_predicate(cfg: dict, text_col: str = "text"):
+    """Boolean Column for the Gopher-style quality gate from a config
+    block ``{min_tokens, max_tokens, min_ttr, max_stop_ratio}`` — shared
+    by the streaming pipeline stage (source.quality_filter) and the
+    batch curation runner.  Omitted thresholds are skipped; all checks
+    are pure codegen."""
+    from pyspark.sql import functions as F
+
+    pred = F.lit(True)
+    if "min_tokens" in cfg:
+        pred = pred & (token_count(text_col) >= int(cfg["min_tokens"]))
+    if "max_tokens" in cfg:
+        pred = pred & (token_count(text_col) <= int(cfg["max_tokens"]))
+    if "min_ttr" in cfg:
+        pred = pred & (type_token_ratio(text_col) >= float(cfg["min_ttr"]))
+    if "max_stop_ratio" in cfg:
+        pred = pred & (stopword_ratio(text_col) <= float(cfg["max_stop_ratio"]))
+    return pred

@@ -495,28 +495,11 @@ class Pipeline:
                 if qf_cfg is not None:
                     # stateless quality gate first: junk rows never pay
                     # a store probe or append state
-                    from .functions import text as _TX
+                    from .functions.text import quality_predicate
 
-                    _tc = qf_cfg.get("text_col", "text")
-                    pred = F.lit(True)
-                    if "min_tokens" in qf_cfg:
-                        pred = pred & (
-                            _TX.token_count(_tc) >= int(qf_cfg["min_tokens"])
-                        )
-                    if "max_tokens" in qf_cfg:
-                        pred = pred & (
-                            _TX.token_count(_tc) <= int(qf_cfg["max_tokens"])
-                        )
-                    if "min_ttr" in qf_cfg:
-                        pred = pred & (
-                            _TX.type_token_ratio(_tc) >= float(qf_cfg["min_ttr"])
-                        )
-                    if "max_stop_ratio" in qf_cfg:
-                        pred = pred & (
-                            _TX.stopword_ratio(_tc)
-                            <= float(qf_cfg["max_stop_ratio"])
-                        )
-                    survivors = survivors.where(pred)
+                    survivors = survivors.where(
+                        quality_predicate(qf_cfg, qf_cfg.get("text_col", "text"))
+                    )
                 if _xstore is not None:
                     survivors = _xstore.probe_new(
                         survivors,
