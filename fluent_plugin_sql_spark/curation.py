@@ -71,15 +71,19 @@ def run_curation(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
 
             df = df.where(quality_predicate(opts, text_col))
         elif name == "exact_dedup":
-            # first occurrence (lowest id) per exact content hash
-            w_min = df.groupBy(F.md5(F.col(text_col)).alias("_ch")).agg(
-                F.min(id_col).alias("_keep")
+            # first occurrence (lowest id) per exact content hash — one
+            # hash-shuffle window, linear at any corpus size (a broadcast
+            # of the per-hash aggregate would be O(corpus) driver memory)
+            from pyspark.sql import Window
+
+            keep = F.min(id_col).over(
+                Window.partitionBy(F.md5(F.col(text_col)))
             )
-            df = df.join(
-                F.broadcast(w_min),
-                (F.md5(F.col(text_col)) == F.col("_ch"))
-                & (F.col(id_col) == F.col("_keep")),
-            ).drop("_ch", "_keep")
+            df = (
+                df.withColumn("_keep", keep)
+                .where(F.col(id_col) == F.col("_keep"))
+                .drop("_keep")
+            )
         elif name == "near_dedup":
             from .operators.dedup import minhash_lsh_dup_pairs
 
@@ -116,6 +120,18 @@ def run_curation(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
 
             k = int(opts["k"])
             wcol = opts.get("weight_col")
+            if wcol:
+                # A-ES requires strictly positive weights: a negative
+                # weight flips the sort (always selected), zero yields a
+                # null key (silently excluded) — fail fast instead
+                bad = df.where(
+                    F.col(wcol).isNull() | (F.col(wcol) <= 0)
+                ).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"weighted_sample weight_col {wcol!r} must be "
+                        "strictly positive and non-null for every row"
+                    )
             u = (
                 F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(1_000_003))
                 + 0.5

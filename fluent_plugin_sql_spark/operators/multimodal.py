@@ -424,7 +424,10 @@ def wav_pcm16_samples(payload: bytes):
         pos += 8 + size + (size % 2)
     if channels in (None, 0) or bits != 16 or data is None:
         return None
-    arr = np.frombuffer(data, dtype="<i2")
+    # a truncated upload can leave an odd-length data slice; clamp to
+    # whole samples instead of letting frombuffer raise (the corrupt
+    # payload then flows through the documented strict/drop contract)
+    arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     usable = (len(arr) // channels) * channels
     return arr[:usable].reshape(-1, channels)
 

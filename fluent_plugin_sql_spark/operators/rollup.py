@@ -184,10 +184,16 @@ class RollupStore:
             # aggs + one window, all partial-mergeable/shuffle-on-key
             from pyspark.sql import Window as _W
 
-            vc = df.groupBy(
-                w.alias("w"), *[F.col(d) for d in self.dims],
-                F.col(c).cast("string").alias("_val"),
-            ).agg(F.count(F.lit(1)).alias("_cnt"))
+            # null values are not tracked as candidates (map keys
+            # cannot be null; same exclusion semantics as COUNT(col))
+            vc = (
+                df.where(F.col(c).isNotNull())
+                .groupBy(
+                    w.alias("w"), *[F.col(d) for d in self.dims],
+                    F.col(c).cast("string").alias("_val"),
+                )
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+            )
             rn = F.row_number().over(
                 _W.partitionBy("w", *self.dims).orderBy(
                     F.desc("_cnt"), F.asc("_val")
@@ -203,7 +209,15 @@ class RollupStore:
                     ).alias(f"tv_{c}")
                 )
             )
-            base = base.join(m, ["w", *self.dims], "left")
+            # null-safe join keys: a NULL dim value is a real group
+            # (its rc/sum/hll partials exist) and must keep its top-k
+            # candidates too — plain USING equality would drop them
+            cond = base["w"].eqNullSafe(m["w"])
+            for d in self.dims:
+                cond = cond & base[d].eqNullSafe(m[d])
+            base = base.join(m, cond, "left").drop(
+                m["w"], *[m[d] for d in self.dims]
+            )
         return (
             base
             .withColumn("w_start", F.col("w.start"))
@@ -437,7 +451,7 @@ class RollupStore:
             # candidate budget (see __init__ note on the truncation bound)
             from pyspark.sql import Window as _W
 
-            ex = df.select(
+            ex = df.where(F.col(f"tv_{c}").isNotNull()).select(
                 "w_start", *dims, F.explode(F.col(f"tv_{c}")).alias("_val", "_cnt")
             )
             summed = ex.groupBy("w_start", *dims, "_val").agg(
@@ -458,7 +472,12 @@ class RollupStore:
                     ).alias(f"top_{c}")
                 )
             )
-            merged = merged.join(top, ["w_start", *dims], "left")
+            cond = merged["w_start"].eqNullSafe(top["w_start"])
+            for d in dims:
+                cond = cond & merged[d].eqNullSafe(top[d])
+            merged = merged.join(top, cond, "left").drop(
+                top["w_start"], *[top[d] for d in dims]
+            )
         return merged
 
     def quantile_expr(self, col: str, q: float):

@@ -437,22 +437,33 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+    spark = df.sparkSession
+    # aggregate the WRITTEN files, not the input lineage: re-evaluating
+    # the upstream plan would double its I/O and, on nondeterministic
+    # lineage (samples, limits), could describe different rows than the
+    # shards actually hold
     stats = (
-        out.groupBy("shard")
+        spark.read.parquet(path)
+        .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(token_count(text_col)).alias("n_tokens"),
         )
         .collect()
     )
+    by_shard = {int(r["shard"]): r for r in stats}
     manifest = {
         "num_shards": num_shards,
+        # every shard id appears; hash buckets that received no docs are
+        # recorded as legitimately empty (no shard=N directory exists)
         "shards": {
-            str(r["shard"]): {"n_docs": r["n_docs"], "n_tokens": int(r["n_tokens"])}
-            for r in sorted(stats, key=lambda r: r["shard"])
+            str(i): {
+                "n_docs": by_shard[i]["n_docs"] if i in by_shard else 0,
+                "n_tokens": int(by_shard[i]["n_tokens"]) if i in by_shard else 0,
+            }
+            for i in range(num_shards)
         },
     }
-    spark = df.sparkSession
     from ..operators.dedup import _StoreFS
 
     fs = _StoreFS(spark, path)

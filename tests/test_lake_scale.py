@@ -436,10 +436,17 @@ def test_write_training_shards_balanced_deterministic(spark, tmp_path):
     assert disk_manifest == m1
 
     # one data file per shard, rows sorted by id within it
-    for shard in m1["shards"]:
+    import os
+
+    for shard, st in m1["shards"].items():
         files = [
-            f for f in glob.glob(f"{path}/shard={shard}/*") if not f.startswith("_")
+            f
+            for f in glob.glob(f"{path}/shard={shard}/*")
+            if not os.path.basename(f).startswith(("_", "."))
         ]
+        if st["n_docs"] == 0:
+            assert files == [], shard  # empty shard: manifest records it
+            continue
         assert len(files) == 1, shard
         ids = [r["doc_id"] for r in spark.read.parquet(files[0]).collect()]
         assert ids == sorted(ids)

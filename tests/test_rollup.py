@@ -503,3 +503,31 @@ def test_top_values_candidate_truncation_bound(spark, store_path):
     # state maps respect the budget
     tvs = spark.read.parquet(f"{store_path}/data").select("tv_val").collect()
     assert all(len(r["tv_val"]) <= 16 for r in tvs)
+
+
+def test_top_values_tolerates_null_values_and_null_dims(spark, store_path):
+    """NULL values in a tracked column are excluded from candidates
+    (COUNT(col) semantics, map keys can't be null) without crashing
+    absorb, and a NULL dim group keeps its candidate map (null-safe
+    partial join)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = [
+        (1, t0, "us", "click"), (2, t0, "us", "click"), (3, t0, "us", None),
+        (4, t0, None, "buy"), (5, t0, None, "buy"), (6, t0, None, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, country string, event_type string"
+    )
+    store = RollupStore(
+        spark, store_path, "ts", "1 hour",
+        dims=("country",), top_cols={"event_type": 2},
+    )
+    store.absorb(ev, "b0")
+    got = {
+        r["country"]: [(t["_rn"], t["_val"], t["_cnt"]) for t in (r["top_event_type"] or [])]
+        for r in store.regroup().collect()
+    }
+    assert got["us"] == [(1, "click", 2)]       # the NULL value excluded
+    assert got[None] == [(1, "buy", 2), (2, "view", 1)]  # null dim kept

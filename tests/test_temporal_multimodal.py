@@ -564,3 +564,30 @@ def test_audio_rms_windows_real_signal_math(spark):
     with _pytest.raises(Exception, match="codec"):
         audio_rms_windows(bad, strict=True).collect()
     assert audio_rms_windows(bad, strict=False).count() == 0
+
+
+def test_audio_truncated_payload_follows_strict_contract(spark):
+    """A WAV whose data chunk claims more bytes than exist (odd-length
+    remainder) must flow through the strict/drop contract, not crash
+    numpy's frombuffer."""
+    import io
+    import struct
+    import wave as wavmod
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fluent_plugin_sql_spark.operators.multimodal import audio_rms_windows
+
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(np.full(64, 100, dtype="<i2").tobytes())
+    payload = bytearray(buf.getvalue())[:-3]  # truncate mid-sample
+
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    # still decodes the whole samples that remain — no crash
+    out = audio_rms_windows(df, n_windows=1, strict=False).collect()
+    assert len(out) == 1 and out[0]["rms"] == 100.0
