@@ -232,3 +232,63 @@ def test_stream_asof_join_matches_batch_asof(spark, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_stream_asof_idle_key_state_compacts_to_floor(spark, tmp_path):
+    """A key whose traffic stops must not freeze its right-row buffer:
+    once the watermark passes everything, the event-time timeout
+    re-fires and compacts state to the single-latest-row floor.  We
+    observe it through the state-store operator metrics (numRowsTotal):
+    5 buffered right rows for an idle key must shrink to O(1) per key
+    after watermark-advancing sentinel batches."""
+    import datetime
+
+    from fluent_plugin_sql_spark.streaming.stateful import stream_asof_join
+
+    t0 = datetime.datetime(2024, 7, 1)
+    rights = [(7, t0 + datetime.timedelta(minutes=i), float(i)) for i in range(5)]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(100, 7, t0)], "event_id LONG, user_id LONG, ts TIMESTAMP"
+    ).write.parquet(lsrc)
+    spark.createDataFrame(
+        rights, "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    ).write.parquet(rsrc)
+    ls = (
+        spark.readStream.schema(spark.read.parquet(lsrc).schema)
+        .option("maxFilesPerTrigger", 1).parquet(lsrc)
+    )
+    rs = (
+        spark.readStream.schema(spark.read.parquet(rsrc).schema)
+        .option("maxFilesPerTrigger", 1).parquet(rsrc)
+    )
+    j = stream_asof_join(
+        ls, rs, key="user_id", left_id="event_id", watermark="10 minutes"
+    )
+    q = (
+        j.writeStream.outputMode("append").format("memory")
+        .queryName("sasof_idle")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance BOTH watermarks far past key 7's data, twice (first
+        # advances, second fires the armed timeouts), then once more so
+        # the compaction pass itself commits
+        for i, days in enumerate((1, 2, 3)):
+            st = t0 + datetime.timedelta(days=days)
+            spark.createDataFrame(
+                [(200 + i, 999, st)], "event_id LONG, user_id LONG, ts TIMESTAMP"
+            ).write.mode("append").parquet(lsrc)
+            spark.createDataFrame(
+                [(999, st, 0.0)], "user_id LONG, ts TIMESTAMP, value DOUBLE"
+            ).write.mode("append").parquet(rsrc)
+            q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # floor: one compacted row per key ever seen (7 and the sentinel
+    # key), NOT the 5 buffered rights key 7 held when its traffic ended
+    assert state_rows <= 2, state_rows
