@@ -1724,3 +1724,34 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id long, n_bytes long, n_compressed long, compression_ratio double",
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    # a CTE may carry its own WITH RECURSIVE in DuckDB, so the shared
+    # component oracle embeds verbatim
+    oracle=f"""
+    WITH comp AS ({_CLUSTERS_ORACLE})
+    SELECT n_docs, count(*) AS n_clusters
+    FROM (SELECT cluster_id, count(*) AS n_docs FROM comp GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the curation summary number
+    ('how much of the corpus is duplicated, and in how big clumps') a
+    dedup report leads with.  Two keyed counts over the component
+    labels; the oracle re-derives components via the shared
+    recursive-CTE closure."""
+    from ..operators.dedup import dup_clusters_star
+
+    pairs = minhash_lsh_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.8, num_hashes=24, bands=6
+    )
+    return (
+        dup_clusters_star(pairs)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("n_clusters"))
+    )
