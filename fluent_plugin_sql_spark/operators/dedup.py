@@ -563,6 +563,7 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         return int(r["n"]), int(r["h"])
 
     sig = _sig(e)
+    converged = False
     for _ in range(max_rounds):
         sym = _sym(e)
         mn = sym.groupBy("src").agg(
@@ -589,8 +590,19 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         e = _canon(small).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a partially-contracted edge set labels members with a
+        # non-minimal intermediate node — never return that silently.
+        # max_rounds bounds log(diameter) rounds; 16 covers any graph up
+        # to diameter ~2^16, so hitting this means pathological input.
+        raise RuntimeError(
+            f"dup_clusters_star: edge-set signature did not stabilize "
+            f"within max_rounds={max_rounds}; labels would be partial. "
+            f"Raise max_rounds for extreme-diameter similarity graphs."
+        )
 
     # final E is (root, member); roots label themselves, and nodes whose
     # component collapsed entirely (star of size 1) fall back to self

@@ -1,12 +1,11 @@
 """Multimodal column plumbing (north star: image/audio/video as opaque
 binary columns with typed metadata).
 
-Header-parsed formats are decoded FOR REAL with stdlib-only parsers —
-BMP, PPM (P6), PNG (IHDR), and WAV (RIFF fmt chunk) need no codec
-library for dimensions/channels/sample-rate extraction.  Compressed
-pixel DATA decode (JPEG/H.264/...) still needs a codec the container
-lacks: strict mode raises ``NotImplementedError`` for those formats
-only; fake mode derives deterministic dimensions so the Spark-side
+Decoded FOR REAL with stdlib-only parsers: BMP, PPM (P6), PNG
+(full pixel decode — zlib inflate + spec unfiltering, see
+:func:`png_pixels`), and WAV (RIFF fmt chunk + PCM samples).  Only
+formats whose codecs the container genuinely lacks (JPEG/WebP/H.264)
+strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
 batch shapes, partitioning) is exercised end-to-end either way.
 
@@ -116,6 +115,8 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
     bits_per_sample, n_samples), or None if not a WAV."""
     import struct
 
+    if payload is None or len(payload) < 12:
+        return None
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, n = 12, len(payload)
@@ -242,10 +243,117 @@ def sample_frames(
     )
 
 
+def png_pixels(payload: bytes):
+    """REAL (h, w, 3) uint8 RGB decode of a non-interlaced 8-bit PNG —
+    pure stdlib: chunk walk → zlib inflate of the IDAT stream → per-row
+    unfiltering (PNG spec filters 0-4: None/Sub/Up/Average/Paeth).
+    Grayscale replicates to RGB, alpha drops, paletted (PLTE) resolves
+    to its RGB entries.  Returns None for anything out of scope (16-bit
+    depth, Adam7 interlace, truncated/undeflatable data) so callers'
+    strict/drop contract applies uniformly.
+
+    Scale note: runs executor-side inside the same Arrow-batched
+    ``mapInPandas`` tasks as the other decoders; Up rows unfilter
+    vectorized, Sub/Average/Paeth need the sequential per-byte recurrence
+    the spec defines.  For production JPEG/WebP throughput you'd bind a
+    codec library — this closes the PNG gap with zero dependencies."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(payload)
+    w = h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        start = pos + 8
+        if start + length > n:
+            return None  # truncated chunk
+        data = payload[start : start + length]
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            w, h = struct.unpack_from(">II", data, 0)
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(
+                data[: len(data) // 3 * 3], np.uint8
+            ).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos = start + length + 4  # skip CRC
+    if not idat or not w or not h:
+        return None
+    if bit_depth != 8 or interlace != 0:
+        return None  # 16-bit / Adam7 need more than this decoder's scope
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or (color_type == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        rs = y * (stride + 1)
+        ftype = raw[rs]
+        row = np.frombuffer(raw, np.uint8, stride, rs + 1).astype(np.uint16)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — fully vectorized
+            row = (row + prev) & 0xFF
+        elif ftype == 1:  # Sub — recurrence on the recon bytes left of x
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average of recon left and up
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor over left/up/up-left recon
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter byte
+        out[y] = row.astype(np.uint8)
+        prev = row
+    px = out.reshape(h, w, channels)
+    if color_type == 3:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            return None  # index past the palette = corrupt
+        return plte[idx]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
 def _read_pixels(payload: bytes):
-    """REAL pixel array (h, w, 3) uint8 for the uncompressed formats —
-    PPM P6 and 24-bit BMP need no codec, just offset math.  Returns None
-    for formats whose pixel data is compressed (PNG/JPEG)."""
+    """REAL pixel array (h, w, 3) uint8 — PPM P6 and 24-bit BMP via
+    offset math, PNG via :func:`png_pixels` (stdlib zlib + unfilter).
+    Returns None only for formats whose decode genuinely needs a codec
+    library (JPEG/WebP/...) or corrupt payloads."""
     import struct
 
     import numpy as np
@@ -289,6 +397,8 @@ def _read_pixels(payload: bytes):
         rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
         arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
         return arr if raw_h < 0 else arr[::-1]  # positive height = bottom-up
+    if fmt == "png":
+        return png_pixels(payload)
     return None
 
 
@@ -323,7 +433,7 @@ def extract_pixel_features(
                     if strict:
                         raise NotImplementedError(
                             "pixel access for compressed formats requires a "
-                            "codec library; PPM/BMP pixels are read natively"
+                            "codec library; PPM/BMP/PNG pixels decode natively"
                         )
                     continue
                 h, w, _ = arr.shape
@@ -383,7 +493,7 @@ def resize_images(
                     if strict:
                         raise NotImplementedError(
                             "pixel access for compressed formats requires a "
-                            "codec library; PPM/BMP pixels are read natively"
+                            "codec library; PPM/BMP/PNG pixels decode natively"
                         )
                     continue
                 h, w, _ = arr.shape
@@ -408,6 +518,11 @@ def wav_pcm16_samples(payload: bytes):
 
     import numpy as np
 
+    # NULL payloads (or fragments shorter than the 12-byte RIFF/WAVE
+    # preamble) come back None so non-strict mode skips the row per its
+    # documented contract instead of crashing the job with a TypeError
+    if payload is None or len(payload) < 12:
+        return None
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, n = 12, len(payload)
@@ -467,7 +582,7 @@ def audio_rms_windows(
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
-                sm = wav_pcm16_samples(bytes(p))
+                sm = wav_pcm16_samples(None if p is None else bytes(p))
                 if sm is None:
                     if strict:
                         raise NotImplementedError(

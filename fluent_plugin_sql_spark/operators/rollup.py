@@ -410,6 +410,33 @@ class RollupStore:
                 f"regroup dims {sorted(unknown)} not in store dims {self.dims}"
             )
         if window is not None:
+            # the coarser window must be an exact multiple of the stored
+            # grain, for the same reason the bounds must align: a
+            # 90-minute regroup over an hourly store relabels the hour
+            # partial at :00 to one bucket and the :30-straddling hour to
+            # the WRONG one wholesale — partials are indivisible.  Measure
+            # both durations with Spark's own window() so any interval
+            # string the engine accepts is handled identically.
+            def _dur_secs(w: str) -> int:
+                r = (
+                    self.spark.range(1)
+                    .select(F.window(F.lit(0).cast("timestamp"), w).alias("win"))
+                    .select(
+                        F.col("win")["end"].cast("long").alias("e"),
+                        F.col("win")["start"].cast("long").alias("s"),
+                    )
+                    .first()
+                )
+                return int(r["e"]) - int(r["s"])
+
+            coarse, grain = _dur_secs(window), _dur_secs(self.window)
+            if coarse % grain != 0:
+                raise ValueError(
+                    f"regroup window '{window}' ({coarse}s) is not a "
+                    f"multiple of the stored grain '{self.window}' "
+                    f"({grain}s); partials straddling the new buckets "
+                    "cannot be split — choose a multiple of the grain"
+                )
             # an unaligned range filter would SILENTLY undercount the
             # edge buckets: partials are filtered at the stored grain,
             # then relabeled to the coarser window — a day bucket built

@@ -344,24 +344,84 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("percentiles_approx")  # rows-only: sketch algorithms differ across engines
+@query(
+    "percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS approx_in_rank_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 scale path: GK-sketch percentile, single pass, mergeable."""
+    """A5 scale path: GK-sketch percentile, single pass, mergeable.
+
+    Sketch values differ across engines, so the raw estimate can't be
+    hash-compared — instead the query RETURNS THE SKETCH'S ERROR
+    CONTRACT: `percentile_approx(.., accuracy=10000)` guarantees rank
+    error <= 1/accuracy = 1e-4, so the returned element must lie between
+    the exact 0.48 and 0.52 quantiles (a 200x margin).  The boolean is
+    deterministic given the data; the oracle asserts TRUE, so a sketch
+    regression that drifts out of its published bound hash-fails the
+    gate rather than hiding behind a rows-only check.  `p50_exact` keeps
+    a real value comparison in the hash as well."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"))
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_p50a"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "p50_exact"
+            ),
+            F.expr("percentile(l_extendedprice, 0.48)").alias("_lo"),
+            F.expr("percentile(l_extendedprice, 0.52)").alias("_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            (F.col("_p50a").between(F.col("_lo"), F.col("_hi"))).alias(
+                "approx_in_rank_bounds"
+            ),
+        )
     )
 
 
-@query("approx_distinct_parts")  # rows-only: HLL++ vs DuckDB's approx differ
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: HyperLogLog++ approximate distinct — the 100 TB path for
-    cardinality (constant memory, mergeable across partitions)."""
+    cardinality (constant memory, mergeable across partitions).
+
+    HLL registers differ across engines, so like `percentiles_approx`
+    the query returns the ESTIMATOR'S ERROR CONTRACT instead of the raw
+    estimate: at rsd=0.01 the relative error's standard deviation is 1%,
+    so a 5% tolerance is a ~5-sigma bound — deterministic in practice
+    (the hash functions are fixed), and a drift past it means the
+    estimator is broken, which should hash-fail.  `exact_parts` keeps a
+    real value comparison in the hash."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 

@@ -428,6 +428,14 @@ def write_training_shards(
 
     from ..functions.text import md5_long, token_count
 
+    if "shard" in df.columns:
+        # withColumn would silently REPLACE the user's column and export
+        # the partition key in its place — refuse instead of losing data
+        raise ValueError(
+            "write_training_shards: input already has a 'shard' column; "
+            "rename it before export (the shard partition key is derived "
+            f"from {id_col!r} and owns that name in the output layout)"
+        )
     sh = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(num_shards))
     out = df.withColumn("shard", sh)
     (

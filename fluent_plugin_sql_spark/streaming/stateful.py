@@ -147,6 +147,19 @@ def stream_asof_join(
     from .stream import ensure_event_time
 
     key_field = left.schema[key]
+    # the state layout carries left ids as long; a string/UUID id column
+    # would silently cast to NULL in every emitted row, so fail fast and
+    # tell the caller to surrogate the id upstream instead
+    id_type = left.schema[left_id].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"stream_asof_join: left_id column '{left_id}' has type "
+            f"{id_type.simpleString()}, but the bounded-state layout "
+            "requires an integral id (cast or derive a surrogate id, "
+            "e.g. xxhash64, upstream and join back on it)"
+        )
     out_schema = T.StructType(
         [
             T.StructField(key, key_field.dataType),

@@ -1,0 +1,175 @@
+"""Pure-stdlib PNG pixel decode (operators/multimodal.png_pixels).
+
+The fixtures are built by an INDEPENDENT encoder implemented here: it
+applies the PNG spec's five filter types on the encode side (the decoder
+implements the inverse), so a round-trip equality is a real two-sided
+check of the unfiltering math, not a mirror of the decoder's own code.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from fluent_plugin_sql_spark.operators.multimodal import (
+    _read_pixels,
+    png_pixels,
+)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(px: np.ndarray, color_type: int, filters: list[int],
+               plte: np.ndarray | None = None) -> bytes:
+    """Minimal spec-correct encoder: px is (h, w, channels) uint8 where
+    channels matches the color type (1/3/1/2/4 for types 0/2/3/4/6);
+    ``filters[y]`` picks the filter applied to row y."""
+    h, w, c = px.shape
+    bpp = c
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    flat = px.reshape(h, w * c).astype(np.int16)
+    prev = np.zeros(w * c, np.int16)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]]) if w * c > bpp else np.zeros_like(row)
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]]) if w * c > bpp else np.zeros_like(row)
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = (row - left) % 256
+        elif f == 2:  # Up
+            filt = (row - prev) % 256
+        elif f == 3:  # Average
+            filt = (row - ((left + prev) >> 1)) % 256
+        elif f == 4:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = (row - pred) % 256
+        else:
+            raise ValueError(f)
+        raw.append(f)
+        raw.extend(int(v) & 0xFF for v in filt)
+        prev = row
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    # split IDAT in two chunks to exercise the concat path
+    comp = zlib.compress(bytes(raw))
+    mid = len(comp) // 2
+    out += _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
+    out += _chunk(b"IEND", b"")
+    return out
+
+
+def _rand(h, w, c, seed):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), dtype=np.uint8)
+
+
+class TestPngPixels:
+    def test_rgb_all_filter_types_round_trip(self):
+        px = _rand(5, 7, 3, 1)
+        payload = encode_png(px, 2, [0, 1, 2, 3, 4])
+        got = png_pixels(payload)
+        assert got is not None and got.shape == (5, 7, 3)
+        np.testing.assert_array_equal(got, px)
+
+    def test_rgba_drops_alpha(self):
+        px = _rand(4, 3, 4, 2)
+        got = png_pixels(encode_png(px, 6, [4, 3, 2, 1]))
+        np.testing.assert_array_equal(got, px[:, :, :3])
+
+    def test_gray_replicates_to_rgb(self):
+        px = _rand(3, 4, 1, 3)
+        got = png_pixels(encode_png(px, 0, [0, 1, 4]))
+        np.testing.assert_array_equal(got, np.repeat(px, 3, axis=2))
+
+    def test_gray_alpha(self):
+        px = _rand(2, 5, 2, 4)
+        got = png_pixels(encode_png(px, 4, [2, 4]))
+        np.testing.assert_array_equal(got, np.repeat(px[:, :, :1], 3, axis=2))
+
+    def test_palette_resolves_plte(self):
+        plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = np.array([[0, 1], [2, 0]], np.uint8)[:, :, None]
+        got = png_pixels(encode_png(idx, 3, [0, 0], plte=plte))
+        np.testing.assert_array_equal(got, plte[idx[:, :, 0]])
+
+    def test_read_pixels_dispatches_png(self):
+        px = _rand(2, 2, 3, 5)
+        got = _read_pixels(encode_png(px, 2, [0, 0]))
+        np.testing.assert_array_equal(got, px)
+
+    def test_out_of_scope_and_corrupt_return_none(self):
+        px = _rand(2, 2, 3, 6)
+        good = encode_png(px, 2, [0, 0])
+        assert png_pixels(good[:40]) is None  # truncated mid-chunk
+        assert png_pixels(b"\x89PNG\r\n\x1a\n") is None  # no chunks
+        assert png_pixels(None) is None
+        # 16-bit depth: patch IHDR bit-depth byte (offset 24) and refuse
+        deep = bytearray(good)
+        deep[24] = 16
+        assert png_pixels(bytes(deep)) is None
+        # interlaced: IHDR interlace byte (offset 28)
+        adam7 = bytearray(good)
+        adam7[28] = 1
+        assert png_pixels(bytes(adam7)) is None
+        # palette index past PLTE = corrupt
+        plte = np.array([[1, 2, 3]], np.uint8)
+        bad_idx = np.array([[5]], np.uint8)[:, :, None]
+        assert png_pixels(encode_png(bad_idx, 3, [0], plte=plte)) is None
+
+    def test_strict_pixel_features_pass_on_png(self, spark):
+        """The SURVEY §8 gap this closes: strict-mode pixel features on a
+        PNG payload now succeed instead of strict-raising."""
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            extract_pixel_features,
+            resize_images,
+        )
+
+        px = _rand(8, 6, 3, 7)
+        payload = encode_png(px, 2, [0, 1, 2, 3, 4, 0, 1, 2])
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        row = extract_pixel_features(df, strict=True).collect()[0]
+        assert row["width"] == 6 and row["height"] == 8
+        exp = px.reshape(-1, 3).mean(axis=0)
+        got = np.array(row["channel_means"])
+        np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+        res = resize_images(df, 3, 4, strict=True).collect()[0]
+        assert (res["width"], res["height"]) == (3, 4)
+        # resized payload is canonical PPM of nearest-neighbor picks
+        yi, xi = (np.arange(4) * 8) // 4, (np.arange(3) * 6) // 3
+        exp_px = px[yi][:, xi]
+        body = bytes(res["payload"]).split(b"255\n", 1)[1]
+        np.testing.assert_array_equal(
+            np.frombuffer(body, np.uint8).reshape(4, 3, 3), exp_px
+        )
+
+    def test_jpeg_still_strict_raises(self, spark):
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            extract_pixel_features,
+        )
+
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32  # SOI + APP0 fragment
+        df = spark.createDataFrame(
+            [(1, jpeg)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="codec"):
+            extract_pixel_features(df, strict=True).collect()
