@@ -117,3 +117,78 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt"),
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return salted_big.join(replicated_small, [key, "_salt"]).drop("_salt")
+
+
+def salted_session_window(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str,
+    partial_aggs: Callable[[], list[Column]],
+    merge_aggs: Callable[[], list[Column]],
+    bucket_secs: int = 86_400,
+) -> DataFrame:
+    """Two-phase sessionization for skewed keys — the aggregation-side
+    counterpart of :func:`salted_agg` for ``session_window``.
+
+    Native ``groupBy(session_window(ts, gap), key)`` shuffles EVERY event
+    of a key to one reducer to merge sessions; AQE's skew handling covers
+    joins, not aggregations, so one pathological key (a bot account, a
+    null-ish default id) serializes the whole stage at 100x scale.  Here
+    phase 1 computes session windows within (key, coarse time bucket) —
+    the hot key's events spread over ``n_days`` reducers — and phase 2
+    merges only the per-bucket SESSION SUMMARIES (O(sessions), not
+    O(events)) with an interval-merge window.
+
+    Correctness: a phase-1 session's end is ``last_event_ts + gap``,
+    so two partial sessions belong together iff the later one starts AT
+    OR before the earlier one ends — Spark's own merge rule treats the
+    boundary as inclusive (an event at exactly ``prev_end`` EXTENDS the
+    session; verified against the native engine in
+    tests/test_salted_session.py).  Bucket boundaries only ever split a
+    chain, never re-order it: a session from bucket B can reach at most
+    the first session of bucket B+1 (later ones sit > gap beyond it by
+    construction), so the running-max interval merge reassembles every
+    straddling session.  Proven ≡ native session_window by pytest and
+    the oracle gate.
+
+    ``partial_aggs``: phase-1 aggregates per partial session;
+    ``merge_aggs``: phase-2 combiners over them (count→sum, sum→sum,
+    min→min...).  ``bucket_secs`` must exceed the gap (default 1 day
+    vs typical minutes-to-hours gaps); smaller buckets = more spread
+    for hotter keys, at the cost of more phase-2 rows.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.withColumn(
+            "_bkt", F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_secs)
+        )
+        .groupBy(key_col, "_bkt", F.session_window(ts_col, gap).alias("_w"))
+        .agg(*partial_aggs())
+    )
+    agg_cols = [c for c in g.columns if c not in (key_col, "_bkt", "_w")]
+    part = g.select(
+        key_col,
+        F.col("_w.start").alias("_start"),
+        F.col("_w.end").alias("_end"),
+        *agg_cols,
+    )
+    w = Window.partitionBy(key_col).orderBy("_start")
+    prev_max_end = F.max("_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_s = (
+        prev_max_end.isNull() | (F.col("_start") > prev_max_end)
+    ).cast("long")
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        part.withColumn("_sid", sid)
+        .groupBy(key_col, "_sid")
+        .agg(
+            F.min("_start").alias("session_start"),
+            F.max("_end").alias("session_end"),
+            *merge_aggs(),
+        )
+        .drop("_sid")
+    )

@@ -162,9 +162,12 @@ def build_readers(
         # every discovered table polls on its primary key / update_column
         from .sources.jdbc import discover_jdbc_tables
 
+        # full search path, walked in declared order with first-match-wins
+        # (in_sql.rb:43 semantics via ActiveRecord) — truncating to the
+        # first schema would silently miss multi-schema users' tables
         names = discover_jdbc_tables(
             spark, url, props,
-            schema=src.get("schema_search_path", "public").split(",")[0],
+            schema=src.get("schema_search_path", "public"),
             dialect=src.get("catalog_dialect", "information_schema"),
         )
         cfg.tables.extend(

@@ -220,3 +220,48 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "session_windows_salted",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '4 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '4 hours' AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sessionization: the two-phase
+    :func:`salted_session_window` rewrite of the `session_windows` gate
+    query, sharing its ORACLE — phase 1 sessionizes within (user, day)
+    so a hot user's events spread over as many reducers as days, phase 2
+    interval-merges only the per-day session summaries.  Identical
+    results to the native single-shuffle `session_window` prove the
+    rewrite semantics-transparent; it is the plan to reach for when one
+    key dominates the event stream at 100x scale."""
+    from ..operators.scale import salted_session_window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return salted_session_window(
+        e,
+        "user_id",
+        "ts",
+        "4 hours",
+        partial_aggs=lambda: [F.count("*").alias("_n")],
+        merge_aggs=lambda: [F.sum("_n").alias("n_events")],
+    ).select("user_id", "session_start", "session_end", "n_events")

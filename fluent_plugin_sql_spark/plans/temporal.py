@@ -85,7 +85,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL '4 hours'
+                    OR ts - lag(ts) OVER w > INTERVAL '4 hours'
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

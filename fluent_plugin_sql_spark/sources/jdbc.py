@@ -291,17 +291,57 @@ def discover_jdbc_tables(
 ) -> list[str]:
     """S3 ``all_tables`` against an RDBMS catalog (in_sql.rb:214-230).
 
+    ``schema`` takes the reference's full ``schema_search_path`` form —
+    a comma-separated list walked in DECLARED ORDER with first-match-wins
+    (in_sql.rb:43 hands the path to ActiveRecord, whose connection
+    resolves an unqualified table name to its first hit along the path).
+    A table name present in two schemas is therefore discovered ONCE,
+    from the earlier schema — discovering both would double-poll one
+    logical table under the search-path resolution the read side uses.
+
     ``dialect``: ``information_schema`` (PostgreSQL/MySQL/SQL Server) or
-    ``derby`` (SYS.SYSTABLES)."""
+    ``derby`` (SYS.SYSTABLES joined to SYS.SYSSCHEMAS).  One catalog
+    query regardless of path length; ordering resolves client-side over
+    the (name, schema) rows."""
+    path = [s.strip() for s in schema.split(",") if s.strip()]
     if dialect == "derby":
-        q = "(SELECT tablename AS table_name FROM SYS.SYSTABLES WHERE tabletype = 'T') AS t"
-    else:
+        # Derby has no "public" schema, so the untouched default means
+        # "no schema filter" (the pre-search-path behavior: every user
+        # table).  An explicit path filters, matched case-insensitively —
+        # Derby folds unquoted identifiers upper, so config "app,legacy"
+        # finds APP/LEGACY.
+        if schema == "public":
+            path = []
         q = (
-            "(SELECT table_name FROM information_schema.tables "
-            f"WHERE table_schema = {sql_literal(schema)}) AS t"
+            "(SELECT t.tablename AS table_name, s.schemaname AS table_schema "
+            "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
+            "ON t.schemaid = s.schemaid WHERE t.tabletype = 'T') AS t"
         )
+        rank = {s.upper(): i for i, s in enumerate(path)}
+        norm = str.upper
+    else:
+        in_list = ", ".join(sql_literal(s) for s in path)
+        q = (
+            "(SELECT table_name, table_schema FROM information_schema.tables "
+            f"WHERE table_schema IN ({in_list})) AS t"
+        )
+        rank = {s: i for i, s in enumerate(path)}
+        norm = str
     rows = read_jdbc(spark, url, q, properties).collect()
-    return sorted(r[0] for r in rows if r[0].lower() not in skip)
+    best: dict[str, int] = {}
+    for r in rows:
+        name, sch = r[0], r[1]
+        if name.lower() in skip:
+            continue
+        if rank:
+            i = rank.get(norm(sch))
+            if i is None:
+                continue  # table lives outside the declared path
+        else:
+            i = 0  # derby no-filter mode
+        if name not in best or i < best[name]:
+            best[name] = i
+    return sorted(best)
 
 
 class JdbcIncrementalScan:

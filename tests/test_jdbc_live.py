@@ -369,3 +369,80 @@ def test_incremental_poll_decimal_and_timestamp_watermarks_live(spark, derby_url
     twm = dtm.datetime(2024, 1, 1, 0, 29)  # row id=29's timestamp
     tb = tscan.batch_plan(twm).collect()
     assert [r["id"] for r in tb] == list(range(30, 40))  # strictly after
+
+
+def test_discover_search_path_order_derby(spark, tmp_path):
+    """Full schema_search_path semantics (in_sql.rb:43 via ActiveRecord):
+    discovery walks schemas in DECLARED order, first-match-wins — a table
+    name present in two schemas is discovered exactly once, and tables
+    outside the path never appear."""
+    db = tmp_path / "derby_schemas"
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.lang.Class.forName(
+        DRIVER["driver"], True,
+        jvm.java.lang.Thread.currentThread().getContextClassLoader(),
+    )
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in (
+            "CREATE SCHEMA S1",
+            "CREATE SCHEMA S2",
+            "CREATE SCHEMA S3",
+            "CREATE TABLE S1.SHARED (id INT)",
+            "CREATE TABLE S2.SHARED (id INT)",
+            "CREATE TABLE S2.ONLY_B (id INT)",
+            "CREATE TABLE S3.HIDDEN (id INT)",
+        ):
+            st.executeUpdate(sql)
+        st.close()
+    finally:
+        conn.close()
+
+    # path hits both schemas: shared dedupes to one entry, S3 excluded
+    names = discover_jdbc_tables(
+        spark, url, DRIVER, schema="s1,s2", dialect="derby"
+    )
+    assert names == ["ONLY_B", "SHARED"]
+    # single-schema path sees only its own tables
+    assert discover_jdbc_tables(
+        spark, url, DRIVER, schema="s1", dialect="derby"
+    ) == ["SHARED"]
+    assert discover_jdbc_tables(
+        spark, url, DRIVER, schema="s3", dialect="derby"
+    ) == ["HIDDEN"]
+    # untouched default stays the historical no-filter behavior
+    assert set(
+        discover_jdbc_tables(spark, url, DRIVER, dialect="derby")
+    ) == {"SHARED", "ONLY_B", "HIDDEN"}
+
+
+def test_discover_search_path_info_schema_sql_and_order(spark, monkeypatch):
+    """information_schema dialect: ONE catalog query carries the whole
+    path as literals; client-side resolution dedupes by first match and
+    drops tables outside the path."""
+    import fluent_plugin_sql_spark.sources.jdbc as jdbc_mod
+
+    captured = {}
+
+    class _Fake:
+        def collect(self):
+            return [
+                ("orders", "legacy"),
+                ("orders", "app"),
+                ("extra", "legacy"),
+                ("outside", "other"),
+                ("schema_migrations", "app"),
+            ]
+
+    def fake_read(spark_, url, q, props):
+        captured["q"] = q
+        return _Fake()
+
+    monkeypatch.setattr(jdbc_mod, "read_jdbc", fake_read)
+    names = jdbc_mod.discover_jdbc_tables(
+        spark, "jdbc:postgresql://h/db", {}, schema="app, legacy"
+    )
+    assert names == ["extra", "orders"]
+    assert "IN ('app', 'legacy')" in captured["q"]
