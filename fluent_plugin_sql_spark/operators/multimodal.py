@@ -3,8 +3,10 @@ binary columns with typed metadata).
 
 Decoded FOR REAL with stdlib-only parsers: BMP, PPM (P6), PNG
 (full pixel decode — zlib inflate + spec unfiltering, see
-:func:`png_pixels`), and WAV (RIFF fmt chunk + PCM samples).  Only
-formats whose codecs the container genuinely lacks (JPEG/WebP/H.264)
+:func:`png_pixels`), baseline JPEG (Huffman entropy decode + batched
+IDCT, see :func:`jpeg_pixels`), and WAV (RIFF fmt chunk + PCM
+samples).  Only formats whose codecs the container genuinely lacks
+(WebP/AVIF/progressive JPEG/H.264)
 strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
 batch shapes, partitioning) is exercised end-to-end either way.
@@ -86,6 +88,37 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
         color_type = payload[25]
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
         return ("png", width, height, channels)
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOF frame header —
+        # uint8 precision, uint16be height/width, uint8 ncomp.  Any SOF
+        # variant carries dimensions (SOF0/1/2/...); pixel decode below
+        # is stricter (baseline only).
+        pos, n = 2, len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            if pos + 4 > n:
+                return None
+            seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > n:
+                    return None
+                height, width = struct.unpack_from(">HH", payload, pos + 5)
+                ncomp = payload[pos + 9]
+                if not width or not height:
+                    return None
+                return ("jpeg", width, height, ncomp)
+            if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF = corrupt
+                return None
+            pos += 2 + seg_len
+        return None
     if payload[:2] == b"P6":
         # PPM: ASCII "P6 <w> <h> <maxval>", '#' comments allowed
         fields: list[int] = []
@@ -145,8 +178,8 @@ def _decode_image(payload: bytes, strict: bool) -> tuple[int, int, int]:
     if strict:
         raise NotImplementedError(
             "pixel-data decode for this format requires a codec library "
-            "(PIL/libvips) not present in this environment; BMP/PPM/PNG "
-            "headers are parsed natively"
+            "(PIL/libvips) not present in this environment; BMP/PPM/PNG/"
+            "JPEG headers are parsed natively"
         )
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 240
@@ -349,11 +382,345 @@ def png_pixels(payload: bytes):
     return px
 
 
+_JPEG_ZIGZAG = None  # lazily built: zigzag index -> natural index
+
+
+def _jpeg_zigzag():
+    global _JPEG_ZIGZAG
+    if _JPEG_ZIGZAG is None:
+        import numpy as np
+
+        order = sorted(
+            ((u, v) for u in range(8) for v in range(8)),
+            # odd diagonals walk down-left (row ascending), even walk
+            # up-right (column ascending) — T.81 Figure A.6
+            key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else t[1]),
+        )
+        _JPEG_ZIGZAG = np.array([u * 8 + v for u, v in order], np.int32)
+    return _JPEG_ZIGZAG
+
+
+class _JpegBits:
+    """MSB-first bit reader over a destuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, k: int) -> int | None:
+        while self.nbits < k:
+            if self.pos >= len(self.data):
+                return None  # past meaningful end; caller decides
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= k
+        v = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = bits.read(1)
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # ITU T.81 F.2.2.1: category-s magnitude bits -> signed value
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def jpeg_pixels(payload: bytes):
+    """REAL (h, w, 3) uint8 RGB decode of a BASELINE JPEG (ITU T.81
+    sequential DCT, 8-bit, Huffman) — pure stdlib + numpy: marker walk →
+    per-segment Huffman entropy decode (DC predictor + AC run/length,
+    restart-interval aware) → batched dequantize/de-zigzag/IDCT over all
+    blocks of a component in one einsum → chroma upsample → JFIF
+    YCbCr→RGB.  Returns None for anything out of scope (progressive
+    SOF2, arithmetic coding, 12-bit precision, fractional sampling
+    ratios, truncated streams) so callers' strict/drop contract applies
+    uniformly.
+
+    Scale note: runs executor-side inside the same Arrow-batched
+    ``mapInPandas`` tasks as the other decoders.  The entropy decode is
+    an irreducibly sequential bitstream walk (each Huffman code's start
+    depends on the previous one) — per-image Python cost, amortized by
+    Spark's per-partition parallelism across images; the numeric half
+    (dequantize + 2-D IDCT + color transform) is vectorized across ALL
+    blocks of each component at once.  Reference has no multimodal
+    surface; this closes the north-star compressed-image gap with zero
+    dependencies."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    n = len(payload)
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
+    frame = None  # (h, w, comps=[(cid, hs, vs, tq)])
+    restart_interval = 0
+    scan = None
+
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        if pos + 2 > n:
+            return None
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg_end = pos + seg_len
+        if seg_len < 2 or seg_end > n:
+            return None
+        body = payload[pos + 2 : seg_end]
+        if marker == 0xDB:  # DQT — one or more tables, zigzag order
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq == 0:
+                    if i + 64 > len(body):
+                        return None
+                    qt[tq] = np.frombuffer(body, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                elif pq == 1:
+                    if i + 128 > len(body):
+                        return None
+                    qt[tq] = np.frombuffer(
+                        body[i : i + 128], ">u2"
+                    ).astype(np.int32)
+                    i += 128
+                else:
+                    return None
+        elif marker == 0xC4:  # DHT — canonical code build per T.81 C.2
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = body[i + 1 : i + 17]
+                i += 17
+                total = sum(counts)
+                if i + total > len(body):
+                    return None
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = body[i + k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += total
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                return None
+            precision = body[0]
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if precision != 8 or not h or not w or ncomp not in (1, 3):
+                return None
+            if len(body) < 6 + 3 * ncomp:
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                hs, vs = body[7 + 3 * c] >> 4, body[7 + 3 * c] & 15
+                tq = body[8 + 3 * c]
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    return None
+                comps.append((cid, hs, vs, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive / lossless / arithmetic: out of scope
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — single-scan baseline only
+            if frame is None or len(body) < 1:
+                return None
+            ns = body[0]
+            if ns != len(frame[2]) or len(body) < 1 + 2 * ns:
+                return None
+            scan = []
+            for s in range(ns):
+                cs = body[1 + 2 * s]
+                td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 15
+                scan.append((cs, td, ta))
+            pos = seg_end
+            break
+        pos = seg_end
+    if frame is None or scan is None:
+        return None
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        return None  # fractional chroma ratios out of scope
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # destuff the entropy stream into restart segments
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = payload[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+
+    # per-component decode state
+    order = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    tables = []
+    for cs, td, ta in scan:
+        if cs not in order:
+            return None
+        hs, vs, tq = order[cs]
+        dc = huff.get((0, td))
+        ac = huff.get((1, ta))
+        q = qt.get(tq)
+        if dc is None or ac is None or q is None:
+            return None
+        tables.append((cs, hs, vs, dc, ac, q))
+    blocks_per_mcu = sum(hs * vs for _, hs, vs, _, _, _ in tables)
+    # coefficient store: per component, (n_blocks, 64) in zigzag order
+    coefs = {
+        cs: np.zeros((mcus_y * vs * mcus_x * hs, 64), np.int32)
+        for cs, hs, vs, _, _, _ in tables
+    }
+
+    n_mcus = mcus_x * mcus_y
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    dc_pred = {cs: 0 for cs, *_ in tables}
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return None
+            bits = _JpegBits(segments[seg_idx])
+            dc_pred = {cs: 0 for cs, *_ in tables}
+        my, mx = divmod(mcu, mcus_x)
+        for cs, hs, vs, dc_tab, ac_tab, _q in tables:
+            comp_blocks_x = mcus_x * hs
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = np.zeros(64, np.int32)
+                    t = _jpeg_huff_decode(bits, dc_tab)
+                    if t is None or t > 15:
+                        return None
+                    if t:
+                        v = bits.read(t)
+                        if v is None:
+                            return None
+                        dc_pred[cs] += _jpeg_extend(v, t)
+                    blk[0] = dc_pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, ac_tab)
+                        if rs is None:
+                            return None
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        v = bits.read(s)
+                        if v is None:
+                            return None
+                        blk[k] = _jpeg_extend(v, s)
+                        k += 1
+                    bi = (my * vs + by) * comp_blocks_x + (mx * hs + bx)
+                    coefs[cs][bi] = blk
+    if blocks_per_mcu == 0:
+        return None
+
+    # numeric half, vectorized across all blocks per component:
+    # dequantize (zigzag) -> de-zigzag -> batched 2-D IDCT -> planes
+    zz = _jpeg_zigzag()
+    u = np.arange(8)
+    x = np.arange(8)
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
+    m[0] /= np.sqrt(2.0)  # orthonormal DCT-II basis; inverse = m.T @ F @ m
+    planes = {}
+    for cs, hs, vs, _dc, _ac, q in tables:
+        deq = coefs[cs] * q[None, :]
+        nat = np.zeros_like(deq)
+        nat[:, zz] = deq
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("xu,nuv,vy->nxy", m.T, blocks, m) + 128.0
+        spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+        bx = mcus_x * hs
+        by = mcus_y * vs
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        # upsample to full MCU grid resolution, then crop to (h, w)
+        plane = np.repeat(plane, vmax // vs, axis=0)
+        plane = np.repeat(plane, hmax // hs, axis=1)
+        planes[cs] = plane[:h, :w]
+    if len(tables) == 1:
+        g = planes[tables[0][0]]
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y_p, cb_p, cr_p = (planes[cs].astype(np.float64) for cs, *_ in tables)
+    r = y_p + 1.402 * (cr_p - 128.0)
+    g = y_p - 0.344136 * (cb_p - 128.0) - 0.714136 * (cr_p - 128.0)
+    b = y_p + 1.772 * (cb_p - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _read_pixels(payload: bytes):
     """REAL pixel array (h, w, 3) uint8 — PPM P6 and 24-bit BMP via
-    offset math, PNG via :func:`png_pixels` (stdlib zlib + unfilter).
+    offset math, PNG via :func:`png_pixels` (stdlib zlib + unfilter),
+    baseline JPEG via :func:`jpeg_pixels` (Huffman + batched IDCT).
     Returns None only for formats whose decode genuinely needs a codec
-    library (JPEG/WebP/...) or corrupt payloads."""
+    library (WebP/AVIF/progressive JPEG/...) or corrupt payloads."""
     import struct
 
     import numpy as np
@@ -399,6 +766,8 @@ def _read_pixels(payload: bytes):
         return arr if raw_h < 0 else arr[::-1]  # positive height = bottom-up
     if fmt == "png":
         return png_pixels(payload)
+    if fmt == "jpeg":
+        return jpeg_pixels(payload)
     return None
 
 
@@ -432,8 +801,9 @@ def extract_pixel_features(
                 if arr is None:
                     if strict:
                         raise NotImplementedError(
-                            "pixel access for compressed formats requires a "
-                            "codec library; PPM/BMP/PNG pixels decode natively"
+                            "pixel access for this format requires a codec "
+                            "library; PPM/BMP/PNG/baseline-JPEG pixels "
+                            "decode natively"
                         )
                     continue
                 h, w, _ = arr.shape
@@ -492,8 +862,9 @@ def resize_images(
                 if arr is None:
                     if strict:
                         raise NotImplementedError(
-                            "pixel access for compressed formats requires a "
-                            "codec library; PPM/BMP/PNG pixels decode natively"
+                            "pixel access for this format requires a codec "
+                            "library; PPM/BMP/PNG/baseline-JPEG pixels "
+                            "decode natively"
                         )
                     continue
                 h, w, _ = arr.shape

@@ -469,6 +469,104 @@ def image_pipeline_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jpeg_pipeline_brightness",
+    oracle="""
+    SELECT doc_id,
+           8 + 8 * (doc_id % 3) AS width,
+           8 + 8 * (doc_id % 2) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness
+    FROM documents
+    """,
+)
+def jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compressed-image pipeline through the REAL baseline
+    JPEG decoder (operators/multimodal.jpeg_pixels): synthesize a
+    DC-only grayscale JPEG per document (uniform fill = doc_id % 256,
+    dims varying with doc_id; canonical Huffman tables declared via
+    DHT, entropy-coded scan with byte stuffing), then Huffman-decode +
+    IDCT back to pixels and extract features — real bitstream work, no
+    codec library.  The oracle is exact arithmetic: a uniform image's
+    DC coefficient quantizes losslessly at q=1, so the decoded
+    brightness is exactly the fill value and DuckDB predicts every row
+    without touching pixels.  Scale shape: two Arrow-batched
+    mapInPandas stages, constant memory per task, zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def seg(m, body):
+            return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+        # canonical DHT declarations: DC = categories 0..11 at length 4,
+        # AC = a single EOB symbol at length 1
+        dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+        dc_syms = bytes(range(12))
+        ac_counts = bytes([1] + [0] * 15)
+        ac_syms = bytes([0])
+        q_ones = bytes([1] * 64)
+        head_common = (
+            seg(0xDB, bytes([0]) + q_ones)
+            + seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
+            + seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, v = 8 + 8 * (d % 3), 8 + 8 * (d % 2), d % 256
+                head = (
+                    b"\xff\xd8"
+                    + head_common
+                    + seg(
+                        0xC0,
+                        bytes([8])
+                        + struct.pack(">HH", h, w)
+                        + bytes([1, 1, 0x11, 0]),
+                    )
+                    + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                )
+                # entropy: first block carries DC diff = 8*(v-128)
+                # (orthonormal DC of a uniform block), later blocks diff 0;
+                # every block ends with the 1-bit EOB code "0"
+                bits: list[int] = []
+
+                def put(code: int, n: int) -> None:
+                    bits.extend(
+                        (code >> i) & 1 for i in range(n - 1, -1, -1)
+                    )
+
+                diff = 8 * (v - 128)
+                for b in range((w // 8) * (h // 8)):
+                    dd = diff if b == 0 else 0
+                    c = abs(dd).bit_length()
+                    put(c, 4)
+                    if c:
+                        put(dd if dd >= 0 else dd + (1 << c) - 1, c)
+                    put(0, 1)  # EOB
+                while len(bits) % 8:
+                    bits.append(1)  # spec 1-padding
+                data = bytearray()
+                for i in range(0, len(bits), 8):
+                    byte = 0
+                    for bt in bits[i : i + 8]:
+                        byte = (byte << 1) | bt
+                    data.append(byte)
+                    if byte == 0xFF:
+                        data.append(0)  # byte stuffing
+                rows.append((d, head + bytes(data) + b"\xff\xd9"))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    jpegs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(jpegs, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
     "audio_pipeline_rms",
     oracle="""
     SELECT doc_id, w AS window_idx, 128::BIGINT AS n_samples,
