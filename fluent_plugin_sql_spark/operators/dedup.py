@@ -245,10 +245,14 @@ def minhash_lsh_dup_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
-    # band keys: concat the band's r minhashes, then unpivot to
-    # (doc, band, band_key) — stack() is a zero-shuffle generator
+    # band keys: hash-combine the band's r minhashes to ONE long, then
+    # unpivot to (doc, band, band_key) — stack() is a zero-shuffle
+    # generator.  The 8-byte key (vs the earlier ~80-char decimal concat)
+    # shrinks the bucket shuffle ~6×; a cross-signature xxhash64
+    # collision (≈ rows²/2⁶⁵ ≈ 1e-9 at 300k band rows) only creates a
+    # spurious candidate that exact verification rejects.
     band_cols = [
-        F.concat_ws(",", *[F.col(f"h{b * r + j}") for j in range(r)]).alias(f"band{b}")
+        F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias(f"band{b}")
         for b in range(bands)
     ]
     stack_expr = (
@@ -283,24 +287,37 @@ def minhash_lsh_dup_pairs(
         # collect: stays distributed.
         .localCheckpoint(eager=True)
     )
-    # verify ONLY candidate docs: restrict the CORPUS before shingling, so
-    # exact string shingles are built for the candidate neighborhood, not
-    # the whole corpus
+    # verify ONLY candidate docs: restrict the CORPUS before shingling,
+    # and verify over per-doc DISTINCT shingle-HASH sets with
+    # array_intersect/array_union — equal to string-shingle Jaccard up
+    # to an xxhash64 collision (≈ |shingles|²/2⁶⁵ per doc, irrelevant),
+    # and two codegen'd broadcast joins instead of the earlier
+    # inverted-index self-join + three shuffled aggregations (which cost
+    # >1 s of fixed stage overhead to verify a few hundred pairs;
+    # measured 1.99 s → 1.2 s for the whole operator at sf0.1)
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
-    # small by construction (candidate neighborhood only) and scanned 3×
-    # inside _pair_jaccard (sizes + both join sides) — materialize once
-    sh = shingle_sets(df_cand, text_col, id_col, k).localCheckpoint(eager=True)
-    verified = _pair_jaccard(sh).join(
-        F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi"
+    # small by construction (candidate neighborhood only), joined twice
+    # below — materialize once
+    sets = (
+        shingle_hash_arrays(df_cand, text_col, id_col, k)
+        .select("doc", F.array_distinct("shs").alias("sset"))
+        .localCheckpoint(eager=True)
     )
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("_sa"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    jac = inter / union  # 0-shingle docs: 0/0 -> NULL -> filtered
     return (
-        verified.where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        candidates.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -276,6 +276,151 @@ def sample_frames(
     )
 
 
+def mjpeg_frame_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Split a raw MJPEG stream (back-to-back baseline JPEG frames, the
+    classic IP-camera / AVI-payload format) into per-frame (start, end)
+    byte spans with a STRUCTURAL marker walk — segment lengths for
+    table/header markers, a destuffing-aware scan through entropy data
+    (0xFF is always followed by 0x00 or RST inside a scan, so a bare
+    SOI/EOI byte pair inside compressed data cannot false-split a
+    frame, unlike a naive substring search over the stream).  Returns
+    [] for payloads that don't start with SOI; stops at the first
+    structurally broken frame, returning the frames before it."""
+    import struct
+
+    if not payload or len(payload) < 4:
+        return []
+    spans: list[tuple[int, int]] = []
+    n = len(payload)
+    pos = 0
+    while pos + 4 <= n and payload[pos : pos + 2] == b"\xff\xd8":
+        start = pos
+        pos += 2
+        end = None
+        while pos + 2 <= n:
+            if payload[pos] != 0xFF:
+                pos = None
+                break
+            marker = payload[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI with no SOS (degenerate but closed)
+                end = pos + 2
+                break
+            if pos + 4 > n:
+                pos = None
+                break
+            (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+            if seg_len < 2 or pos + 2 + seg_len > n:
+                pos = None
+                break
+            pos += 2 + seg_len
+            if marker == 0xDA:  # entropy-coded data until a real marker
+                while pos < n:
+                    if payload[pos] != 0xFF:
+                        pos += 1
+                        continue
+                    if pos + 1 >= n:
+                        break
+                    m2 = payload[pos + 1]
+                    if m2 == 0x00 or 0xD0 <= m2 <= 0xD7:
+                        pos += 2  # stuffed byte / restart marker
+                        continue
+                    break
+                if pos + 1 < n and payload[pos + 1] == 0xD9:
+                    end = pos + 2
+                break
+        if end is None:
+            break
+        spans.append((start, end))
+        pos = end
+    return spans
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("brightness", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    every_k: int = 2,
+    max_frames: int = 8,
+    strict: bool = False,
+) -> DataFrame:
+    """REAL video frame sampling over MJPEG payloads: split each asset
+    into JPEG frames (:func:`mjpeg_frame_spans`), decode every
+    ``every_k``-th frame — at most ``max_frames`` — through
+    :func:`jpeg_pixels`, and emit per-frame dimensions + brightness.
+    This upgrades the byte-offset :func:`sample_frames` stub to a real
+    decode path for one genuine video format; H.264/VP9 remain behind
+    the documented codec boundary.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage, constant
+    memory per task (one asset's sampled frames at a time), no shuffle;
+    frame sampling bounds the decode cost per asset regardless of clip
+    length — the property that matters when the corpus is hours of
+    video, not the 100-frame test clips."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                spans = mjpeg_frame_spans(p)
+                if not spans:
+                    if strict:
+                        raise NotImplementedError(
+                            "not a splittable MJPEG stream; compressed "
+                            "video formats (H.264/VP9) require a codec "
+                            "library"
+                        )
+                    continue
+                sampled = spans[::every_k][:max_frames]
+                for i, (s, e) in enumerate(sampled):
+                    arr = jpeg_pixels(p[s:e])
+                    if arr is None:
+                        if strict:
+                            raise NotImplementedError(
+                                "frame is not a baseline JPEG"
+                            )
+                        continue
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i * every_k,
+                            len(spans),
+                            arr.shape[1],
+                            arr.shape[0],
+                            float(arr.mean()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "brightness",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(gen, VIDEO_FRAME_SCHEMA)
+
+
 def png_pixels(payload: bytes):
     """REAL (h, w, 3) uint8 RGB decode of a non-interlaced 8-bit PNG —
     pure stdlib: chunk walk → zlib inflate of the IDAT stream → per-row

@@ -468,6 +468,54 @@ def image_pipeline_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "width", "height", "brightness")
 
 
+def _dc_only_gray_jpeg(w: int, h: int, v: int) -> bytes:
+    """A uniform-fill grayscale baseline JPEG built byte-by-byte: DC-only
+    blocks at q=1 quantize losslessly, so decode returns exactly ``v`` —
+    the arithmetic oracles below rely on that exactness.  Canonical
+    Huffman declared via DHT (DC categories 0..11 at length 4, a single
+    1-bit EOB for AC); entropy scan with spec 1-padding + byte stuffing."""
+    import struct
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC4, bytes([0x00, 0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+        + seg(0xC4, bytes([0x10, 1] + [0] * 15) + bytes([0]))
+        + seg(
+            0xC0,
+            bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+        )
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    bits: list[int] = []
+
+    def put(code: int, n: int) -> None:
+        bits.extend((code >> i) & 1 for i in range(n - 1, -1, -1))
+
+    diff = 8 * (v - 128)  # orthonormal DC of a uniform block
+    for b in range(((w + 7) // 8) * ((h + 7) // 8)):
+        dd = diff if b == 0 else 0
+        c = abs(dd).bit_length()
+        put(c, 4)
+        if c:
+            put(dd if dd >= 0 else dd + (1 << c) - 1, c)
+        put(0, 1)  # EOB
+    while len(bits) % 8:
+        bits.append(1)  # spec 1-padding
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for bt in bits[i : i + 8]:
+            byte = (byte << 1) | bt
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0)  # byte stuffing
+    return head + bytes(data) + b"\xff\xd9"
+
+
 @query(
     "jpeg_pipeline_brightness",
     oracle="""
@@ -493,77 +541,67 @@ def jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_pixel_features
 
     def synth(batches):
-        import struct
-
         import pandas as pd_
-
-        def seg(m, body):
-            return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
-
-        # canonical DHT declarations: DC = categories 0..11 at length 4,
-        # AC = a single EOB symbol at length 1
-        dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
-        dc_syms = bytes(range(12))
-        ac_counts = bytes([1] + [0] * 15)
-        ac_syms = bytes([0])
-        q_ones = bytes([1] * 64)
-        head_common = (
-            seg(0xDB, bytes([0]) + q_ones)
-            + seg(0xC4, bytes([0x00]) + dc_counts + dc_syms)
-            + seg(0xC4, bytes([0x10]) + ac_counts + ac_syms)
-        )
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                w, h, v = 8 + 8 * (d % 3), 8 + 8 * (d % 2), d % 256
-                head = (
-                    b"\xff\xd8"
-                    + head_common
-                    + seg(
-                        0xC0,
-                        bytes([8])
-                        + struct.pack(">HH", h, w)
-                        + bytes([1, 1, 0x11, 0]),
+                rows.append(
+                    (
+                        d,
+                        _dc_only_gray_jpeg(
+                            8 + 8 * (d % 3), 8 + 8 * (d % 2), d % 256
+                        ),
                     )
-                    + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
                 )
-                # entropy: first block carries DC diff = 8*(v-128)
-                # (orthonormal DC of a uniform block), later blocks diff 0;
-                # every block ends with the 1-bit EOB code "0"
-                bits: list[int] = []
-
-                def put(code: int, n: int) -> None:
-                    bits.extend(
-                        (code >> i) & 1 for i in range(n - 1, -1, -1)
-                    )
-
-                diff = 8 * (v - 128)
-                for b in range((w // 8) * (h // 8)):
-                    dd = diff if b == 0 else 0
-                    c = abs(dd).bit_length()
-                    put(c, 4)
-                    if c:
-                        put(dd if dd >= 0 else dd + (1 << c) - 1, c)
-                    put(0, 1)  # EOB
-                while len(bits) % 8:
-                    bits.append(1)  # spec 1-padding
-                data = bytearray()
-                for i in range(0, len(bits), 8):
-                    byte = 0
-                    for bt in bits[i : i + 8]:
-                        byte = (byte << 1) | bt
-                    data.append(byte)
-                    if byte == 0xFF:
-                        data.append(0)  # byte stuffing
-                rows.append((d, head + bytes(data) + b"\xff\xd9"))
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     jpegs = docs.mapInPandas(synth, "doc_id long, payload binary")
     feats = extract_pixel_features(jpegs, strict=True)
     return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
+    "mjpeg_frame_sample",
+    oracle="""
+    SELECT doc_id, f AS frame_idx, 6 AS n_frames,
+           16 AS width, 8 AS height,
+           CAST((doc_id + 40 * f) % 256 AS DOUBLE) AS brightness
+    FROM documents, LATERAL (SELECT unnest([0, 2, 4]) AS f) x
+    """,
+)
+def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video pipeline over a REAL container format: each
+    document becomes a 6-frame MJPEG clip (back-to-back DC-only JPEG
+    frames, fill = (doc_id + 40*frame) % 256); the operator splits
+    frames with a destuffing-aware marker walk, decodes every 2nd frame
+    through the baseline JPEG decoder, and emits per-frame brightness.
+    The oracle is exact arithmetic: DC-only frames decode losslessly,
+    so DuckDB predicts every sampled frame's brightness without
+    touching bytes.  Scale shape: one synth map + one Arrow-batched
+    mapInPandas, zero shuffles; sampling bounds decode cost per asset
+    no matter the clip length."""
+    from ..operators.multimodal import sample_video_frames
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                clip = b"".join(
+                    _dc_only_gray_jpeg(16, 8, (d + 40 * f) % 256)
+                    for f in range(6)
+                )
+                rows.append((d, clip))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return sample_video_frames(clips, every_k=2, max_frames=8, strict=True)
 
 
 @query(

@@ -374,3 +374,80 @@ class TestJpegSparkIntegration:
         )
         r = decode_images(df, strict=True).collect()[0]
         assert (r["width"], r["height"], r["channels"]) == (25, 40, 3)
+
+
+class TestMjpegSplit:
+    def test_spans_partition_stream(self):
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            mjpeg_frame_spans,
+        )
+
+        rng = np.random.default_rng(9)
+        frames = [
+            encode_jpeg(
+                rng.integers(64, 192, (16, 16, 3)).astype(np.uint8), Q1
+            )
+            for _ in range(5)
+        ]
+        stream = b"".join(frames)
+        spans = mjpeg_frame_spans(stream)
+        assert len(spans) == 5
+        # spans tile the stream exactly and round-trip each frame
+        pos = 0
+        for (s, e), f in zip(spans, frames):
+            assert (s, e) == (pos, pos + len(f))
+            assert jpeg_pixels(stream[s:e]) is not None
+            pos = e
+        assert pos == len(stream)
+
+    def test_marker_bytes_inside_dqt_do_not_split(self):
+        """A quant table whose first two zigzag entries are 255, 216
+        puts a literal FF D8 (SOI byte pair) INSIDE the DQT segment —
+        a naive substring splitter would cut the frame there; the
+        structural walk must not."""
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            mjpeg_frame_spans,
+        )
+
+        q = np.ones(64, np.int32)
+        q[0], q[1] = 255, 216
+        img = np.full((8, 8), 130, np.uint8)
+        f = encode_jpeg(img, q, gray=True)
+        assert b"\xff\xd8" in f[2:]  # the trap exists
+        spans = mjpeg_frame_spans(f + f)
+        assert spans == [(0, len(f)), (len(f), 2 * len(f))]
+
+    def test_truncated_tail_keeps_whole_frames(self):
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            mjpeg_frame_spans,
+        )
+
+        img = np.full((8, 8, 3), 90, np.uint8)
+        f = encode_jpeg(img, Q1)
+        stream = f + f + f[: len(f) // 2]
+        spans = mjpeg_frame_spans(stream)
+        assert spans == [(0, len(f)), (len(f), 2 * len(f))]
+        assert mjpeg_frame_spans(b"notvideo") == []
+
+    def test_sample_video_frames_spark(self, spark):
+        from fluent_plugin_sql_spark.operators.multimodal import (
+            sample_video_frames,
+        )
+
+        rng = np.random.default_rng(21)
+        fills = [40, 90, 140, 190, 240]
+        clip = b"".join(
+            encode_jpeg(np.full((8, 16, 3), v, np.uint8), Q1) for v in fills
+        )
+        df = spark.createDataFrame([(3, clip)], "doc_id long, payload binary")
+        rows = sorted(
+            sample_video_frames(df, every_k=2, max_frames=2, strict=True)
+            .collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        # every 2nd frame of 5, capped at 2 -> frames 0 and 2
+        assert [r["frame_idx"] for r in rows] == [0, 2]
+        assert all(r["n_frames"] == 5 for r in rows)
+        assert all((r["width"], r["height"]) == (16, 8) for r in rows)
+        for r, want in zip(rows, (fills[0], fills[2])):
+            assert abs(r["brightness"] - want) <= 2
