@@ -46,14 +46,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    partition_topk: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Plan shape: broadcast the (small) query side → corpus never shuffles
-    for the join; per-query top-k via window rank.  At 1000 executors the
-    corpus scan is embarrassingly parallel and the only shuffle is the
-    k-rows-per-query ranking, keyed by query id.  Ties broken on corpus id
-    for determinism.
+    for the join; scores are computed JVM-side in the scan stage; then a
+    PARTITION-LOCAL top-k (``partition_topk``) prunes each task's scored
+    rows to ≤ k per query BEFORE the rank shuffle, so the exchange
+    carries O(tasks × queries × k) rows instead of O(corpus × queries).
+    At sf0.1 both shapes time the same (the exchange is small either
+    way); at 100 TB the unpruned variant shuffles every score — billions
+    of rows — while the pruned one shuffles a few thousand, which is the
+    difference between a working query and a dead stage.  The pruning
+    step only DROPS rows (scores are untouched pass-through values), so
+    results are bit-identical to the unpruned plan.  Ties broken on
+    corpus id for determinism.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
@@ -67,6 +75,25 @@ def brute_force_topk(
             F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
         )
     )
+    if partition_topk:
+        import pandas as pd
+
+        def local_topk(batches):
+            # per-task streaming top-k: one small heap-equivalent frame
+            # per query id, folded across Arrow batches — constant
+            # memory, no recompute (cos passes through untouched)
+            best: dict[object, pd.DataFrame] = {}
+            for pdf in batches:
+                for qid, g in pdf.groupby("query_id", sort=False):
+                    prev = best.get(qid)
+                    allg = g if prev is None else pd.concat((prev, g))
+                    best[qid] = allg.sort_values(
+                        ["cos", "match_id"], ascending=[False, True]
+                    ).head(k)
+            if best:
+                yield pd.concat(list(best.values()))
+
+        scored = scored.mapInPandas(local_topk, scored.schema)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
