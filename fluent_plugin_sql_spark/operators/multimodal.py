@@ -722,6 +722,12 @@ def jpeg_pixels(payload: bytes):
         return None
 
     h, w, comps = frame
+    if len(scan) == 1:
+        # single-component scans are NON-interleaved (T.81 A.2.3): the
+        # MCU is one data unit and the walk covers ceil(w/8) x ceil(h/8)
+        # blocks regardless of declared sampling factors — a grayscale
+        # file declaring 2x2 sampling must not be padded to a 16-px grid
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if any(hmax % c[1] or vmax % c[2] for c in comps):

@@ -451,3 +451,19 @@ class TestMjpegSplit:
         assert all((r["width"], r["height"]) == (16, 8) for r in rows)
         for r, want in zip(rows, (fills[0], fills[2])):
             assert abs(r["brightness"] - want) <= 2
+
+
+def test_gray_with_declared_2x2_sampling_is_noninterleaved():
+    """T.81 A.2.3: a single-component scan ignores SOF sampling factors
+    (non-interleaved, one data unit per MCU).  Some encoders declare
+    2x2 on grayscale; the block walk must stay ceil(w/8) x ceil(h/8)."""
+    img = (
+        np.linspace(10, 240, 24 * 24).reshape(24, 24).astype(np.uint8)
+    )
+    payload = bytearray(encode_jpeg(img, Q1, gray=True))
+    i = payload.index(bytes([0xFF, 0xC0]))
+    assert payload[i + 11] == 0x11
+    payload[i + 11] = 0x22  # declare 2x2 sampling on the lone component
+    arr = jpeg_pixels(bytes(payload))
+    assert arr is not None and arr.shape == (24, 24, 3)
+    assert np.max(np.abs(arr[:, :, 0].astype(int) - img.astype(int))) <= 2
