@@ -421,20 +421,76 @@ def sample_video_frames(
     return df.select(id_col, "payload").mapInPandas(gen, VIDEO_FRAME_SCHEMA)
 
 
+# Adam7 pass geometry: (x_start, x_step, y_start, y_step) per pass
+_PNG_ADAM7 = (
+    (0, 8, 0, 8),
+    (4, 8, 0, 8),
+    (0, 4, 4, 8),
+    (2, 4, 0, 4),
+    (0, 2, 2, 4),
+    (1, 2, 0, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Unfilter ``h`` rows of ``stride`` bytes starting at ``raw[off]``
+    (PNG spec filters 0-4: None/Sub/Up/Average/Paeth; ``bpp`` = bytes
+    per COMPLETE pixel, min 1, the left-neighbor distance).  Returns
+    ((h, stride) uint8 array, next offset) or (None, 0) on error."""
+    import numpy as np
+
+    if len(raw) < off + h * (stride + 1):
+        return None, 0
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        rs = off + y * (stride + 1)
+        ftype = raw[rs]
+        row = np.frombuffer(raw, np.uint8, stride, rs + 1).astype(np.uint16)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — fully vectorized
+            row = (row + prev) & 0xFF
+        elif ftype == 1:  # Sub — recurrence on the recon bytes left of x
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average of recon left and up
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor over left/up/up-left recon
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            return None, 0  # invalid filter byte
+        out[y] = row.astype(np.uint8)
+        prev = row
+    return out, off + h * (stride + 1)
+
+
 def png_pixels(payload: bytes):
-    """REAL (h, w, 3) uint8 RGB decode of a non-interlaced 8-bit PNG —
-    pure stdlib: chunk walk → zlib inflate of the IDAT stream → per-row
-    unfiltering (PNG spec filters 0-4: None/Sub/Up/Average/Paeth).
-    Grayscale replicates to RGB, alpha drops, paletted (PLTE) resolves
-    to its RGB entries.  Returns None for anything out of scope (16-bit
-    depth, Adam7 interlace, truncated/undeflatable data) so callers'
+    """REAL (h, w, 3) uint8 RGB decode of a PNG — pure stdlib: chunk
+    walk → zlib inflate of the IDAT stream → per-row unfiltering (spec
+    filters 0-4) → sample extraction.  Covers the FULL fixed-layout
+    matrix: bit depths 1/2/4 (gray + palette), 8, and 16 (high byte,
+    the spec's sample-depth reduction), all five color types, and both
+    interlace methods — Adam7 decodes each of the 7 sub-images with its
+    own filter chain and scatters them by the pass geometry.  Grayscale
+    replicates to RGB, alpha drops, palette resolves through PLTE.
+    Returns None for corrupt/truncated/undeflatable data so callers'
     strict/drop contract applies uniformly.
 
     Scale note: runs executor-side inside the same Arrow-batched
     ``mapInPandas`` tasks as the other decoders; Up rows unfilter
-    vectorized, Sub/Average/Paeth need the sequential per-byte recurrence
-    the spec defines.  For production JPEG/WebP throughput you'd bind a
-    codec library — this closes the PNG gap with zero dependencies."""
+    vectorized, Sub/Average/Paeth need the sequential per-byte
+    recurrence the spec defines."""
     import struct
     import zlib
 
@@ -469,55 +525,70 @@ def png_pixels(payload: bytes):
         pos = start + length + 4  # skip CRC
     if not idat or not w or not h:
         return None
-    if bit_depth != 8 or interlace != 0:
-        return None  # 16-bit / Adam7 need more than this decoder's scope
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None or (color_type == 3 and plte is None):
+        return None
+    # spec-legal (depth, color) combinations only
+    if bit_depth not in (1, 2, 4, 8, 16):
+        return None
+    if bit_depth < 8 and color_type not in (0, 3):
+        return None
+    if bit_depth == 16 and color_type == 3:
+        return None
+    if interlace not in (0, 1):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.empty((h, stride), np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    prev = np.zeros(stride, np.uint16)
-    for y in range(h):
-        rs = y * (stride + 1)
-        ftype = raw[rs]
-        row = np.frombuffer(raw, np.uint8, stride, rs + 1).astype(np.uint16)
-        if ftype == 0:  # None
-            pass
-        elif ftype == 2:  # Up — fully vectorized
-            row = (row + prev) & 0xFF
-        elif ftype == 1:  # Sub — recurrence on the recon bytes left of x
-            for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
-        elif ftype == 3:  # Average of recon left and up
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth predictor over left/up/up-left recon
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
-        else:
-            return None  # invalid filter byte
-        out[y] = row.astype(np.uint8)
-        prev = row
-    px = out.reshape(h, w, channels)
+
+    bpp = max(1, channels * bit_depth // 8)  # left-neighbor distance
+
+    def row_bytes(wp: int) -> int:
+        return (wp * channels * bit_depth + 7) // 8
+
+    def to_samples(rows, wp: int):
+        """(hp, stride) unfiltered bytes -> (hp, wp, channels) uint8."""
+        hp = rows.shape[0]
+        if bit_depth == 8:
+            return rows[:, : wp * channels].reshape(hp, wp, channels)
+        if bit_depth == 16:
+            # high byte = the spec's 16->8 sample-depth scaling
+            return rows[:, : wp * channels * 2].reshape(hp, wp * channels, 2)[
+                :, :, 0
+            ].reshape(hp, wp, channels)
+        bits = np.unpackbits(rows, axis=1)[:, : wp * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        vals = (bits.reshape(hp, wp, bit_depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8).reshape(hp, wp, 1)
+
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, row_bytes(w), bpp)
+        if rows is None:
+            return None
+        px = to_samples(rows, w)
+    else:  # Adam7: 7 independently filtered sub-images, scattered back
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for xs, xstep, ys, ystep in _PNG_ADAM7:
+            wp = (w - xs + xstep - 1) // xstep
+            hp = (h - ys + ystep - 1) // ystep
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass emits no bytes at all
+            rows, off = _png_unfilter(raw, off, hp, row_bytes(wp), bpp)
+            if rows is None:
+                return None
+            px[ys::ystep, xs::xstep] = to_samples(rows, wp)
+
     if color_type == 3:
         idx = px[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):
             return None  # index past the palette = corrupt
         return plte[idx]
+    if bit_depth < 8:  # grayscale: scale sample range to 0..255
+        px = (
+            px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)
+        ).astype(np.uint8)
     if channels == 1:
         return np.repeat(px, 3, axis=2)
     if channels == 2:

@@ -173,3 +173,155 @@ class TestPngPixels:
         )
         with pytest.raises(Exception, match="codec"):
             extract_pixel_features(df, strict=True).collect()
+
+
+# ---- extended matrix: bit depths 1/2/4/16 and Adam7 interlace ----
+
+ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _pack_rows(samples, bit_depth):
+    """(h, w, c) sample values -> list of packed per-row byte arrays."""
+    h, w, c = samples.shape
+    if bit_depth == 8:
+        return [samples[y].reshape(-1).astype(np.uint8) for y in range(h)]
+    if bit_depth == 16:
+        flat = samples.reshape(h, w * c).astype(">u2")
+        return [np.frombuffer(flat[y].tobytes(), np.uint8) for y in range(h)]
+    rows = []
+    for y in range(h):
+        vals = samples[y].reshape(-1).astype(np.uint8)
+        bits = (
+            (vals[:, None] >> np.arange(bit_depth - 1, -1, -1)) & 1
+        ).reshape(-1).astype(np.uint8)
+        rows.append(np.packbits(bits))
+    return rows
+
+
+def _filter_row(row, prev, bpp, f):
+    r = row.astype(np.int16)
+    p = prev.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]]) if len(r) > bpp else np.zeros_like(r)
+    upleft = np.concatenate([np.zeros(bpp, np.int16), p[:-bpp]]) if len(r) > bpp else np.zeros_like(r)
+    if f == 0:
+        out = r
+    elif f == 1:
+        out = (r - left) % 256
+    elif f == 2:
+        out = (r - p) % 256
+    elif f == 3:
+        out = (r - ((left + p) >> 1)) % 256
+    else:
+        pr = left + p - upleft
+        pa, pb, pc = np.abs(pr - left), np.abs(pr - p), np.abs(pr - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, p, upleft))
+        out = (r - pred) % 256
+    return out.astype(np.uint8)
+
+
+def encode_png_ex(samples, color_type, bit_depth, interlace=0, plte=None):
+    """Independent encoder over the full fixed matrix: samples is
+    (h, w, c) with values in the sample range for the depth; rows are
+    filtered with a 0..4 cycling filter chain, per Adam7 pass when
+    interlaced."""
+    h, w, c = samples.shape
+    bpp = max(1, c * bit_depth // 8)
+
+    def filtered(sub):
+        raw = bytearray()
+        rows = _pack_rows(sub, bit_depth)
+        prev = np.zeros(len(rows[0]) if rows else 0, np.uint8)
+        for y, row in enumerate(rows):
+            f = y % 5
+            raw.append(f)
+            raw.extend(_filter_row(row, prev, bpp, f).tobytes())
+            prev = row
+        return raw
+
+    raw = bytearray()
+    if interlace == 0:
+        raw = filtered(samples)
+    else:
+        for xs, xstep, ys, ystep in ADAM7:
+            sub = samples[ys::ystep, xs::xstep]
+            if sub.shape[0] and sub.shape[1]:
+                raw += filtered(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(raw))
+    out += _chunk(b"IDAT", comp) + _chunk(b"IEND", b"")
+    return out
+
+
+class TestPngExtendedMatrix:
+    def test_16bit_rgb_high_byte(self):
+        rng = np.random.default_rng(3)
+        hi = rng.integers(0, 256, (9, 7, 3))
+        samples = hi * 257  # low byte == high byte -> exact
+        arr = png_pixels(encode_png_ex(samples, 2, 16))
+        assert np.array_equal(arr, hi.astype(np.uint8))
+
+    def test_16bit_gray_random(self):
+        rng = np.random.default_rng(5)
+        samples = rng.integers(0, 65536, (12, 5, 1))
+        arr = png_pixels(encode_png_ex(samples, 0, 16))
+        want = (samples[:, :, 0] >> 8).astype(np.uint8)
+        assert np.array_equal(arr[:, :, 0], want)
+        assert np.array_equal(arr[:, :, 0], arr[:, :, 2])
+
+    def test_4bit_gray_scales_to_255(self):
+        samples = (np.arange(16).reshape(2, 8) % 16)[:, :, None]
+        arr = png_pixels(encode_png_ex(samples, 0, 4))
+        assert np.array_equal(arr[:, :, 0], (samples[:, :, 0] * 17).astype(np.uint8))
+
+    def test_1bit_checkerboard(self):
+        samples = ((np.indices((10, 11)).sum(axis=0)) % 2)[:, :, None]
+        arr = png_pixels(encode_png_ex(samples, 0, 1))
+        assert set(np.unique(arr)) == {0, 255}
+        assert arr[0, 0, 0] == 0 and arr[0, 1, 0] == 255
+
+    def test_2bit_palette(self):
+        plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]])
+        samples = (np.arange(28).reshape(4, 7) % 4)[:, :, None]
+        arr = png_pixels(encode_png_ex(samples, 3, 2, plte=plte))
+        assert np.array_equal(arr, plte[samples[:, :, 0]])
+
+    def test_adam7_rgb_exact(self):
+        rng = np.random.default_rng(11)
+        samples = rng.integers(0, 256, (21, 17, 3))
+        arr = png_pixels(encode_png_ex(samples, 2, 8, interlace=1))
+        assert np.array_equal(arr, samples.astype(np.uint8))
+
+    @pytest.mark.parametrize("h,w", [(1, 1), (2, 2), (3, 3), (5, 7), (8, 8), (9, 16)])
+    def test_adam7_small_dims_empty_passes(self, h, w):
+        rng = np.random.default_rng(h * 100 + w)
+        samples = rng.integers(0, 256, (h, w, 3))
+        arr = png_pixels(encode_png_ex(samples, 2, 8, interlace=1))
+        assert arr is not None and np.array_equal(arr, samples.astype(np.uint8))
+
+    def test_adam7_4bit_palette(self):
+        plte = np.arange(48).reshape(16, 3)
+        rng = np.random.default_rng(7)
+        samples = rng.integers(0, 16, (13, 9, 1))
+        arr = png_pixels(encode_png_ex(samples, 3, 4, interlace=1, plte=plte))
+        assert np.array_equal(arr, plte[samples[:, :, 0]].astype(np.uint8))
+
+    def test_adam7_16bit_gray(self):
+        rng = np.random.default_rng(13)
+        samples = rng.integers(0, 65536, (10, 10, 1))
+        arr = png_pixels(encode_png_ex(samples, 0, 16, interlace=1))
+        assert np.array_equal(arr[:, :, 0], (samples[:, :, 0] >> 8).astype(np.uint8))
+
+    def test_invalid_combinations_rejected(self):
+        samples = np.zeros((4, 4, 1), int)
+        p = bytearray(encode_png_ex(samples, 0, 8))
+        p[24] = 3  # depth byte -> illegal depth 3
+        assert png_pixels(bytes(p)) is None
+        p = bytearray(encode_png_ex(samples, 0, 8))
+        p[28] = 2  # interlace byte -> unknown method
+        assert png_pixels(bytes(p)) is None
