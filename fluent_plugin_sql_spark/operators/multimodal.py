@@ -1,12 +1,13 @@
 """Multimodal column plumbing (north star: image/audio/video as opaque
 binary columns with typed metadata).
 
-Decoded FOR REAL with stdlib-only parsers: BMP, PPM (P6), PNG
-(full pixel decode — zlib inflate + spec unfiltering, see
-:func:`png_pixels`), baseline JPEG (Huffman entropy decode + batched
-IDCT, see :func:`jpeg_pixels`), and WAV (RIFF fmt chunk + PCM
-samples).  Only formats whose codecs the container genuinely lacks
-(WebP/AVIF/progressive JPEG/H.264)
+Decoded FOR REAL with stdlib-only parsers: BMP, PPM (P6), PNG (full
+fixed-layout matrix: Adam7, 1/2/4/8/16-bit, all color types, see
+:func:`png_pixels`), JPEG (baseline AND progressive — Huffman entropy
+decode incl. successive approximation + batched IDCT, see
+:func:`jpeg_pixels`), MJPEG video (:func:`mjpeg_frame_spans`), and WAV
+(RIFF fmt chunk + PCM samples).  Only formats whose codecs the
+container genuinely lacks (WebP/AVIF/H.264)
 strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
 batch shapes, partitioning) is exercised end-to-end either way.
@@ -658,16 +659,183 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
 
 
+def _jpeg_entropy_segments(payload: bytes, pos: int):
+    """Destuff one scan's entropy-coded data starting at ``pos``:
+    0xFF00 → 0xFF, RST markers split restart segments.  Returns
+    (segments, end_pos) where end_pos indexes the 0xFF of the marker
+    that terminated the scan (or len(payload))."""
+    n = len(payload)
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            i = n
+            break
+        m = payload[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI / next scan header / table marker ends the scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _jpeg_block_sequential(bits, dc_tab, ac_tab, coef_row, dc_pred):
+    """Sequential (baseline) block: DC diff + AC run/length over 1..63.
+    Returns the new DC predictor, or None on corrupt data."""
+    t = _jpeg_huff_decode(bits, dc_tab)
+    if t is None or t > 15:
+        return None
+    if t:
+        v = bits.read(t)
+        if v is None:
+            return None
+        dc_pred += _jpeg_extend(v, t)
+    coef_row[0] = dc_pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(bits, ac_tab)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            return None
+        v = bits.read(s)
+        if v is None:
+            return None
+        coef_row[k] = _jpeg_extend(v, s)
+        k += 1
+    return dc_pred
+
+
+def _jpeg_ac_first(bits, ac_tab, coef_row, ss, se, al, eobrun):
+    """Progressive AC first pass (Ah=0) for one block, T.81 G.1.2.2:
+    run/length symbols with EOB-run escapes; coefficients land shifted
+    left by the successive-approximation low bit.  Returns the new
+    EOB-run, or None on corrupt data."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _jpeg_huff_decode(bits, ac_tab)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eb = bits.read(r)
+                if eb is None:
+                    return None
+                eobrun += eb
+            break
+        k += r
+        if k > se:
+            return None
+        v = bits.read(s)
+        if v is None:
+            return None
+        coef_row[k] = _jpeg_extend(v, s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(bits, ac_tab, coef_row, ss, se, al, eobrun):
+    """Progressive AC refinement (Ah=Al+1) for one block, T.81 G.1.2.3:
+    already-nonzero coefficients receive one correction bit each as the
+    band is traversed (also during EOB-run skips and ZRL); zero-history
+    positions count toward the run, and newly significant coefficients
+    enter with magnitude 1<<Al.  Returns the new EOB-run, or None."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huff_decode(bits, ac_tab)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    return None  # refinement creates only ±1<<Al
+                b = bits.read(1)
+                if b is None:
+                    return None
+                val = p1 if b else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eb = bits.read(r)
+                        if eb is None:
+                            return None
+                        eobrun += eb
+                    break
+                # r == 15 (ZRL): pass 16 zero-history positions
+            while k <= se:
+                c = int(coef_row[k])
+                if c != 0:
+                    b = bits.read(1)
+                    if b is None:
+                        return None
+                    if b and (c & p1) == 0:
+                        coef_row[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef_row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(coef_row[k])
+            if c != 0:
+                b = bits.read(1)
+                if b is None:
+                    return None
+                if b and (c & p1) == 0:
+                    coef_row[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def jpeg_pixels(payload: bytes):
-    """REAL (h, w, 3) uint8 RGB decode of a BASELINE JPEG (ITU T.81
-    sequential DCT, 8-bit, Huffman) — pure stdlib + numpy: marker walk →
-    per-segment Huffman entropy decode (DC predictor + AC run/length,
-    restart-interval aware) → batched dequantize/de-zigzag/IDCT over all
+    """REAL (h, w, 3) uint8 RGB decode of a Huffman-coded 8-bit JPEG —
+    BASELINE (SOF0/SOF1 sequential) and PROGRESSIVE (SOF2: spectral
+    selection + successive approximation, per T.81 annex G) — pure
+    stdlib + numpy: marker walk accumulating tables; per-scan entropy
+    decode (DC predictors, AC run/length, EOB-runs, refinement
+    correction bits, restart-interval aware) into one coefficient store
+    per component; then batched dequantize/de-zigzag/IDCT over all
     blocks of a component in one einsum → chroma upsample → JFIF
-    YCbCr→RGB.  Returns None for anything out of scope (progressive
-    SOF2, arithmetic coding, 12-bit precision, fractional sampling
-    ratios, truncated streams) so callers' strict/drop contract applies
-    uniformly.
+    YCbCr→RGB.  Returns None for anything out of scope (arithmetic
+    coding, lossless/hierarchical frames, 12-bit precision, fractional
+    sampling ratios, truncated streams) so callers' strict/drop
+    contract applies uniformly.
 
     Scale note: runs executor-side inside the same Arrow-batched
     ``mapInPandas`` tasks as the other decoders.  The entropy decode is
@@ -688,9 +856,10 @@ def jpeg_pixels(payload: bytes):
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): sym}
-    frame = None  # (h, w, comps=[(cid, hs, vs, tq)])
+    frame = None  # (h, w, comps=[(cid, hs, vs, tq)], progressive)
     restart_interval = 0
-    scan = None
+    state = None  # set at first SOS: (comps, hmax, vmax, mcus_x, mcus_y, geom, coefs)
+    any_scan = False
 
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -702,8 +871,8 @@ def jpeg_pixels(payload: bytes):
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
-        if marker == 0xD9:  # EOI before SOS
-            return None
+        if marker == 0xD9:  # EOI
+            break
         if pos + 2 > n:
             return None
         (seg_len,) = struct.unpack_from(">H", payload, pos)
@@ -750,9 +919,9 @@ def jpeg_pixels(payload: bytes):
                     code <<= 1
                 huff[(tc, th)] = table
                 i += total
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(body) < 6:
-                return None
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if len(body) < 6 or frame is not None:
+                return None  # multi-frame (hierarchical) out of scope
             precision = body[0]
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
@@ -768,137 +937,154 @@ def jpeg_pixels(payload: bytes):
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     return None
                 comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / lossless / arithmetic: out of scope
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / differential / arithmetic: out of scope
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 return None
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS — single-scan baseline only
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data now
             if frame is None or len(body) < 1:
                 return None
             ns = body[0]
-            if ns != len(frame[2]) or len(body) < 1 + 2 * ns:
+            if ns < 1 or len(body) < 1 + 2 * ns + 3:
                 return None
-            scan = []
-            for s in range(ns):
-                cs = body[1 + 2 * s]
-                td, ta = body[2 + 2 * s] >> 4, body[2 + 2 * s] & 15
-                scan.append((cs, td, ta))
-            pos = seg_end
-            break
-        pos = seg_end
-    if frame is None or scan is None:
-        return None
+            h, w, fcomps, progressive = frame
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
 
-    h, w, comps = frame
-    if len(scan) == 1:
-        # single-component scans are NON-interleaved (T.81 A.2.3): the
-        # MCU is one data unit and the walk covers ceil(w/8) x ceil(h/8)
-        # blocks regardless of declared sampling factors — a grayscale
-        # file declaring 2x2 sampling must not be padded to a 16-px grid
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if any(hmax % c[1] or vmax % c[2] for c in comps):
-        return None  # fractional chroma ratios out of scope
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+            if state is None:
+                # a single-component FRAME is non-interleaved everywhere
+                # (T.81 A.2.3) — declared sampling factors are ignored
+                if len(fcomps) == 1:
+                    fcomps = [(fcomps[0][0], 1, 1, fcomps[0][3])]
+                    frame = (h, w, fcomps, progressive)
+                hmax = max(c[1] for c in fcomps)
+                vmax = max(c[2] for c in fcomps)
+                if any(hmax % c[1] or vmax % c[2] for c in fcomps):
+                    return None  # fractional chroma ratios out of scope
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                geom = {}
+                coefs = {}
+                for cid, hs, vs, _tq in fcomps:
+                    bx_full = mcus_x * hs
+                    # true block dims for non-interleaved scans:
+                    # ceil(ceil(dim * sampling / max_sampling) / 8)
+                    comp_w = -(-(w * hs) // hmax)
+                    comp_h = -(-(h * vs) // vmax)
+                    bw = -(-comp_w // 8)
+                    bh = -(-comp_h // 8)
+                    geom[cid] = (hs, vs, bx_full, bw, bh)
+                    coefs[cid] = np.zeros(
+                        (mcus_y * vs * bx_full, 64), np.int32
+                    )
+                state = (fcomps, hmax, vmax, mcus_x, mcus_y, geom, coefs)
+            fcomps, hmax, vmax, mcus_x, mcus_y, geom, coefs = state
 
-    # destuff the entropy stream into restart segments
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
-            break
-        m = payload[i + 1]
-        if m == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or any other marker ends the scan
-            break
-    segments.append(bytes(cur))
-
-    # per-component decode state
-    order = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    tables = []
-    for cs, td, ta in scan:
-        if cs not in order:
-            return None
-        hs, vs, tq = order[cs]
-        dc = huff.get((0, td))
-        ac = huff.get((1, ta))
-        q = qt.get(tq)
-        if dc is None or ac is None or q is None:
-            return None
-        tables.append((cs, hs, vs, dc, ac, q))
-    blocks_per_mcu = sum(hs * vs for _, hs, vs, _, _, _ in tables)
-    # coefficient store: per component, (n_blocks, 64) in zigzag order
-    coefs = {
-        cs: np.zeros((mcus_y * vs * mcus_x * hs, 64), np.int32)
-        for cs, hs, vs, _, _, _ in tables
-    }
-
-    n_mcus = mcus_x * mcus_y
-    seg_idx = 0
-    bits = _JpegBits(segments[0])
-    dc_pred = {cs: 0 for cs, *_ in tables}
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
+            # spectral-parameter validity
+            if progressive:
+                if ss == 0 and se != 0:
+                    return None  # DC and AC cannot share a scan
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    return None
+                if ah not in (0, al + 1) or al > 13:
+                    return None
+            elif (ss, se, ah, al) != (0, 63, 0, 0):
                 return None
-            bits = _JpegBits(segments[seg_idx])
-            dc_pred = {cs: 0 for cs, *_ in tables}
-        my, mx = divmod(mcu, mcus_x)
-        for cs, hs, vs, dc_tab, ac_tab, _q in tables:
-            comp_blocks_x = mcus_x * hs
-            for by in range(vs):
-                for bx in range(hs):
-                    blk = np.zeros(64, np.int32)
-                    t = _jpeg_huff_decode(bits, dc_tab)
-                    if t is None or t > 15:
+
+            # resolve per-scan component tables
+            scomps = []
+            seen = set()
+            for s_i in range(ns):
+                cs = body[1 + 2 * s_i]
+                td, ta = body[2 + 2 * s_i] >> 4, body[2 + 2 * s_i] & 15
+                if cs not in geom or cs in seen:
+                    return None
+                seen.add(cs)
+                dc_tab = huff.get((0, td))
+                ac_tab = huff.get((1, ta))
+                if ss == 0 and ah == 0 and dc_tab is None:
+                    return None  # DC first / sequential needs a DC table
+                if se > 0 and ac_tab is None:
+                    return None  # any AC coding needs an AC table
+                scomps.append((cs, dc_tab, ac_tab))
+
+            segments, end_pos = _jpeg_entropy_segments(payload, seg_end)
+            seg_idx = 0
+            bits = _JpegBits(segments[0])
+            dc_pred = {cs: 0 for cs, *_ in scomps}
+            eobrun = 0
+
+            interleaved = ns > 1
+            if interleaved:
+                n_units = mcus_x * mcus_y
+            else:
+                _hs, _vs, _bxf, bw, bh = geom[scomps[0][0]]
+                n_units = bw * bh
+            for unit in range(n_units):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
                         return None
-                    if t:
-                        v = bits.read(t)
-                        if v is None:
+                    bits = _JpegBits(segments[seg_idx])
+                    dc_pred = {cs: 0 for cs, *_ in scomps}
+                    eobrun = 0
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    block_list = []
+                    for cs, dc_tab, ac_tab in scomps:
+                        hs, vs, bx_full, _bw, _bh = geom[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bi = (my * vs + by) * bx_full + (mx * hs + bx)
+                                block_list.append((cs, dc_tab, ac_tab, bi))
+                else:
+                    cs, dc_tab, ac_tab = scomps[0]
+                    _hs, _vs, bx_full, bw, _bh = geom[cs]
+                    by, bx = divmod(unit, bw)
+                    block_list = [(cs, dc_tab, ac_tab, by * bx_full + bx)]
+                for cs, dc_tab, ac_tab, bi in block_list:
+                    row = coefs[cs][bi]
+                    if ss == 0 and se == 63:  # sequential full block
+                        res = _jpeg_block_sequential(
+                            bits, dc_tab, ac_tab, row, dc_pred[cs]
+                        )
+                        if res is None:
                             return None
-                        dc_pred[cs] += _jpeg_extend(v, t)
-                    blk[0] = dc_pred[cs]
-                    k = 1
-                    while k < 64:
-                        rs = _jpeg_huff_decode(bits, ac_tab)
-                        if rs is None:
+                        dc_pred[cs] = res
+                    elif ss == 0:  # progressive DC
+                        if ah == 0:
+                            t = _jpeg_huff_decode(bits, dc_tab)
+                            if t is None or t > 15:
+                                return None
+                            if t:
+                                v = bits.read(t)
+                                if v is None:
+                                    return None
+                                dc_pred[cs] += _jpeg_extend(v, t)
+                            row[0] = dc_pred[cs] << al
+                        else:  # refinement: one raw bit (two's-complement OR)
+                            b = bits.read(1)
+                            if b is None:
+                                return None
+                            if b:
+                                row[0] = int(row[0]) | (1 << al)
+                    else:  # progressive AC band
+                        fn = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+                        eobrun = fn(bits, ac_tab, row, ss, se, al, eobrun)
+                        if eobrun is None:
                             return None
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        v = bits.read(s)
-                        if v is None:
-                            return None
-                        blk[k] = _jpeg_extend(v, s)
-                        k += 1
-                    bi = (my * vs + by) * comp_blocks_x + (mx * hs + bx)
-                    coefs[cs][bi] = blk
-    if blocks_per_mcu == 0:
+            any_scan = True
+            pos = end_pos
+            continue
+        pos = seg_end
+    if frame is None or state is None or not any_scan:
         return None
+
+    h, w, fcomps, _prog = frame
+    fcomps, hmax, vmax, mcus_x, mcus_y, geom, coefs = state
 
     # numeric half, vectorized across all blocks per component:
     # dequantize (zigzag) -> de-zigzag -> batched 2-D IDCT -> planes
@@ -908,8 +1094,11 @@ def jpeg_pixels(payload: bytes):
     m = 0.5 * np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16)
     m[0] /= np.sqrt(2.0)  # orthonormal DCT-II basis; inverse = m.T @ F @ m
     planes = {}
-    for cs, hs, vs, _dc, _ac, q in tables:
-        deq = coefs[cs] * q[None, :]
+    for cid, hs, vs, tq in fcomps:
+        q = qt.get(tq)
+        if q is None:
+            return None
+        deq = coefs[cid] * q[None, :]
         nat = np.zeros_like(deq)
         nat[:, zz] = deq
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
@@ -925,11 +1114,13 @@ def jpeg_pixels(payload: bytes):
         # upsample to full MCU grid resolution, then crop to (h, w)
         plane = np.repeat(plane, vmax // vs, axis=0)
         plane = np.repeat(plane, hmax // hs, axis=1)
-        planes[cs] = plane[:h, :w]
-    if len(tables) == 1:
-        g = planes[tables[0][0]]
+        planes[cid] = plane[:h, :w]
+    if len(fcomps) == 1:
+        g = planes[fcomps[0][0]]
         return np.repeat(g[:, :, None], 3, axis=2)
-    y_p, cb_p, cr_p = (planes[cs].astype(np.float64) for cs, *_ in tables)
+    y_p, cb_p, cr_p = (
+        planes[cid].astype(np.float64) for cid, *_ in fcomps
+    )
     r = y_p + 1.402 * (cr_p - 128.0)
     g = y_p - 0.344136 * (cb_p - 128.0) - 0.714136 * (cr_p - 128.0)
     b = y_p + 1.772 * (cb_p - 128.0)
@@ -939,10 +1130,11 @@ def jpeg_pixels(payload: bytes):
 
 def _read_pixels(payload: bytes):
     """REAL pixel array (h, w, 3) uint8 — PPM P6 and 24-bit BMP via
-    offset math, PNG via :func:`png_pixels` (stdlib zlib + unfilter),
-    baseline JPEG via :func:`jpeg_pixels` (Huffman + batched IDCT).
-    Returns None only for formats whose decode genuinely needs a codec
-    library (WebP/AVIF/progressive JPEG/...) or corrupt payloads."""
+    offset math, PNG via :func:`png_pixels` (stdlib zlib + unfilter,
+    full fixed-layout matrix), baseline + progressive JPEG via
+    :func:`jpeg_pixels` (Huffman + batched IDCT).  Returns None only
+    for formats whose decode genuinely needs a codec library
+    (WebP/AVIF/...) or corrupt payloads."""
     import struct
 
     import numpy as np
