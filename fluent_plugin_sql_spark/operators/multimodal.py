@@ -93,7 +93,7 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
         # JPEG: walk marker segments to the first SOF frame header —
         # uint8 precision, uint16be height/width, uint8 ncomp.  Any SOF
         # variant carries dimensions (SOF0/1/2/...); pixel decode below
-        # is stricter (baseline only).
+        # is stricter (Huffman baseline + progressive).
         pos, n = 2, len(payload)
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
@@ -394,7 +394,7 @@ def sample_video_frames(
                     if arr is None:
                         if strict:
                             raise NotImplementedError(
-                                "frame is not a baseline JPEG"
+                                "frame is not a decodable JPEG"
                             )
                         continue
                     rows.append(
@@ -1216,7 +1216,7 @@ def extract_pixel_features(
                     if strict:
                         raise NotImplementedError(
                             "pixel access for this format requires a codec "
-                            "library; PPM/BMP/PNG/baseline-JPEG pixels "
+                            "library; PPM/BMP/PNG/JPEG pixels "
                             "decode natively"
                         )
                     continue
@@ -1277,7 +1277,7 @@ def resize_images(
                     if strict:
                         raise NotImplementedError(
                             "pixel access for this format requires a codec "
-                            "library; PPM/BMP/PNG/baseline-JPEG pixels "
+                            "library; PPM/BMP/PNG/JPEG pixels "
                             "decode natively"
                         )
                     continue
