@@ -7,3 +7,9 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .similarity import brute_force_topk, cosine, hyperplane_buckets, lsh_topk  # noqa: F401
+from .multimodal import (  # noqa: F401
+    jpeg_pixels,
+    mjpeg_frame_spans,
+    png_pixels,
+    sample_video_frames,
+)
