@@ -569,6 +569,17 @@ def png_pixels(payload: bytes):
             return None
         px = to_samples(rows, w)
     else:  # Adam7: 7 independently filtered sub-images, scattered back
+        # validate the TOTAL expected inflated size before allocating the
+        # output — a corrupt IHDR claiming 4-billion-pixel dims must not
+        # reserve memory the IDAT stream cannot possibly back
+        expected = 0
+        for xs, xstep, ys, ystep in _PNG_ADAM7:
+            wp = (w - xs + xstep - 1) // xstep
+            hp = (h - ys + ystep - 1) // ystep
+            if wp > 0 and hp > 0:
+                expected += hp * (row_bytes(wp) + 1)
+        if len(raw) < expected:
+            return None
         px = np.zeros((h, w, channels), np.uint8)
         off = 0
         for xs, xstep, ys, ystep in _PNG_ADAM7:
@@ -966,6 +977,15 @@ def jpeg_pixels(payload: bytes):
                     return None  # fractional chroma ratios out of scope
                 mcus_x = -(-w // (8 * hmax))
                 mcus_y = -(-h // (8 * vmax))
+                # the coefficient store is allocated BEFORE entropy data
+                # can bound it, so cap it absolutely: ≤ 2²¹ blocks per
+                # component (≈134 MP luma, 512 MiB int32) — a corrupt
+                # 65535×65535 SOF must not reserve tens of GiB
+                if any(
+                    mcus_y * vs * mcus_x * hs > (1 << 21)
+                    for _cid, hs, vs, _tq in fcomps
+                ):
+                    return None
                 geom = {}
                 coefs = {}
                 for cid, hs, vs, _tq in fcomps:

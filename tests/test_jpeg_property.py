@@ -69,3 +69,30 @@ def test_truncation_never_crashes(img, cut):
     payload = encode_jpeg(img, Q1)
     out = jpeg_pixels(payload[: min(cut, len(payload))])
     assert out is None or out.shape == (*img.shape[:2], 3)
+
+
+def test_huge_claimed_dims_rejected_without_allocation():
+    """A corrupt SOF claiming 65535x65535 must return None fast instead
+    of reserving a multi-GiB coefficient store."""
+    img = np.full((8, 8, 3), 100, np.uint8)
+    payload = bytearray(encode_jpeg(img, Q1))
+    i = payload.index(bytes([0xFF, 0xC0]))
+    payload[i + 5 : i + 9] = b"\xff\xff\xff\xff"  # h = w = 65535
+    assert jpeg_pixels(bytes(payload)) is None
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_fuzz_byte_mutations_never_raise(seed):
+    """Random single-byte corruptions of a valid stream: decode returns
+    an array or None, never raises and never explodes memory — the
+    non-strict drop contract under hostile inputs."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(64, 192, (16, 16, 3)).astype(np.uint8)
+    payload = bytearray(encode_jpeg(img, Q1))
+    for _ in range(40):
+        p = bytearray(payload)
+        pos = int(rng.integers(0, len(p)))
+        p[pos] = int(rng.integers(0, 256))
+        out = jpeg_pixels(bytes(p))
+        assert out is None or out.ndim == 3

@@ -325,3 +325,25 @@ class TestPngExtendedMatrix:
         p = bytearray(encode_png_ex(samples, 0, 8))
         p[28] = 2  # interlace byte -> unknown method
         assert png_pixels(bytes(p)) is None
+
+
+def test_huge_claimed_dims_rejected_before_allocation():
+    """A corrupt IHDR claiming ~16-billion-pixel Adam7 dims must fail
+    the expected-size check before the output array is allocated."""
+    samples = np.zeros((4, 4, 3), int)
+    p = bytearray(encode_png_ex(samples, 2, 8, interlace=1))
+    p[16:24] = struct.pack(">II", 0xFFFFF, 0xFFFFF)
+    assert png_pixels(bytes(p)) is None
+
+
+def test_fuzz_byte_mutations_never_raise():
+    rng = np.random.default_rng(99)
+    samples = rng.integers(0, 256, (12, 12, 3))
+    for interlace in (0, 1):
+        payload = bytearray(encode_png_ex(samples, 2, 8, interlace=interlace))
+        for _ in range(150):
+            p = bytearray(payload)
+            pos = int(rng.integers(0, len(p)))
+            p[pos] = int(rng.integers(0, 256))
+            out = png_pixels(bytes(p))
+            assert out is None or out.ndim == 3
