@@ -8,6 +8,8 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import brute_force_topk, cosine, hyperplane_buckets, lsh_topk  # noqa: F401
 from .multimodal import (  # noqa: F401
+    gif_frames,
+    gif_pixels,
     jpeg_pixels,
     mjpeg_frame_spans,
     png_pixels,

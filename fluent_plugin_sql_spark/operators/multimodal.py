@@ -5,8 +5,9 @@ Decoded FOR REAL with stdlib-only parsers: BMP, PPM (P6), PNG (full
 fixed-layout matrix: Adam7, 1/2/4/8/16-bit, all color types, see
 :func:`png_pixels`), JPEG (baseline AND progressive — Huffman entropy
 decode incl. successive approximation + batched IDCT, see
-:func:`jpeg_pixels`), MJPEG video (:func:`mjpeg_frame_spans`), and WAV
-(RIFF fmt chunk + PCM samples).  Only formats whose codecs the
+:func:`jpeg_pixels`), GIF incl. animation/interlace/transparency
+(LZW, :func:`gif_frames`), MJPEG video (:func:`mjpeg_frame_spans`), and
+WAV (RIFF fmt chunk + PCM samples).  Only formats whose codecs the
 container genuinely lacks (WebP/AVIF/H.264)
 strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
@@ -120,6 +121,10 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
                 return None
             pos += 2 + seg_len
         return None
+    if payload[:4] == b"GIF8" and len(payload) >= 10:
+        # logical screen descriptor: uint16le width @6, height @8
+        width, height = struct.unpack_from("<HH", payload, 6)
+        return ("gif", width, height, 3)
     if payload[:2] == b"P6":
         # PPM: ASCII "P6 <w> <h> <maxval>", '#' comments allowed
         fields: list[int] = []
@@ -277,6 +282,197 @@ def sample_frames(
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW: codes packed LSB-first, width grows from
+    min_code_size+1 to 12 bits, CLEAR resets the dictionary, END stops.
+    Returns a list of palette indices, or None on corrupt data."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_pixels:
+                return None  # more data than the frame can hold
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return out  # missing END code: tolerate, data is complete
+
+
+# GIF interlace: (row_start, row_step) per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frames(payload: bytes, max_frames: int = 64):
+    """REAL decode of a GIF87a/GIF89a — pure stdlib: logical screen
+    descriptor + global/local color tables, sub-block reassembly, LZW
+    decompression (LSB-first variable-width codes), 4-pass interlace
+    reorder, and frame compositing (draw-at-offset with transparency;
+    disposal 2 restores the background between frames).  Returns a list
+    of (h, w, 3) uint8 RGB canvases — one per frame, already composited
+    — or None if the stream is not a decodable GIF.  Disposal 3
+    (restore-previous) and sub-8-bit color resolution quirks degrade to
+    the nearest supported behavior rather than failing."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        return None
+    if payload[4:6] not in (b"7a", b"9a"):
+        return None
+    w, h = struct.unpack_from("<HH", payload, 6)
+    if not w or not h:
+        return None
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 7)
+        if pos + 3 * gct_size > len(payload):
+            return None
+        gct = np.frombuffer(
+            payload, np.uint8, 3 * gct_size, pos
+        ).reshape(-1, 3)
+        pos += 3 * gct_size
+
+    if gct is not None and bg_index < len(gct):
+        background = np.broadcast_to(gct[bg_index], (h, w, 3)).copy()
+    else:
+        background = np.zeros((h, w, 3), np.uint8)
+    canvas = background.copy()
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    n = len(payload)
+
+    def read_subblocks(p):
+        chunks = bytearray()
+        while p < n:
+            size = payload[p]
+            p += 1
+            if size == 0:
+                return bytes(chunks), p
+            if p + size > n:
+                return None, p
+            chunks += payload[p : p + size]
+            p += size
+        return None, p
+
+    while pos < n and len(frames) < max_frames:
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > n:
+                return None
+            label = payload[pos + 1]
+            if label == 0xF9 and pos + 7 <= n and payload[pos + 2] == 4:
+                packed = payload[pos + 3]
+                disposal = (packed >> 2) & 7
+                transparent = payload[pos + 6] if packed & 1 else None
+            data, pos = read_subblocks(pos + 2)
+            if data is None:
+                return None
+            continue
+        if b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            fx, fy, fw, fh = struct.unpack_from("<HHHH", payload, pos + 1)
+            lflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if lflags & 0x80:  # local color table
+                lct_size = 2 << (lflags & 7)
+                if pos + 3 * lct_size > n:
+                    return None
+                table = np.frombuffer(
+                    payload, np.uint8, 3 * lct_size, pos
+                ).reshape(-1, 3)
+                pos += 3 * lct_size
+            if table is None or fw == 0 or fh == 0:
+                return None
+            if fx + fw > w or fy + fh > h:
+                return None
+            if pos >= n:
+                return None
+            min_code_size = payload[pos]
+            if not (2 <= min_code_size <= 11):
+                return None
+            data, pos = read_subblocks(pos + 1)
+            if data is None:
+                return None
+            idx = _gif_lzw_decode(data, min_code_size, fw * fh)
+            if idx is None or len(idx) < fw * fh:
+                return None
+            arr = np.array(idx[: fw * fh], np.uint16).reshape(fh, fw)
+            if int(arr.max(initial=0)) >= len(table):
+                return None
+            if lflags & 0x40:  # interlaced: reorder rows by pass
+                deinter = np.empty_like(arr)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    rows = range(start, fh, step)
+                    for r in rows:
+                        deinter[r] = arr[src]
+                        src += 1
+                arr = deinter
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            rgb = table[arr]
+            if transparent is not None:
+                mask = (arr != transparent)[:, :, None]
+                region[...] = np.where(mask, rgb, region)
+            else:
+                region[...] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore to background color
+                canvas[fy : fy + fh, fx : fx + fw] = background[
+                    fy : fy + fh, fx : fx + fw
+                ]
+            transparent = None
+            disposal = 0
+            continue
+        return None  # unknown block type = corrupt
+    return frames or None
+
+
+def gif_pixels(payload: bytes):
+    """First composited frame of a GIF as (h, w, 3) uint8 RGB."""
+    frames = gif_frames(payload, max_frames=1)
+    return frames[0] if frames else None
+
+
 def mjpeg_frame_spans(payload: bytes) -> list[tuple[int, int]]:
     """Split a raw MJPEG stream (back-to-back baseline JPEG frames, the
     classic IP-camera / AVI-payload format) into per-frame (start, end)
@@ -361,13 +557,14 @@ def sample_video_frames(
     max_frames: int = 8,
     strict: bool = False,
 ) -> DataFrame:
-    """REAL video frame sampling over MJPEG payloads: split each asset
-    into JPEG frames (:func:`mjpeg_frame_spans`), decode every
-    ``every_k``-th frame — at most ``max_frames`` — through
-    :func:`jpeg_pixels`, and emit per-frame dimensions + brightness.
-    This upgrades the byte-offset :func:`sample_frames` stub to a real
-    decode path for one genuine video format; H.264/VP9 remain behind
-    the documented codec boundary.
+    """REAL video frame sampling over MJPEG and animated-GIF payloads:
+    MJPEG assets split into JPEG frames (:func:`mjpeg_frame_spans`,
+    decoded lazily so only sampled frames pay decode cost); GIF assets
+    decode through :func:`gif_frames` (composited frames).  Every
+    ``every_k``-th frame — at most ``max_frames`` — yields per-frame
+    dimensions + brightness.  This upgrades the byte-offset
+    :func:`sample_frames` stub to real decode paths for two genuine
+    animation formats; H.264/VP9 remain behind the codec boundary.
 
     Scale shape: one Arrow-batched ``mapInPandas`` stage, constant
     memory per task (one asset's sampled frames at a time), no shuffle;
@@ -380,17 +577,36 @@ def sample_video_frames(
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
                 spans = mjpeg_frame_spans(p)
-                if not spans:
-                    if strict:
-                        raise NotImplementedError(
-                            "not a splittable MJPEG stream; compressed "
-                            "video formats (H.264/VP9) require a codec "
-                            "library"
+                if spans:
+                    n_frames = len(spans)
+                    sampled = [
+                        (i * every_k, jpeg_pixels(p[s:e]))
+                        for i, (s, e) in enumerate(
+                            spans[::every_k][:max_frames]
                         )
-                    continue
-                sampled = spans[::every_k][:max_frames]
-                for i, (s, e) in enumerate(sampled):
-                    arr = jpeg_pixels(p[s:e])
+                    ]
+                else:
+                    gframes = (
+                        gif_frames(p)
+                        if p is not None and p[:4] == b"GIF8"
+                        else None
+                    )
+                    if not gframes:
+                        if strict:
+                            raise NotImplementedError(
+                                "not a splittable MJPEG/GIF stream; "
+                                "compressed video formats (H.264/VP9) "
+                                "require a codec library"
+                            )
+                        continue
+                    n_frames = len(gframes)
+                    sampled = [
+                        (i * every_k, fr)
+                        for i, fr in enumerate(
+                            gframes[::every_k][:max_frames]
+                        )
+                    ]
+                for fidx, arr in sampled:
                     if arr is None:
                         if strict:
                             raise NotImplementedError(
@@ -400,8 +616,8 @@ def sample_video_frames(
                     rows.append(
                         (
                             int(doc_id),
-                            i * every_k,
-                            len(spans),
+                            fidx,
+                            n_frames,
                             arr.shape[1],
                             arr.shape[0],
                             float(arr.mean()),
@@ -1202,6 +1418,8 @@ def _read_pixels(payload: bytes):
         return png_pixels(payload)
     if fmt == "jpeg":
         return jpeg_pixels(payload)
+    if fmt == "gif":
+        return gif_pixels(payload)
     return None
 
 

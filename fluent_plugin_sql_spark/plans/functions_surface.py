@@ -605,6 +605,85 @@ def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gif_frame_sample",
+    oracle="""
+    SELECT doc_id, f AS frame_idx, 3 AS n_frames,
+           12 AS width, 6 AS height,
+           CAST((doc_id + 40 * f) % 256 AS DOUBLE) AS brightness
+    FROM documents, LATERAL (SELECT unnest([0, 1, 2]) AS f) x
+    """,
+)
+def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END animated-GIF pipeline through the REAL LZW decoder
+    (operators/multimodal.gif_frames): each document becomes a 3-frame
+    12×6 GIF whose frame f is a uniform fill of gray level
+    (doc_id + 40*f) % 256 — the synthesizer emits each pixel as a
+    root LZW code separated by CLEAR codes (a legal stream needing no
+    dictionary bookkeeping), so the exact decode is pure arithmetic
+    for the DuckDB oracle.  Scale shape: one synth map + one
+    Arrow-batched mapInPandas, zero shuffles; GIF frames composite
+    through the same sampler as MJPEG clips."""
+    from ..operators.multimodal import sample_video_frames
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def frame_block(index_val, n_pixels, mcs):
+            # CLEAR before every literal code: width stays mcs+1, the
+            # decoder's dictionary never grows — trivially valid LZW
+            width = mcs + 1
+            clear, end = 1 << mcs, (1 << mcs) + 1
+            codes = []
+            for _ in range(n_pixels):
+                codes += [clear, index_val]
+            codes.append(end)
+            acc = n = 0
+            data = bytearray()
+            for c in codes:
+                acc |= c << n
+                n += width
+                while n >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    n -= 8
+            if n:
+                data.append(acc & 0xFF)
+            out = bytearray([mcs])
+            for i in range(0, len(data), 255):
+                chunk = data[i : i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out.append(0)
+            return bytes(out)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fills = [(d + 40 * f) % 256 for f in range(3)]
+                gif = bytearray(b"GIF89a")
+                gif += struct.pack("<HH", 12, 6)
+                gif += bytes([0x81, 0, 0])  # GCT, 4 entries (depth 2)
+                for v in fills:
+                    gif += bytes([v, v, v])
+                gif += bytes([0, 0, 0])  # 4th palette slot
+                for f in range(3):
+                    gif += bytes([0x2C])  # image descriptor
+                    gif += struct.pack("<HHHH", 0, 0, 12, 6)
+                    gif += bytes([0])  # no LCT, no interlace
+                    gif += frame_block(f, 12 * 6, 2)
+                gif += b"\x3B"
+                rows.append((d, bytes(gif)))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return sample_video_frames(clips, every_k=1, max_frames=3, strict=True)
+
+
+@query(
     "audio_pipeline_rms",
     oracle="""
     SELECT doc_id, w AS window_idx, 128::BIGINT AS n_samples,
