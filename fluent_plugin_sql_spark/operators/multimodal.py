@@ -72,10 +72,14 @@ def attach_binary(df: DataFrame, source_col: str, media_type: str = "image", fmt
 
 def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
     """Stdlib-only image header parse → (format, width, height, channels),
-    or None when the format needs a real codec.  All three formats store
-    dimensions in plain header fields — no pixel decompression involved."""
+    or None when the format needs a real codec — NULL/short payloads
+    return None (the non-strict drop contract), never raise.  All
+    formats store dimensions in plain header fields — no pixel
+    decompression involved."""
     import struct
 
+    if payload is None or len(payload) < 10:
+        return None
     if payload[:2] == b"BM" and len(payload) >= 30:
         # BITMAPINFOHEADER: int32 width @18, int32 height @22 (may be
         # negative = top-down), uint16 bits-per-pixel @28
@@ -110,7 +114,7 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
                 return None
             seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if pos + 9 > n:
+                if pos + 10 > n:  # reads through payload[pos + 9]
                     return None
                 height, width = struct.unpack_from(">HH", payload, pos + 5)
                 ncomp = payload[pos + 9]
@@ -353,6 +357,12 @@ def gif_frames(payload: bytes, max_frames: int = 64):
         return None
     w, h = struct.unpack_from("<HH", payload, 6)
     if not w or not h:
+        return None
+    # the canvas is allocated straight from the 13-byte header, so cap
+    # it absolutely (2^24 px ≈ 50 MiB RGB) — a corrupt 65535×65535
+    # screen descriptor must not OOM the executor before any image
+    # data is validated (same class as the JPEG/PNG header guards)
+    if w * h > (1 << 24):
         return None
     flags = payload[10]
     bg_index = payload[11]
@@ -754,15 +764,33 @@ def png_pixels(payload: bytes):
         return None
     if interlace not in (0, 1):
         return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
 
     bpp = max(1, channels * bit_depth // 8)  # left-neighbor distance
 
     def row_bytes(wp: int) -> int:
         return (wp * channels * bit_depth + 7) // 8
+
+    # the exact inflated size is computable from IHDR, so cap the
+    # inflate there — a decompression bomb (tiny IDAT claiming tiny
+    # dims but inflating to GiBs, or huge claimed dims) must not
+    # allocate beyond what the declared geometry can consume
+    if interlace == 0:
+        expected = h * (row_bytes(w) + 1)
+    else:
+        expected = 0
+        for xs, xstep, ys, ystep in _PNG_ADAM7:
+            wp = (w - xs + xstep - 1) // xstep
+            hp = (h - ys + ystep - 1) // ystep
+            if wp > 0 and hp > 0:
+                expected += hp * (row_bytes(wp) + 1)
+    if expected > (1 << 28):  # 256 MiB of raw scanlines is corrupt here
+        return None
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
+    except zlib.error:
+        return None
+    if len(raw) < expected:
+        return None  # truncated stream cannot back the declared dims
 
     def to_samples(rows, wp: int):
         """(hp, stride) unfiltered bytes -> (hp, wp, channels) uint8."""
@@ -785,17 +813,8 @@ def png_pixels(payload: bytes):
             return None
         px = to_samples(rows, w)
     else:  # Adam7: 7 independently filtered sub-images, scattered back
-        # validate the TOTAL expected inflated size before allocating the
-        # output — a corrupt IHDR claiming 4-billion-pixel dims must not
-        # reserve memory the IDAT stream cannot possibly back
-        expected = 0
-        for xs, xstep, ys, ystep in _PNG_ADAM7:
-            wp = (w - xs + xstep - 1) // xstep
-            hp = (h - ys + ystep - 1) // ystep
-            if wp > 0 and hp > 0:
-                expected += hp * (row_bytes(wp) + 1)
-        if len(raw) < expected:
-            return None
+        # (the capped decompress above already proved the IDAT stream
+        # backs the full declared pass geometry)
         px = np.zeros((h, w, channels), np.uint8)
         off = 0
         for xs, xstep, ys, ystep in _PNG_ADAM7:

@@ -84,7 +84,10 @@ def brute_force_topk(
             # memory, no recompute (cos passes through untouched)
             best: dict[object, pd.DataFrame] = {}
             for pdf in batches:
-                for qid, g in pdf.groupby("query_id", sort=False):
+                # dropna=False: a NULL query id is a legal window
+                # partition key in the unpruned plan, so the pruned
+                # plan must not silently discard its rows
+                for qid, g in pdf.groupby("query_id", sort=False, dropna=False):
                     prev = best.get(qid)
                     allg = g if prev is None else pd.concat((prev, g))
                     best[qid] = allg.sort_values(

@@ -320,6 +320,13 @@ def discover_jdbc_tables(
         rank = {s.upper(): i for i, s in enumerate(path)}
         norm = str.upper
     else:
+        if not path:
+            # '' or ',' would otherwise push the invalid SQL `IN ()`
+            # and fail with an opaque database error at discovery time
+            raise ValueError(
+                "schema_search_path must name at least one schema for "
+                f"catalog discovery (got {schema!r})"
+            )
         in_list = ", ".join(sql_literal(s) for s in path)
         q = (
             "(SELECT table_name, table_schema FROM information_schema.tables "

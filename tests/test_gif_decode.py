@@ -257,3 +257,10 @@ class TestGifDecode:
         for r, v in zip(rows, (fills[0], fills[2], fills[4])):
             want = PAL8[v].mean()
             assert abs(r["brightness"] - want) < 1e-6
+
+    def test_huge_claimed_dims_rejected_before_allocation(self):
+        """A 14-byte corrupt header claiming 65535x65535 must return
+        None, not allocate a 12 GiB canvas."""
+        bad = b"GIF89a" + struct.pack("<HH", 65535, 65535) + b"\x00\x00\x00"
+        assert gif_frames(bad) is None
+        assert gif_pixels(bad) is None

@@ -446,3 +446,12 @@ def test_discover_search_path_info_schema_sql_and_order(spark, monkeypatch):
     )
     assert names == ["extra", "orders"]
     assert "IN ('app', 'legacy')" in captured["q"]
+
+
+def test_discover_empty_search_path_clear_error(spark):
+    """'' or ',' must fail with a clear config error, not push the
+    invalid SQL `IN ()` to the database."""
+    with pytest.raises(ValueError, match="schema_search_path"):
+        discover_jdbc_tables(spark, "jdbc:postgresql://h/db", {}, schema="")
+    with pytest.raises(ValueError, match="schema_search_path"):
+        discover_jdbc_tables(spark, "jdbc:postgresql://h/db", {}, schema=" , ")

@@ -467,3 +467,19 @@ def test_gray_with_declared_2x2_sampling_is_noninterleaved():
     arr = jpeg_pixels(bytes(payload))
     assert arr is not None and arr.shape == (24, 24, 3)
     assert np.max(np.abs(arr[:, :, 0].astype(int) - img.astype(int))) <= 2
+
+
+def test_header_parse_truncation_and_null_never_raise():
+    """parse_image_header: NULL and every truncation prefix of a valid
+    stream return None or a tuple — never raise.  Pins the SOF
+    off-by-one (payload ending exactly before the ncomp byte)."""
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"") is None
+    # SOI + SOF0 cut exactly after the width bytes (ncomp missing)
+    trunc = bytes.fromhex("ffd8ffc0000808001000 10".replace(" ", ""))
+    assert parse_image_header(trunc) is None
+    img = np.zeros((8, 8, 3), np.uint8)
+    payload = encode_jpeg(img, Q1)
+    for cut in range(len(payload)):
+        r = parse_image_header(payload[:cut])
+        assert r is None or isinstance(r, tuple)

@@ -1353,3 +1353,24 @@ def test_dup_clusters_star_keeps_self_paired_docs(spark):
     b = {(r["doc"], r["cluster_id"]) for r in dup_clusters_star(pairs).collect()}
     assert a == b
     assert (7, 7) in b
+
+
+def test_brute_force_topk_pruned_equals_unpruned_with_null_query(spark):
+    """partition-local top-k pruning must be result-transparent, including
+    the degenerate NULL-query-id case (both plans drop it at the join)."""
+    import numpy as np
+
+    from fluent_plugin_sql_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(40)
+    ]
+    rows.append((None, [1.0] * 8))  # null-keyed query vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(6)
+    a = brute_force_topk(df, queries, k=3, partition_topk=True).collect()
+    b = brute_force_topk(df, queries, k=3, partition_topk=False).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) > 0

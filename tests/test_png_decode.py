@@ -347,3 +347,28 @@ def test_fuzz_byte_mutations_never_raise():
             p[pos] = int(rng.integers(0, 256))
             out = png_pixels(bytes(p))
             assert out is None or out.ndim == 3
+
+
+def test_decompression_bomb_capped():
+    """IDAT inflating far beyond what the declared dims consume: the
+    inflate is capped at the expected scanline size, so the valid
+    prefix decodes and the bomb tail is never allocated."""
+    samples = np.arange(4 * 4 * 3).reshape(4, 4, 3) % 256
+    good = encode_png_ex(samples, 2, 8)
+    # rebuild with the same scanlines + 512 MiB of zeros in ONE stream
+    rows = bytearray()
+    for y in range(4):
+        rows.append(0)
+        rows += bytes(samples[y].astype(np.uint8).reshape(-1))
+    bomb_raw = bytes(rows) + b"\x00" * (512 << 20)
+    comp = zlib.compress(bomb_raw, 9)
+    assert len(comp) < 2 << 20  # the bomb compresses tiny
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp)
+        + _chunk(b"IEND", b"")
+    )
+    arr = png_pixels(payload)
+    assert arr is not None and np.array_equal(arr, png_pixels(good))
