@@ -92,9 +92,20 @@ def _sos(scan_entries, ss, se, ah, al):
     return _seg(0xDA, bytes(body))
 
 
-def _emit_dc_first(wtr, comps, mcus_x, mcus_y, al, dc_codes):
+def _rst(wtr, counter):
+    wtr.align()
+    wtr.out.append(0xFF)
+    wtr.out.append(0xD0 + counter % 8)
+
+
+def _emit_dc_first(wtr, comps, mcus_x, mcus_y, al, dc_codes, restart=0):
     preds = [0] * len(comps)
+    rst = 0
     for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            _rst(wtr, rst)
+            rst += 1
+            preds = [0] * len(comps)
         my, mx = divmod(mcu, mcus_x)
         for ci, (blocks, bxf, _bw, _bh, (chs, cvs)) in enumerate(comps):
             for by in range(cvs):
@@ -110,8 +121,12 @@ def _emit_dc_first(wtr, comps, mcus_x, mcus_y, al, dc_codes):
                         wtr.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
 
-def _emit_dc_refine(wtr, comps, mcus_x, mcus_y, al):
+def _emit_dc_refine(wtr, comps, mcus_x, mcus_y, al, restart=0):
+    rst = 0
     for mcu in range(mcus_x * mcus_y):
+        if restart and mcu and mcu % restart == 0:
+            _rst(wtr, rst)
+            rst += 1
         my, mx = divmod(mcu, mcus_x)
         for blocks, bxf, _bw, _bh, (chs, cvs) in comps:
             for by in range(cvs):
@@ -126,9 +141,10 @@ def _block_indices(comp):
     return [by * bxf + bx for by in range(bh) for bx in range(bw)]
 
 
-def _emit_ac_first(wtr, comp, ss, se, al, ac_codes):
+def _emit_ac_first(wtr, comp, ss, se, al, ac_codes, restart=0):
     blocks = comp[0]
     eob_run = 0
+    rst = 0
 
     def flush():
         nonlocal eob_run
@@ -140,7 +156,11 @@ def _emit_ac_first(wtr, comp, ss, se, al, ac_codes):
                 wtr.put(eob_run - (1 << r), r)
             eob_run = 0
 
-    for bi in _block_indices(comp):
+    for unit, bi in enumerate(_block_indices(comp)):
+        if restart and unit and unit % restart == 0:
+            flush()
+            _rst(wtr, rst)
+            rst += 1
         czz = blocks[bi]
         tv = []
         for k in range(ss, se + 1):
@@ -179,9 +199,10 @@ def _emit_ac_first(wtr, comp, ss, se, al, ac_codes):
     flush()
 
 
-def _emit_ac_refine(wtr, comp, ss, se, al, ac_codes):
+def _emit_ac_refine(wtr, comp, ss, se, al, ac_codes, restart=0):
     blocks = comp[0]
     eob_run = 0
+    rst = 0
     pending: list[int] = []
 
     def flush():
@@ -197,7 +218,11 @@ def _emit_ac_refine(wtr, comp, ss, se, al, ac_codes):
             pending = []
             eob_run = 0
 
-    for bi in _block_indices(comp):
+    for unit, bi in enumerate(_block_indices(comp)):
+        if restart and unit and unit % restart == 0:
+            flush()
+            _rst(wtr, rst)
+            rst += 1
         czz = blocks[bi]
         vals = [int(czz[k]) for k in range(ss, se + 1)]
         absv = [abs(v) >> al for v in vals]
@@ -244,6 +269,7 @@ def encode_jpeg_progressive(
     dc_al=0,
     ac_al=0,
     bands=((1, 5), (6, 63)),
+    restart=0,
 ):
     """Minimal progressive (SOF2) encoder: interleaved DC first scan at
     ``dc_al``, DC refinement scans down to bit 0, then per-component AC
@@ -266,6 +292,8 @@ def encode_jpeg_progressive(
     out += _seg(0xC2, bytes(sof))
     out += _dht(0, 0, dc_counts, dc_syms)
     out += _dht(1, 0, ac_counts, ac_syms)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
 
     def scan(entries, ss, se, ah, al, emit):
         nonlocal out
@@ -279,12 +307,16 @@ def encode_jpeg_progressive(
     # DC: first pass at dc_al, then refinements down to bit 0
     scan(
         all_entries, 0, 0, 0, dc_al,
-        lambda wtr: _emit_dc_first(wtr, comps, mcus_x, mcus_y, dc_al, dc_codes),
+        lambda wtr: _emit_dc_first(
+            wtr, comps, mcus_x, mcus_y, dc_al, dc_codes, restart
+        ),
     )
     for level in range(dc_al - 1, -1, -1):
         scan(
             all_entries, 0, 0, level + 1, level,
-            lambda wtr, lv=level: _emit_dc_refine(wtr, comps, mcus_x, mcus_y, lv),
+            lambda wtr, lv=level: _emit_dc_refine(
+                wtr, comps, mcus_x, mcus_y, lv, restart
+            ),
         )
     # AC: per component, spectral bands at ac_al, then refinements
     for ci, comp in enumerate(comps):
@@ -292,7 +324,7 @@ def encode_jpeg_progressive(
             scan(
                 [(ci + 1, 0, 0)], ss, se, 0, ac_al,
                 lambda wtr, c=comp, a=ss, b=se: _emit_ac_first(
-                    wtr, c, a, b, ac_al, ac_codes
+                    wtr, c, a, b, ac_al, ac_codes, restart
                 ),
             )
     for level in range(ac_al - 1, -1, -1):
@@ -301,7 +333,7 @@ def encode_jpeg_progressive(
                 scan(
                     [(ci + 1, 0, 0)], ss, se, level + 1, level,
                     lambda wtr, c=comp, a=ss, b=se, lv=level: _emit_ac_refine(
-                        wtr, c, a, b, lv, ac_codes
+                        wtr, c, a, b, lv, ac_codes, restart
                     ),
                 )
     out += b"\xff\xd9"
@@ -410,3 +442,30 @@ class TestProgressiveDecode:
         img = np.zeros((9, 31, 3), np.uint8)
         payload = encode_jpeg_progressive(img, Q1)
         assert parse_image_header(payload) == ("jpeg", 31, 9, 3)
+
+
+class TestProgressiveRestart:
+    def test_restart_intervals_all_scan_kinds(self):
+        """DRI + RST markers inside every progressive scan kind
+        (DC first, DC refine, AC first, AC refine): predictors and
+        EOB-runs reset at each segment, and the result must still be
+        bit-identical to the sequential encoding."""
+        img = _rng(31).integers(70, 186, (24, 40, 3)).astype(np.uint8)
+        seq = jpeg_pixels(encode_jpeg(img, Q1))
+        prog = jpeg_pixels(
+            encode_jpeg_progressive(img, Q1, dc_al=1, ac_al=1, restart=3)
+        )
+        assert prog is not None
+        assert np.array_equal(prog, seq)
+
+    def test_restart_with_flat_regions_eobrun_reset(self):
+        """EOB-runs may never span a restart boundary: a mostly-flat
+        image guarantees long runs that the interval chops up."""
+        img = np.full((32, 64), 128, np.uint8)
+        img[:8, :8] = _rng(37).integers(0, 256, (8, 8)).astype(np.uint8)
+        img[24:, 56:] = _rng(41).integers(0, 256, (8, 8)).astype(np.uint8)
+        seq = jpeg_pixels(encode_jpeg(img, Q1, gray=True))
+        prog = jpeg_pixels(
+            encode_jpeg_progressive(img, Q1, gray=True, ac_al=1, restart=2)
+        )
+        assert np.array_equal(prog, seq)
