@@ -1551,11 +1551,47 @@ def resize_images(
     return df.select(id_col, "payload").mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
 
 
+_G711_LUTS: dict[int, object] = {}
+
+
+def _g711_lut(fmt_tag: int):
+    """256-entry int16 expansion table for G.711 companded audio
+    (ITU-T G.711: fmt 6 = A-law, fmt 7 = µ-law) — built once from the
+    published segment/mantissa expansion, then decode is one vectorized
+    numpy take per data chunk."""
+    import numpy as np
+
+    lut = _G711_LUTS.get(fmt_tag)
+    if lut is not None:
+        return lut
+    out = np.empty(256, np.int16)
+    for code in range(256):
+        if fmt_tag == 7:  # µ-law
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        else:  # A-law
+            a = code ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[code] = t if (a & 0x80) else -t
+    _G711_LUTS[fmt_tag] = out
+    return out
+
+
 def wav_pcm16_samples(payload: bytes):
-    """PCM sample matrix (n_samples, channels) as int16 from an
-    uncompressed 16-bit WAV payload, or None if the payload is not one.
-    Same stdlib RIFF chunk walk as :func:`parse_wav_header`, extended to
-    return the data chunk's bytes instead of just its size."""
+    """Sample matrix (n_samples, channels) as int16 from a WAV payload:
+    uncompressed 16-bit PCM (fmt 1), or G.711 A-law / µ-law telephony
+    audio (fmt 6 / 7, 8-bit codes expanded through the standard segment
+    tables).  None if the payload is not a decodable WAV.  Same stdlib
+    RIFF chunk walk as :func:`parse_wav_header`, extended to return the
+    data chunk's bytes instead of just its size."""
     import struct
 
     import numpy as np
@@ -1568,23 +1604,28 @@ def wav_pcm16_samples(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, n = 12, len(payload)
-    channels = bits = None
+    channels = bits = fmt_tag = None
     data = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt " and pos + 24 <= n:
-            channels = struct.unpack_from("<H", payload, pos + 10)[0]
+            fmt_tag, channels = struct.unpack_from("<HH", payload, pos + 8)
             bits = struct.unpack_from("<H", payload, pos + 22)[0]
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)
-    if channels in (None, 0) or bits != 16 or data is None:
+    if channels in (None, 0) or data is None:
         return None
-    # a truncated upload can leave an odd-length data slice; clamp to
-    # whole samples instead of letting frombuffer raise (the corrupt
-    # payload then flows through the documented strict/drop contract)
-    arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    if fmt_tag in (6, 7) and bits == 8:
+        arr = _g711_lut(fmt_tag)[np.frombuffer(data, np.uint8)]
+    elif fmt_tag == 1 and bits == 16:
+        # a truncated upload can leave an odd-length data slice; clamp
+        # to whole samples instead of letting frombuffer raise (the
+        # corrupt payload then flows through the strict/drop contract)
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    else:
+        return None
     usable = (len(arr) // channels) * channels
     return arr[:usable].reshape(-1, channels)
 
