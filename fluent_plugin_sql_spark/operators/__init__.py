@@ -14,4 +14,6 @@ from .multimodal import (  # noqa: F401
     mjpeg_frame_spans,
     png_pixels,
     sample_video_frames,
+    tiff_pixels,
+    wav_pcm16_samples,
 )

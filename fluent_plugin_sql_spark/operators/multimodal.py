@@ -6,9 +6,10 @@ fixed-layout matrix: Adam7, 1/2/4/8/16-bit, all color types, see
 :func:`png_pixels`), JPEG (baseline AND progressive — Huffman entropy
 decode incl. successive approximation + batched IDCT, see
 :func:`jpeg_pixels`), GIF incl. animation/interlace/transparency
-(LZW, :func:`gif_frames`), MJPEG video (:func:`mjpeg_frame_spans`), and
-WAV (RIFF fmt chunk + PCM samples).  Only formats whose codecs the
-container genuinely lacks (WebP/AVIF/H.264)
+(LZW, :func:`gif_frames`), TIFF incl. PackBits/bilevel/palette/both
+endians (:func:`tiff_pixels`), MJPEG video (:func:`mjpeg_frame_spans`),
+and WAV (PCM + G.711 A-law/µ-law).  Only formats whose codecs the
+container genuinely lacks (WebP/AVIF/H.264, LZW-in-TIFF)
 strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
 batch shapes, partitioning) is exercised end-to-end either way.
@@ -129,6 +130,35 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
         # logical screen descriptor: uint16le width @6, height @8
         width, height = struct.unpack_from("<HH", payload, 6)
         return ("gif", width, height, 3)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD for ImageWidth/ImageLength/Samples
+        e = "<" if payload[:2] == b"II" else ">"
+        n = len(payload)
+        (ifd,) = struct.unpack_from(e + "I", payload, 4)
+        if ifd + 2 > n:
+            return None
+        (cnt,) = struct.unpack_from(e + "H", payload, ifd)
+        if ifd + 2 + 12 * cnt > n:
+            return None
+        width = height = None
+        spp = 1
+        for i in range(cnt):
+            pos = ifd + 2 + 12 * i
+            tag, typ = struct.unpack_from(e + "HH", payload, pos)
+            if tag not in (256, 257, 277) or typ not in (3, 4):
+                continue
+            v = struct.unpack_from(
+                e + ("H" if typ == 3 else "I"), payload, pos + 8
+            )[0]
+            if tag == 256:
+                width = v
+            elif tag == 257:
+                height = v
+            else:
+                spp = v
+        if not width or not height:
+            return None
+        return ("tiff", width, height, spp)
     if payload[:2] == b"P6":
         # PPM: ASCII "P6 <w> <h> <maxval>", '#' comments allowed
         fields: list[int] = []
@@ -1439,6 +1469,8 @@ def _read_pixels(payload: bytes):
         return jpeg_pixels(payload)
     if fmt == "gif":
         return gif_pixels(payload)
+    if fmt == "tiff":
+        return tiff_pixels(payload)
     return None
 
 
@@ -1549,6 +1581,154 @@ def resize_images(
             )
 
     return df.select(id_col, "payload").mapInPandas(resize, RESIZED_IMAGE_SCHEMA)
+
+
+def _packbits_decode(data: bytes, expected: int):
+    """TIFF PackBits (Apple RLE): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op.
+    Output bounded at ``expected`` bytes; returns None on truncation."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) < expected:
+        return None
+    return bytes(out[:expected])
+
+
+def tiff_pixels(payload: bytes):
+    """REAL (h, w, 3) uint8 RGB decode of a baseline TIFF — the scanned-
+    document workhorse — pure stdlib: header/IFD walk in either byte
+    order, strip assembly (single or multiple strips), uncompressed or
+    PackBits-compressed data, photometric interpretations 0/1 (bilevel
+    and gray, incl. 1-bit scans and WhiteIsZero inversion), 2 (RGB),
+    and 3 (palette via the 16-bit ColorMap).  Returns None for anything
+    out of scope (LZW/JPEG-in-TIFF/tiled layouts, >8-bit samples) so
+    callers' strict/drop contract applies uniformly."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    n = len(payload)
+    (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > n:
+        return None
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > n:
+        return None
+
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_code = {1: "B", 3: "H", 4: "I"}
+
+    def read_values(pos):
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
+        if typ not in type_size or count == 0 or count > (1 << 20):
+            return tag, None
+        total = type_size[typ] * count
+        off = pos + 8 if total <= 4 else struct.unpack_from(e + "I", payload, pos + 8)[0]
+        if off + total > n:
+            return tag, None
+        vals = struct.unpack_from(e + str(count) + type_code[typ], payload, off)
+        return tag, vals
+
+    tags: dict[int, tuple] = {}
+    for i in range(n_entries):
+        tag, vals = read_values(ifd_off + 2 + 12 * i)
+        if vals is not None:
+            tags[tag] = vals
+
+    w = tags.get(256, (0,))[0]
+    h = tags.get(257, (0,))[0]
+    if not w or not h or w * h > (1 << 24):
+        return None  # absent or absurd dims (same header-cap class)
+    spp = tags.get(277, (1,))[0]
+    bits = tags.get(258, (1,) * spp)
+    compression = tags.get(259, (1,))[0]
+    photometric = tags.get(262, (1,))[0]
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    rows_per_strip = tags.get(278, (h,))[0] or h
+    if offsets is None:
+        return None
+    if counts is None:
+        if len(offsets) != 1:
+            return None
+        counts = (n - offsets[0],)  # tolerate a missing count, 1 strip
+    if len(counts) != len(offsets):
+        return None
+    if compression not in (1, 32773):
+        return None  # LZW/CCITT/JPEG-in-TIFF need more than stdlib
+    if any(b != bits[0] for b in bits) or bits[0] not in (1, 8):
+        return None
+    if bits[0] == 1 and (spp != 1 or photometric not in (0, 1)):
+        return None
+
+    def row_bytes(width):
+        return (width * spp * bits[0] + 7) // 8
+
+    expected_rows = []
+    raw = bytearray()
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > n:
+            return None
+        strip_rows = min(rows_per_strip, remaining)
+        remaining -= strip_rows
+        expected = strip_rows * row_bytes(w)
+        chunk = payload[off : off + cnt]
+        if compression == 32773:
+            chunk = _packbits_decode(chunk, expected)
+            if chunk is None:
+                return None
+        elif len(chunk) < expected:
+            return None
+        raw += chunk[:expected]
+    if remaining > 0:
+        return None
+
+    if bits[0] == 1:
+        rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes(w))
+        px = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8)
+        px = px * 255
+        if photometric == 0:  # WhiteIsZero
+            px = 255 - px
+        return np.repeat(px[:, :, None], 3, axis=2)
+    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if photometric == 2 and spp >= 3:
+        return np.ascontiguousarray(arr[:, :, :3])
+    if photometric == 3 and spp == 1:
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) < 3 * 256:
+            return None
+        lut = (np.array(cmap[: 3 * 256], np.uint32) >> 8).astype(np.uint8)
+        lut = lut.reshape(3, 256).T  # TIFF stores all R, all G, all B
+        return lut[arr[:, :, 0]]
+    if photometric in (0, 1) and spp == 1:
+        g = arr[:, :, 0]
+        if photometric == 0:
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return None
 
 
 _G711_LUTS: dict[int, object] = {}

@@ -1,0 +1,227 @@
+"""TIFF decode (operators/multimodal.tiff_pixels) against an
+INDEPENDENT writer implemented here — its own IFD layout, strip
+splitting, and PackBits compressor — covering both byte orders, gray /
+RGB / palette / 1-bit bilevel, WhiteIsZero inversion, multi-strip
+assembly, and RLE."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from fluent_plugin_sql_spark.operators.multimodal import (
+    _read_pixels,
+    parse_image_header,
+    tiff_pixels,
+)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: runs of >=3 identical bytes become repeats."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal stretch until the next long run
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    px,
+    endian="<",
+    photometric=None,
+    palette=None,
+    bits=8,
+    rows_per_strip=None,
+    packbits=False,
+):
+    """px: (h, w) gray/palette-index/bilevel or (h, w, 3) RGB."""
+    h, w = px.shape[:2]
+    spp = 3 if px.ndim == 3 else 1
+    if photometric is None:
+        photometric = 2 if spp == 3 else 1
+    rows_per_strip = rows_per_strip or h
+    if bits == 1:
+        rows = [np.packbits(px[y].astype(np.uint8)).tobytes() for y in range(h)]
+    else:
+        rows = [px[y].astype(np.uint8).tobytes() for y in range(h)]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = b"".join(rows[y0 : y0 + rows_per_strip])
+        strips.append(packbits_encode(raw) if packbits else raw)
+
+    # layout: header(8) | strip data | IFD | out-of-line values
+    header = struct.pack(endian + "HH", 0x4949 if endian == "<" else 0x4D4D, 42)
+    if endian == ">":
+        header = b"MM" + struct.pack(">H", 42)
+    else:
+        header = b"II" + struct.pack("<H", 42)
+    data_start = 8
+    offsets = []
+    pos = data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos + (pos % 2)
+    header += struct.pack(endian + "I", ifd_off)
+
+    entries = []
+    extra = bytearray()
+    extra_base = None  # filled after entry count known
+
+    def entry(tag, typ, values):
+        entries.append((tag, typ, values))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [bits] * spp)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [photometric])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if palette is not None:
+        cmap = []
+        for ch in range(3):  # all R, then all G, then all B — 16-bit
+            col = [0] * 256
+            for i, c in enumerate(palette):
+                col[i] = int(c[ch]) << 8
+            cmap += col
+        entry(320, 3, cmap)
+    entries.sort()
+
+    n_entries = len(entries)
+    extra_base = ifd_off + 2 + 12 * n_entries + 4
+    ifd = struct.pack(endian + "H", n_entries)
+    tsize = {3: 2, 4: 4}
+    tcode = {3: "H", 4: "I"}
+    for tag, typ, values in entries:
+        total = tsize[typ] * len(values)
+        if total <= 4:
+            packed = struct.pack(endian + str(len(values)) + tcode[typ], *values)
+            packed += b"\x00" * (4 - total)
+            ifd += struct.pack(endian + "HHI", tag, typ, len(values)) + packed
+        else:
+            ifd += struct.pack(
+                endian + "HHII", tag, typ, len(values), extra_base + len(extra)
+            )
+            extra += struct.pack(endian + str(len(values)) + tcode[typ], *values)
+    ifd += struct.pack(endian + "I", 0)  # no next IFD
+
+    body = bytearray(header)
+    for s in strips:
+        body += s
+    body += b"\x00" * (ifd_off - len(body))
+    body += ifd
+    body += extra
+    return bytes(body)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+class TestTiffDecode:
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_rgb_both_endians(self, endian):
+        img = _rng(1).integers(0, 256, (13, 17, 3)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(img, endian=endian))
+        assert np.array_equal(arr, img)
+
+    def test_gray_replicates(self):
+        img = _rng(2).integers(0, 256, (9, 9)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(img))
+        assert np.array_equal(arr[:, :, 0], img)
+        assert np.array_equal(arr[:, :, 0], arr[:, :, 2])
+
+    def test_white_is_zero_inverts(self):
+        img = _rng(3).integers(0, 256, (6, 8)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(img, photometric=0))
+        assert np.array_equal(arr[:, :, 0], 255 - img)
+
+    def test_bilevel_scan(self):
+        img = (_rng(4).integers(0, 2, (21, 30))).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(img, bits=1, photometric=1))
+        assert np.array_equal(arr[:, :, 0], img * 255)
+        # WhiteIsZero bilevel (the fax/scan default): 0 = white
+        arr0 = tiff_pixels(encode_tiff(img, bits=1, photometric=0))
+        assert np.array_equal(arr0[:, :, 0], 255 - img * 255)
+
+    def test_palette(self):
+        pal = _rng(5).integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = _rng(6).integers(0, 16, (7, 11)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(idx, photometric=3, palette=pal))
+        assert np.array_equal(arr, pal[idx])
+
+    def test_multi_strip(self):
+        img = _rng(7).integers(0, 256, (23, 10, 3)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(img, rows_per_strip=4))
+        assert np.array_equal(arr, img)
+
+    def test_packbits_rle(self):
+        # flat regions compress well; random tail exercises literals
+        img = np.full((20, 16), 200, np.uint8)
+        img[15:] = _rng(8).integers(0, 256, (5, 16)).astype(np.uint8)
+        payload = encode_tiff(img, packbits=True, rows_per_strip=6)
+        raw = encode_tiff(img, rows_per_strip=6)
+        assert len(payload) < len(raw)  # RLE actually engaged
+        assert np.array_equal(tiff_pixels(payload), tiff_pixels(raw))
+
+    def test_packbits_bilevel_multistrip_bigendian(self):
+        img = (_rng(9).integers(0, 2, (33, 25))).astype(np.uint8)
+        payload = encode_tiff(
+            img, endian=">", bits=1, photometric=0,
+            rows_per_strip=7, packbits=True,
+        )
+        arr = tiff_pixels(payload)
+        assert np.array_equal(arr[:, :, 0], 255 - img * 255)
+
+    def test_header_parse_and_routing(self):
+        img = _rng(10).integers(0, 256, (5, 12, 3)).astype(np.uint8)
+        payload = encode_tiff(img, endian=">")
+        assert parse_image_header(payload) == ("tiff", 12, 5, 3)
+        assert np.array_equal(_read_pixels(payload), img)
+
+    def test_corrupt_and_unsupported_rejected(self):
+        img = _rng(11).integers(0, 256, (6, 6)).astype(np.uint8)
+        payload = bytearray(encode_tiff(img))
+        assert tiff_pixels(bytes(payload[: len(payload) // 2])) is None
+        assert tiff_pixels(b"II*\x00\xff\xff\xff\xff") is None
+        assert tiff_pixels(None) is None
+        # claimed LZW compression -> None (tag 259 value patch)
+        lzw = bytearray(encode_tiff(img))
+        i = lzw.find(struct.pack("<HH", 259, 3))
+        lzw[i + 8] = 5  # compression = LZW
+        assert tiff_pixels(bytes(lzw)) is None
+
+    def test_fuzz_never_raises(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, (10, 10, 3)).astype(np.uint8)
+        payload = bytearray(encode_tiff(img, packbits=True))
+        for _ in range(200):
+            p = bytearray(payload)
+            pos = int(rng.integers(0, len(p)))
+            p[pos] = int(rng.integers(0, 256))
+            out = tiff_pixels(bytes(p))
+            assert out is None or out.ndim == 3
