@@ -9,7 +9,7 @@ decode incl. successive approximation + batched IDCT, see
 (LZW, :func:`gif_frames`), TIFF incl. PackBits/bilevel/palette/both
 endians (:func:`tiff_pixels`), MJPEG video (:func:`mjpeg_frame_spans`),
 and WAV (PCM + G.711 A-law/µ-law).  Only formats whose codecs the
-container genuinely lacks (WebP/AVIF/H.264, LZW-in-TIFF)
+container genuinely lacks (WebP/AVIF/H.264)
 strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
 batch shapes, partitioning) is exercised end-to-end either way.
@@ -1608,14 +1608,66 @@ def _packbits_decode(data: bytes, expected: int):
     return bytes(out[:expected])
 
 
+def _tiff_lzw_decode(data: bytes, expected: int):
+    """TIFF-variant LZW (spec §13): MSB-first bit order, fixed 8-bit
+    roots with CLEAR=256/EOI=257, and the "early change" quirk — the
+    code width bumps one entry BEFORE the table would overflow it.
+    Output bounded at ``expected`` bytes; None on corrupt streams."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                if len(out) < expected:
+                    return None
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            if len(out) > expected + 8:
+                return None  # runaway stream
+            prev = entry
+            # early change: switch at 510/1022/2046, not 511/1023/2047
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    if len(out) < expected:
+        return None
+    return bytes(out[:expected])
+
+
 def tiff_pixels(payload: bytes):
     """REAL (h, w, 3) uint8 RGB decode of a baseline TIFF — the scanned-
     document workhorse — pure stdlib: header/IFD walk in either byte
-    order, strip assembly (single or multiple strips), uncompressed or
-    PackBits-compressed data, photometric interpretations 0/1 (bilevel
+    order, strip assembly (single or multiple strips), uncompressed,
+    PackBits-, or LZW-compressed data (MSB-first early-change variant), photometric interpretations 0/1 (bilevel
     and gray, incl. 1-bit scans and WhiteIsZero inversion), 2 (RGB),
     and 3 (palette via the 16-bit ColorMap).  Returns None for anything
-    out of scope (LZW/JPEG-in-TIFF/tiled layouts, >8-bit samples) so
+    out of scope (JPEG-in-TIFF/tiled layouts, >8-bit samples) so
     callers' strict/drop contract applies uniformly."""
     import struct
 
@@ -1676,8 +1728,8 @@ def tiff_pixels(payload: bytes):
         counts = (n - offsets[0],)  # tolerate a missing count, 1 strip
     if len(counts) != len(offsets):
         return None
-    if compression not in (1, 32773):
-        return None  # LZW/CCITT/JPEG-in-TIFF need more than stdlib
+    if compression not in (1, 5, 32773):
+        return None  # CCITT/JPEG-in-TIFF need more than stdlib
     if any(b != bits[0] for b in bits) or bits[0] not in (1, 8):
         return None
     if bits[0] == 1 and (spp != 1 or photometric not in (0, 1)):
@@ -1698,6 +1750,10 @@ def tiff_pixels(payload: bytes):
         chunk = payload[off : off + cnt]
         if compression == 32773:
             chunk = _packbits_decode(chunk, expected)
+            if chunk is None:
+                return None
+        elif compression == 5:
+            chunk = _tiff_lzw_decode(chunk, expected)
             if chunk is None:
                 return None
         elif len(chunk) < expected:

@@ -18,6 +18,65 @@ from fluent_plugin_sql_spark.operators.multimodal import (
 )
 
 
+class _MsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, width):
+        self.acc = (self.acc << width) | code
+        self.n += width
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = 0
+            self.n = 0
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """Independent TIFF LZW (spec §13): MSB-first, CLEAR=256/EOI=257,
+    EARLY CHANGE — width bumps when the NEXT code to assign is
+    (1<<width)-1, one entry before overflow — and a table reset at
+    4094 entries."""
+    CLEAR, EOI = 256, 257
+    w = _MsbWriter()
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w.put(CLEAR, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        w.put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        # stay in phase with the early-change decoder: IT bumps after
+        # its own (one-behind) insertion reaches 2^w - 1, which from
+        # the encoder's (one-ahead) counter is next_code == 2^w
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4094:
+            w.put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        cur = bytes([b])
+    if cur:
+        w.put(table[cur], width)
+    w.put(EOI, width)
+    w.flush()
+    return bytes(w.out)
+
+
 def packbits_encode(data: bytes) -> bytes:
     """Greedy PackBits: runs of >=3 identical bytes become repeats."""
     out = bytearray()
@@ -54,6 +113,7 @@ def encode_tiff(
     bits=8,
     rows_per_strip=None,
     packbits=False,
+    lzw=False,
 ):
     """px: (h, w) gray/palette-index/bilevel or (h, w, 3) RGB."""
     h, w = px.shape[:2]
@@ -68,7 +128,12 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rows_per_strip):
         raw = b"".join(rows[y0 : y0 + rows_per_strip])
-        strips.append(packbits_encode(raw) if packbits else raw)
+        if lzw:
+            strips.append(tiff_lzw_encode(raw))
+        elif packbits:
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
 
     # layout: header(8) | strip data | IFD | out-of-line values
     header = struct.pack(endian + "HH", 0x4949 if endian == "<" else 0x4D4D, 42)
@@ -95,7 +160,7 @@ def encode_tiff(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [bits] * spp)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [5 if lzw else (32773 if packbits else 1)])
     entry(262, 3, [photometric])
     entry(273, 4, offsets)
     entry(277, 3, [spp])
@@ -209,16 +274,61 @@ class TestTiffDecode:
         assert tiff_pixels(bytes(payload[: len(payload) // 2])) is None
         assert tiff_pixels(b"II*\x00\xff\xff\xff\xff") is None
         assert tiff_pixels(None) is None
-        # claimed LZW compression -> None (tag 259 value patch)
+        # claimed JPEG-in-TIFF compression -> None (tag 259 patch)
+        jpg = bytearray(encode_tiff(img))
+        i = jpg.find(struct.pack("<HH", 259, 3))
+        jpg[i + 8] = 7  # compression = JPEG
+        assert tiff_pixels(bytes(jpg)) is None
+        # claimed LZW over non-LZW bytes -> None, not an exception
         lzw = bytearray(encode_tiff(img))
-        i = lzw.find(struct.pack("<HH", 259, 3))
-        lzw[i + 8] = 5  # compression = LZW
+        lzw[i + 8] = 5
         assert tiff_pixels(bytes(lzw)) is None
 
     def test_fuzz_never_raises(self):
         rng = np.random.default_rng(12)
         img = rng.integers(0, 256, (10, 10, 3)).astype(np.uint8)
         payload = bytearray(encode_tiff(img, packbits=True))
+        for _ in range(200):
+            p = bytearray(payload)
+            pos = int(rng.integers(0, len(p)))
+            p[pos] = int(rng.integers(0, 256))
+            out = tiff_pixels(bytes(p))
+            assert out is None or out.ndim == 3
+
+
+class TestTiffLzw:
+    def test_lzw_rgb_roundtrip(self):
+        img = _rng(20).integers(0, 256, (18, 14, 3)).astype(np.uint8)
+        payload = encode_tiff(img, lzw=True)
+        assert np.array_equal(tiff_pixels(payload), img)
+
+    def test_lzw_width_growth_and_reset(self):
+        # high-entropy data forces 10/11/12-bit codes and a table reset
+        img = _rng(21).integers(0, 256, (80, 80)).astype(np.uint8)
+        payload = encode_tiff(img, lzw=True)
+        arr = tiff_pixels(payload)
+        assert np.array_equal(arr[:, :, 0], img)
+
+    def test_lzw_compresses_flat_regions(self):
+        img = np.full((64, 64), 130, np.uint8)
+        payload = encode_tiff(img, lzw=True)
+        raw = encode_tiff(img)
+        assert len(payload) < len(raw) // 4
+        assert np.array_equal(tiff_pixels(payload)[:, :, 0], img)
+
+    def test_lzw_multistrip_bigendian_palette(self):
+        pal = _rng(22).integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = _rng(23).integers(0, 16, (29, 13)).astype(np.uint8)
+        payload = encode_tiff(
+            idx, endian=">", photometric=3, palette=pal,
+            rows_per_strip=5, lzw=True,
+        )
+        assert np.array_equal(tiff_pixels(payload), pal[idx])
+
+    def test_lzw_fuzz_never_raises(self):
+        rng = np.random.default_rng(24)
+        img = rng.integers(0, 256, (12, 12, 3)).astype(np.uint8)
+        payload = bytearray(encode_tiff(img, lzw=True))
         for _ in range(200):
             p = bytearray(payload)
             pos = int(rng.integers(0, len(p)))
