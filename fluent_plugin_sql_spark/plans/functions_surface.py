@@ -684,6 +684,112 @@ def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tiff_pipeline_brightness",
+    oracle="""
+    SELECT doc_id,
+           8 + (doc_id % 5) AS width,
+           4 + (doc_id % 3) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness
+    FROM documents
+    """,
+)
+def tiff_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END document-scan pipeline through the REAL TIFF decoder
+    (operators/multimodal.tiff_pixels): synthesize a single-strip
+    uncompressed grayscale TIFF per document (uniform fill =
+    doc_id % 256, dims varying with doc_id; little-endian IFD built
+    byte-by-byte), walk the IFD, assemble the strip, and extract pixel
+    features.  The oracle is exact arithmetic: an uncompressed uniform
+    image decodes losslessly, so DuckDB predicts every row without
+    touching bytes.  Scale shape: two Arrow-batched mapInPandas stages,
+    zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def tiff_gray(w, h, v):
+            strip = bytes([v]) * (w * h)
+            ifd_off = 8 + len(strip)
+            head = b"II" + struct.pack("<HI", 42, ifd_off)
+            entries = [
+                (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 1),
+                (262, 3, 1), (273, 4, 8), (277, 3, 1), (278, 4, h),
+                (279, 4, len(strip)),
+            ]
+            ifd = struct.pack("<H", len(entries))
+            for tag, typ, val in entries:
+                ifd += struct.pack("<HHI", tag, typ, 1)
+                ifd += struct.pack("<I", val) if typ == 4 else struct.pack(
+                    "<HH", val, 0
+                )
+            ifd += struct.pack("<I", 0)
+            return head + strip + ifd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    (d, tiff_gray(8 + d % 5, 4 + d % 3, d % 256))
+                )
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tiffs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(tiffs, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
+    "audio_g711_rms",
+    oracle="""
+    SELECT doc_id, w AS window_idx, 64::BIGINT AS n_samples,
+           CAST(32124 AS DOUBLE) AS rms
+    FROM documents, LATERAL (SELECT unnest(range(0, 2)) AS w) x
+    """,
+)
+def audio_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END telephony-audio pipeline through the REAL G.711
+    mu-law expander (operators/multimodal): each document becomes an
+    8-bit mu-law WAV (fmt tag 7) alternating codes 0x80/0x00 — by the
+    published expansion these are exactly ±32124 (seg 7, mantissa 15:
+    ((15<<3)+132)<<7 - 132), so a square wave whose per-window RMS the
+    oracle states as a literal constant.  Scale shape: one synth map +
+    one Arrow-batched mapInPandas, zero shuffles."""
+    from ..operators.multimodal import audio_rms_windows
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        frames = bytes([0x80, 0x00] * 64)
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"data"
+            + struct.pack("<I", len(frames))
+            + frames
+        )
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        for pdf in batches:
+            yield pd_.DataFrame(
+                [(int(d), wav) for d in pdf["doc_id"]],
+                columns=["doc_id", "payload"],
+            )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_rms_windows(wavs, n_windows=2, strict=True)
+
+
+@query(
     "audio_pipeline_rms",
     oracle="""
     SELECT doc_id, w AS window_idx, 128::BIGINT AS n_samples,
