@@ -1452,17 +1452,82 @@ def _read_pixels(payload: bytes):
             return None
         return np.frombuffer(payload, np.uint8, need, i).reshape(h, w, 3)
     if fmt == "bmp":
+        if len(payload) < 54:
+            return None
+        if w <= 0 or h <= 0 or w * h > (1 << 24):
+            return None  # negative (int32 header) or absurd dimensions
         bpp = struct.unpack_from("<H", payload, 28)[0]
-        if bpp != 24:
-            return None  # paletted/alpha BMPs are out of scope
+        compression = struct.unpack_from("<I", payload, 30)[0]
         off = struct.unpack_from("<I", payload, 10)[0]
         raw_h = struct.unpack_from("<i", payload, 22)[0]
-        stride = (w * 3 + 3) // 4 * 4  # rows pad to 4 bytes
-        if off + stride * h > len(payload):
-            return None
-        rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
-        arr = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
-        return arr if raw_h < 0 else arr[::-1]  # positive height = bottom-up
+        bottom_up = raw_h >= 0
+
+        def _oriented(arr):
+            return arr[::-1] if bottom_up else arr
+
+        if bpp in (24, 32) and compression == 0:
+            nch = bpp // 8
+            stride = (w * nch + 3) // 4 * 4  # rows pad to 4 bytes
+            if off + stride * h > len(payload):
+                return None
+            rows = np.frombuffer(
+                payload, np.uint8, stride * h, off
+            ).reshape(h, stride)
+            # BGR(A) → RGB; 32-bit drops the alpha/reserved byte
+            arr = rows[:, : w * nch].reshape(h, w, nch)[:, :, 2::-1]
+            return _oriented(np.ascontiguousarray(arr))
+        if bpp == 8 and compression in (0, 1):
+            # paletted: BGRA color table follows the info header
+            bi_size = struct.unpack_from("<I", payload, 14)[0]
+            n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+            pal_off = 14 + bi_size
+            if pal_off + 4 * n_colors > len(payload):
+                return None
+            pal = np.frombuffer(
+                payload, np.uint8, 4 * n_colors, pal_off
+            ).reshape(-1, 4)[:, 2::-1]  # BGRA → RGB
+            if compression == 0:
+                stride = (w + 3) // 4 * 4
+                if off + stride * h > len(payload):
+                    return None
+                idx = np.frombuffer(
+                    payload, np.uint8, stride * h, off
+                ).reshape(h, stride)[:, :w]
+            else:  # BI_RLE8: (count, value) pairs + escape codes
+                idx = np.zeros((h, w), np.uint8)
+                x = y = 0
+                i, n = off, len(payload)
+                while i + 1 < n:
+                    c, v = payload[i], payload[i + 1]
+                    i += 2
+                    if c:  # encoded run
+                        end = min(x + c, w)
+                        if y < h:
+                            idx[y, x:end] = v
+                        x += c
+                    elif v == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif v == 1:  # end of bitmap
+                        break
+                    elif v == 2:  # delta jump
+                        if i + 1 >= n:
+                            return None
+                        x += payload[i]
+                        y += payload[i + 1]
+                        i += 2
+                    else:  # absolute mode: v literal bytes, word-aligned
+                        if i + v > n:
+                            return None
+                        end = min(x + v, w)
+                        if y < h:
+                            lit = np.frombuffer(payload, np.uint8, v, i)
+                            idx[y, x:end] = lit[: end - x]
+                        x += v
+                        i += v + (v & 1)
+            if int(idx.max(initial=0)) >= len(pal):
+                return None
+            return _oriented(pal[idx])
+        return None  # 1/4-bit and bitfield BMPs are out of scope
     if fmt == "png":
         return png_pixels(payload)
     if fmt == "jpeg":
