@@ -1728,11 +1728,12 @@ def _tiff_lzw_decode(data: bytes, expected: int):
 def tiff_pixels(payload: bytes):
     """REAL (h, w, 3) uint8 RGB decode of a baseline TIFF — the scanned-
     document workhorse — pure stdlib: header/IFD walk in either byte
-    order, strip assembly (single or multiple strips), uncompressed,
+    order, strip OR tile assembly (TIFF 6 §15 tiled layouts with
+    edge-tile padding), uncompressed,
     PackBits-, or LZW-compressed data (MSB-first early-change variant), photometric interpretations 0/1 (bilevel
     and gray, incl. 1-bit scans and WhiteIsZero inversion), 2 (RGB),
     and 3 (palette via the 16-bit ColorMap).  Returns None for anything
-    out of scope (JPEG-in-TIFF/tiled layouts, >8-bit samples) so
+    out of scope (JPEG-in-TIFF, >8-bit samples) so
     callers' strict/drop contract applies uniformly."""
     import struct
 
@@ -1785,14 +1786,16 @@ def tiff_pixels(payload: bytes):
     offsets = tags.get(273)
     counts = tags.get(279)
     rows_per_strip = tags.get(278, (h,))[0] or h
-    if offsets is None:
+    tiled = 322 in tags or 324 in tags
+    if offsets is None and not tiled:
         return None
-    if counts is None:
-        if len(offsets) != 1:
+    if not tiled:
+        if counts is None:
+            if len(offsets) != 1:
+                return None
+            counts = (n - offsets[0],)  # tolerate a missing count, 1 strip
+        if len(counts) != len(offsets):
             return None
-        counts = (n - offsets[0],)  # tolerate a missing count, 1 strip
-    if len(counts) != len(offsets):
-        return None
     if compression not in (1, 5, 32773):
         return None  # CCITT/JPEG-in-TIFF need more than stdlib
     if any(b != bits[0] for b in bits) or bits[0] not in (1, 8):
@@ -1803,38 +1806,84 @@ def tiff_pixels(payload: bytes):
     def row_bytes(width):
         return (width * spp * bits[0] + 7) // 8
 
-    expected_rows = []
-    raw = bytearray()
-    remaining = h
-    for off, cnt in zip(offsets, counts):
+    def decode_chunk(off, cnt, expected):
         if off + cnt > n:
             return None
-        strip_rows = min(rows_per_strip, remaining)
-        remaining -= strip_rows
-        expected = strip_rows * row_bytes(w)
         chunk = payload[off : off + cnt]
         if compression == 32773:
-            chunk = _packbits_decode(chunk, expected)
-            if chunk is None:
-                return None
-        elif compression == 5:
-            chunk = _tiff_lzw_decode(chunk, expected)
-            if chunk is None:
-                return None
-        elif len(chunk) < expected:
+            return _packbits_decode(chunk, expected)
+        if compression == 5:
+            return _tiff_lzw_decode(chunk, expected)
+        if len(chunk) < expected:
             return None
-        raw += chunk[:expected]
-    if remaining > 0:
-        return None
+        return chunk[:expected]
+
+    def to_samples(chunk, nrows, ncols):
+        rows = np.frombuffer(chunk, np.uint8).reshape(nrows, row_bytes(ncols))
+        if bits[0] == 1:
+            return np.unpackbits(rows, axis=1)[:, :ncols].reshape(
+                nrows, ncols, 1
+            )
+        return rows[:, : ncols * spp].reshape(nrows, ncols, spp)
+
+    if 322 in tags or 324 in tags:
+        # tiled layout (TIFF 6 §15): fixed (th, tw) tiles raster-scanned,
+        # edge tiles padded out to full size then cropped
+        if not (322 in tags and 323 in tags and 324 in tags):
+            return None
+        tw, th_ = tags[322][0], tags[323][0]
+        if not tw or not th_:
+            return None
+        toffs = tags[324]
+        tcnts = tags.get(325)
+        tiles_x = -(-w // tw)
+        tiles_y = -(-h // th_)
+        if tcnts is None or len(toffs) != tiles_x * tiles_y or len(
+            tcnts
+        ) != len(toffs):
+            return None
+        if tiles_y * th_ * tiles_x * tw > (1 << 25):
+            return None  # padded canvas bound, same header-cap class
+        canvas = np.zeros(
+            (tiles_y * th_, tiles_x * tw, 1 if bits[0] == 1 else spp),
+            np.uint8,
+        )
+        expected = th_ * row_bytes(tw)
+        for ti, (off, cnt) in enumerate(zip(toffs, tcnts)):
+            chunk = decode_chunk(off, cnt, expected)
+            if chunk is None:
+                return None
+            ty, tx = divmod(ti, tiles_x)
+            canvas[
+                ty * th_ : (ty + 1) * th_, tx * tw : (tx + 1) * tw
+            ] = to_samples(chunk, th_, tw)
+        samples = canvas[:h, :w]
+    else:
+        raw = bytearray()
+        remaining = h
+        for off, cnt in zip(offsets, counts):
+            strip_rows = min(rows_per_strip, remaining)
+            remaining -= strip_rows
+            chunk = decode_chunk(off, cnt, strip_rows * row_bytes(w))
+            if chunk is None:
+                return None
+            raw += chunk
+        if remaining > 0:
+            return None
+        if bits[0] == 1:
+            rows = np.frombuffer(bytes(raw), np.uint8).reshape(
+                h, row_bytes(w)
+            )
+            samples = np.unpackbits(rows, axis=1)[:, :w].reshape(h, w, 1)
+        else:
+            samples = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
 
     if bits[0] == 1:
-        rows = np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes(w))
-        px = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8)
-        px = px * 255
+        px = samples[:, :, 0].astype(np.uint8) * 255
         if photometric == 0:  # WhiteIsZero
             px = 255 - px
         return np.repeat(px[:, :, None], 3, axis=2)
-    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    arr = samples
     if photometric == 2 and spp >= 3:
         return np.ascontiguousarray(arr[:, :, :3])
     if photometric == 3 and spp == 1:

@@ -335,3 +335,100 @@ class TestTiffLzw:
             p[pos] = int(rng.integers(0, 256))
             out = tiff_pixels(bytes(p))
             assert out is None or out.ndim == 3
+
+
+def encode_tiff_tiled(px, tw, th, endian="<", lzw=False, packbits=False):
+    """Tiled-layout writer: raster-scanned (th, tw) tiles, edge tiles
+    edge-padded to full size."""
+    h, w = px.shape[:2]
+    spp = 3 if px.ndim == 3 else 1
+    tiles_x, tiles_y = -(-w // tw), -(-h // th)
+    padded = np.pad(
+        px.reshape(h, w, spp),
+        ((0, tiles_y * th - h), (0, tiles_x * tw - w), (0, 0)),
+        mode="edge",
+    )
+    tiles = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            t = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            raw = t.astype(np.uint8).tobytes()
+            if lzw:
+                raw = tiff_lzw_encode(raw)
+            elif packbits:
+                raw = packbits_encode(raw)
+            tiles.append(raw)
+
+    header = (b"II" + struct.pack("<H", 42)) if endian == "<" else (
+        b"MM" + struct.pack(">H", 42)
+    )
+    pos = 8
+    offsets = []
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t)
+    ifd_off = pos + (pos % 2)
+    header += struct.pack(endian + "I", ifd_off)
+
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
+        (259, 3, [5 if lzw else (32773 if packbits else 1)]),
+        (262, 3, [2 if spp == 3 else 1]), (277, 3, [spp]),
+        (322, 4, [tw]), (323, 4, [th]),
+        (324, 4, offsets), (325, 4, [len(t) for t in tiles]),
+    ]
+    entries.sort()
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = struct.pack(endian + "H", len(entries))
+    tsize = {3: 2, 4: 4}
+    tcode = {3: "H", 4: "I"}
+    for tag, typ, values in entries:
+        total = tsize[typ] * len(values)
+        if total <= 4:
+            packed = struct.pack(endian + str(len(values)) + tcode[typ], *values)
+            ifd += struct.pack(endian + "HHI", tag, typ, len(values))
+            ifd += packed + b"\x00" * (4 - total)
+        else:
+            ifd += struct.pack(
+                endian + "HHII", tag, typ, len(values), extra_base + len(extra)
+            )
+            extra += struct.pack(endian + str(len(values)) + tcode[typ], *values)
+    ifd += struct.pack(endian + "I", 0)
+
+    body = bytearray(header)
+    for t in tiles:
+        body += t
+    body += b"\x00" * (ifd_off - len(body))
+    return bytes(body + ifd + extra)
+
+
+class TestTiffTiled:
+    def test_tiled_rgb_exact(self):
+        img = _rng(30).integers(0, 256, (37, 45, 3)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff_tiled(img, 16, 16))
+        assert np.array_equal(arr, img)
+
+    def test_tiled_gray_lzw_bigendian(self):
+        img = _rng(31).integers(0, 256, (40, 33)).astype(np.uint8)
+        payload = encode_tiff_tiled(img, 16, 32, endian=">", lzw=True)
+        arr = tiff_pixels(payload)
+        assert np.array_equal(arr[:, :, 0], img)
+
+    def test_tiled_packbits_edge_tiles(self):
+        # dims NOT multiples of the tile size in both axes
+        img = _rng(32).integers(0, 256, (17, 19, 3)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff_tiled(img, 16, 16, packbits=True))
+        assert np.array_equal(arr, img)
+
+    def test_tiled_corrupt_and_fuzz(self):
+        img = _rng(33).integers(0, 256, (20, 20, 3)).astype(np.uint8)
+        payload = bytearray(encode_tiff_tiled(img, 16, 16, lzw=True))
+        assert tiff_pixels(bytes(payload[: len(payload) // 2])) is None
+        rng = np.random.default_rng(34)
+        for _ in range(150):
+            p = bytearray(payload)
+            pos = int(rng.integers(0, len(p)))
+            p[pos] = int(rng.integers(0, 256))
+            out = tiff_pixels(bytes(p))
+            assert out is None or out.ndim == 3
