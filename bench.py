@@ -48,6 +48,67 @@ HEADLINE = [
 ]
 
 
+def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
+    """Single-core decode throughput for the pure-python/numpy codecs
+    (MB/s and images/s per core) over a fixed deterministic corpus.
+    Decode runs per-core inside mapInPandas at scale, so per-core numbers
+    size a cluster directly: core-hours per 100 TB = 100e6 / (MB/s) /
+    3600.  Encoders come from the test suite (they exist only to feed
+    the decoders); corpus content is seeded → runs are comparable."""
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from test_jpeg_decode import Q1, encode_jpeg
+    from test_png_decode import encode_png
+    from test_tiff_decode import encode_tiff
+
+    from fluent_plugin_sql_spark.operators.multimodal import (
+        jpeg_pixels,
+        png_pixels,
+        tiff_pixels,
+    )
+
+    rng = np.random.default_rng(42)
+    # photo-like content (smooth gradients + mild texture), not raw
+    # noise: noise is the pathological worst case for entropy-coded
+    # formats and would understate real-corpus throughput ~3-5×
+    yy, xx = np.mgrid[0:96, 0:96]
+    base = (
+        96.0
+        + 60.0 * np.sin(xx / 17.0)[:, :, None]
+        + 50.0 * np.cos(yy / 23.0)[:, :, None]
+        + np.array([0.0, 20.0, -20.0])[None, None, :]
+    )
+    imgs = [
+        np.clip(base + rng.normal(0, 6, (96, 96, 3)), 0, 255).astype(np.uint8)
+        for _ in range(32)
+    ]
+    q_std = np.full(64, 16, np.int32)  # coarse flat table ≈ web quality
+    corpora = {
+        "jpeg": ([encode_jpeg(im, q_std) for im in imgs], jpeg_pixels),
+        "png": ([encode_png(im, 2, [4] * 96) for im in imgs], png_pixels),
+        "tiff": ([encode_tiff(im) for im in imgs], tiff_pixels),
+    }
+    out: dict[str, dict[str, float]] = {}
+    for fmt, (payloads, decode) in corpora.items():
+        total_mb = sum(len(p) for p in payloads) / 1e6
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for p in payloads:
+                assert decode(p) is not None
+            best = min(best, time.perf_counter() - t0)
+        out[fmt] = {
+            "mb_per_s_core": round(total_mb / best, 2),
+            "images_per_s_core": round(len(payloads) / best, 1),
+            "megapixels_per_s_core": round(
+                96 * 96 * len(payloads) / best / 1e6, 2
+            ),
+            "corpus_mb": round(total_mb, 2),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -96,6 +157,10 @@ def main() -> None:
                 "spread": spread,
                 "reps": reps,
                 "sf": sf,
+                # separate axis: single-core codec decode throughput —
+                # not part of `value` (keeps the headline comparable to
+                # BASELINE.md across rounds)
+                "codecs": bench_codecs(reps),
             }
         )
     )

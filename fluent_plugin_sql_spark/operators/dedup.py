@@ -79,9 +79,12 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("shared")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("shared"))
+            # denominator ≥ 1 by construction (shared ≥ 1 from the join,
+            # so both sizes ≥ 1); try_divide keeps the no-bare-`/` rule
+            # auditable across operators/ under ANSI mode
+            F.try_divide(
+                F.col("shared"),
+                F.col("sa.n") + F.col("sb.n") - F.col("shared"),
             ).alias("jaccard"),
         )
     )
@@ -223,6 +226,7 @@ def minhash_lsh_dup_pairs(
     bands: int = 6,
     k: int = 3,
     star_bucket_threshold: int = 1024,
+    broadcast_verify_threshold: int = 1_000_000,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
@@ -295,12 +299,26 @@ def minhash_lsh_dup_pairs(
     # inverted-index self-join + three shuffled aggregations (which cost
     # >1 s of fixed stage overhead to verify a few hundred pairs;
     # measured 1.99 s → 1.2 s for the whole operator at sf0.1)
+    # broadcast the candidate neighborhood only while it is actually
+    # small: a pathological corpus (everything near-identical) can make
+    # the candidate set a large fraction of the input, and force-
+    # broadcasting that OOMs the driver/executors at scale.  candidates
+    # is already materialized (localCheckpoint above), so the count is a
+    # cheap scan; above the threshold the hints are dropped and AQE
+    # picks the join strategy (shuffle, or its own broadcast if the
+    # runtime sizes allow).  Output is identical either way — the hint
+    # only changes the physical plan.
+    hint = (
+        F.broadcast
+        if candidates.count() <= broadcast_verify_threshold
+        else (lambda d: d)
+    )
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    df_cand = df.join(hint(cand_ids), id_col, "left_semi")
     # small by construction (candidate neighborhood only), joined twice
     # below — materialize once
     sets = (
@@ -312,10 +330,13 @@ def minhash_lsh_dup_pairs(
     b = sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size(F.array_union("_sa", "_sb"))
-    jac = inter / union  # 0-shingle docs: 0/0 -> NULL -> filtered
+    # 0-shingle docs: try_divide(0, 0) -> NULL -> filtered by the
+    # threshold predicate.  A bare `/` would raise DIVIDE_BY_ZERO under
+    # ANSI mode (this Spark's default) and kill the job on one empty doc.
+    jac = F.try_divide(inter, union)
     return (
-        candidates.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        candidates.join(hint(a), "doc_a")
+        .join(hint(b), "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -436,6 +457,9 @@ def embedding_dup_pairs(
         mat = np.asarray(list(pdf["vec"]), dtype=np.float64)
         ids = pdf["vid"].to_numpy()
         norms = np.linalg.norm(mat, axis=1)
+        # zero-norm vectors: sim := 0 (never NaN/inf/warning) → below any
+        # positive threshold → dropped, matching cosine()'s NULL contract
+        norms[norms == 0.0] = np.inf
         blks = pdf["blk"].to_numpy()
         if i == j:
             sims = np.round((mat @ mat.T) / np.outer(norms, norms), 4)

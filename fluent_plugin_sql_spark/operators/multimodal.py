@@ -203,7 +203,9 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size % 2)  # chunks are word-aligned
-    if None in (channels, rate, bits, data_size) or not channels or not bits:
+    # rate == 0 would make the duration division a job-killing
+    # ZeroDivisionError downstream — treat it as not-a-WAV (drop contract)
+    if None in (channels, rate, bits, data_size) or not channels or not bits or not rate:
         return None
     n_samples = data_size // (channels * (bits // 8 or 1))
     return (channels, rate, bits, n_samples)
@@ -301,6 +303,8 @@ def sample_frames(
     the plumbing (explode fan-out, per-frame rows, bounded frames per
     asset) is what a real video pipeline needs; the decode itself is the
     deterministic fake."""
+    if every_n_bytes <= 0:
+        raise ValueError(f"every_n_bytes must be positive, got {every_n_bytes}")
     n = F.col("media_meta.n_bytes")
     offsets = F.slice(
         F.sequence(F.lit(0), F.greatest((n / every_n_bytes).cast("int") - 1, F.lit(0))),
@@ -1136,6 +1140,7 @@ def jpeg_pixels(payload: bytes):
     restart_interval = 0
     state = None  # set at first SOS: (comps, hmax, vmax, mcus_x, mcus_y, geom, coefs)
     any_scan = False
+    adobe_transform = None  # APP14 color-transform declaration, if any
 
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -1220,6 +1225,9 @@ def jpeg_pixels(payload: bytes):
             if len(body) < 2:
                 return None
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE:  # APP14 — Adobe color-transform declaration
+            if len(body) >= 12 and body[:5] == b"Adobe":
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS — decode this scan's entropy data now
             if frame is None or len(body) < 1:
                 return None
@@ -1403,6 +1411,15 @@ def jpeg_pixels(payload: bytes):
     if len(fcomps) == 1:
         g = planes[fcomps[0][0]]
         return np.repeat(g[:, :, None], 3, axis=2)
+    # positional Y,Cb,Cr is only a safe assumption for JFIF component ids
+    # (1,2,3) or an explicit Adobe transform=1; Adobe transform=0 means
+    # the components are RGB-coded and unknown ids mean the color space
+    # is undeclared — decoding either as YCbCr silently yields wrong
+    # colors, so both are out of scope like other unsupported variants
+    if adobe_transform == 0:
+        return None
+    if adobe_transform is None and tuple(c[0] for c in fcomps) != (1, 2, 3):
+        return None
     y_p, cb_p, cr_p = (
         planes[cid].astype(np.float64) for cid, *_ in fcomps
     )
@@ -1780,6 +1797,14 @@ def tiff_pixels(payload: bytes):
     if not w or not h or w * h > (1 << 24):
         return None  # absent or absurd dims (same header-cap class)
     spp = tags.get(277, (1,))[0]
+    # cap SamplesPerPixel like every other header-driven allocation (only
+    # the first 3 samples are ever used): an unbounded spp scales the
+    # tile canvas, the per-chunk expected bytes and the bits tuple with
+    # attacker-controlled header bytes — a ~2 MB crafted TIFF could
+    # otherwise demand terabytes.  Also re-cap total samples w*h*spp,
+    # since the w*h cap above excludes spp.
+    if not 1 <= spp <= 8 or w * h * spp > (1 << 26):
+        return None
     bits = tags.get(258, (1,) * spp)
     compression = tags.get(259, (1,))[0]
     photometric = tags.get(262, (1,))[0]
@@ -1842,8 +1867,10 @@ def tiff_pixels(payload: bytes):
             tcnts
         ) != len(toffs):
             return None
-        if tiles_y * th_ * tiles_x * tw > (1 << 25):
-            return None  # padded canvas bound, same header-cap class
+        # padded canvas bound in BYTES (× spp), same header-cap class —
+        # the pixel-only cap let spp scale an oversized-tile canvas
+        if tiles_y * th_ * tiles_x * tw * (1 if bits[0] == 1 else spp) > (1 << 25):
+            return None
         canvas = np.zeros(
             (tiles_y * th_, tiles_x * tw, 1 if bits[0] == 1 else spp),
             np.uint8,

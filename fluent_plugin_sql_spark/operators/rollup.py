@@ -109,6 +109,13 @@ class RollupStore:
         self.hll_cols = tuple(hll_cols)
         self.lgk = lgk
         self.hist_cols = dict(hist_cols or {})
+        for c, (lo, hi, nb) in self.hist_cols.items():
+            # reject at config time: hi == lo or nb <= 0 would make the
+            # per-row bin division a job-killing DIVIDE_BY_ZERO later
+            if not (hi > lo) or nb <= 0:
+                raise ValueError(
+                    f"hist_cols[{c!r}]: need hi > lo and nb > 0, got ({lo}, {hi}, {nb})"
+                )
         # col -> k: mergeable top-k value tracking.  Partials keep the
         # top 8*k candidates per group (SpaceSaving-style truncation) —
         # merging truncated candidate sets can in principle demote a true

@@ -37,7 +37,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (never an error) when either norm is 0.
+
+    ``try_divide`` instead of ``/``: under ANSI mode (this Spark's
+    default) a bare division raises ``DIVIDE_BY_ZERO``, so ONE zero-norm
+    embedding anywhere in a 100 TB corpus would kill the whole job.
+    NULL propagates through every consumer deterministically — score
+    filters (``cos IS NOT NULL``), threshold predicates (NULL >= t is
+    NULL → row dropped) and rank orderings (NULLS LAST) all degrade to
+    "zero vectors match nothing", which is the dedup/ANN drop contract.
+    """
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -74,6 +84,9 @@ def brute_force_topk(
             "match_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
         )
+        # zero-norm vectors score NULL (see cosine()); drop them here so
+        # the pandas top-k never sees NaN and ranks are well-defined
+        .where(F.col("cos").isNotNull())
     )
     if partition_topk:
         import pandas as pd
@@ -244,6 +257,7 @@ def lsh_topk(
             "match_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
     )
     from pyspark.sql import Window
 
@@ -317,6 +331,7 @@ def ivf_topk(
             "match_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
     )
     from pyspark.sql import Window as W2
 
@@ -408,6 +423,7 @@ def ivf_topk_from_index(
             "query_id", "match_id",
             F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
         )
+        .where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (

@@ -167,7 +167,10 @@ def build_readers(
         # first schema would silently miss multi-schema users' tables
         names = discover_jdbc_tables(
             spark, url, props,
-            schema=src.get("schema_search_path", "public"),
+            # None when the key is absent: the sentinel is ABSENCE, not
+            # the string "public" — Derby treats None as no-filter while
+            # an explicit "public" filters (a creatable schema there)
+            schema=src.get("schema_search_path"),
             dialect=src.get("catalog_dialect", "information_schema"),
         )
         cfg.tables.extend(

@@ -20,15 +20,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 def query(name: str, oracle: str | None = None):
     """Register a query under ``name`` with an optional DuckDB oracle.
 
-    The registered callable pins the session timezone to UTC before
-    building the plan: the DuckDB oracle computes in naive-UTC, and the
-    harness may invoke queries on a session NOT built by our factory —
-    without the pin, a non-UTC session would shift every timestamp value.
+    The registered callable pins the session timezone to UTC and ANSI
+    mode ON before building the plan: the DuckDB oracle computes in
+    naive-UTC with strict SQL semantics, and the harness may invoke
+    queries on a session NOT built by our factory — without the pins, a
+    non-UTC session would shift every timestamp value and a non-ANSI
+    session would change error-path semantics (see session.py for why
+    ANSI-on is the engine's documented choice).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.ansi.enabled", "true")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -49,6 +49,16 @@ def get_spark(
         # 100 TB fact tables.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI pinned ON deliberately (not left to the Spark default):
+        # strict SQL semantics match the DuckDB oracle, and genuinely
+        # broken plans fail loudly instead of silently NULLing.  Dirty
+        # DATA never gets to raise: every data-dependent division/cast in
+        # the operators is an explicit try_* / guard (cosine(),
+        # jaccard, time parsing quarantine) — tolerance is implemented at
+        # the known-dirty sites, not by blanket permissive mode.  The
+        # registry wrapper re-pins this per query for sessions not built
+        # by this factory.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # floor on scan splits: a single small parquet file otherwise

@@ -285,7 +285,7 @@ def discover_jdbc_tables(
     spark: SparkSession,
     url: str,
     properties: dict[str, str] | None = None,
-    schema: str = "public",
+    schema: str | None = None,
     skip: tuple[str, ...] = ("schema_migrations",),
     dialect: str = "information_schema",
 ) -> list[str]:
@@ -302,16 +302,29 @@ def discover_jdbc_tables(
     ``dialect``: ``information_schema`` (PostgreSQL/MySQL/SQL Server) or
     ``derby`` (SYS.SYSTABLES joined to SYS.SYSSCHEMAS).  One catalog
     query regardless of path length; ordering resolves client-side over
-    the (name, schema) rows."""
-    path = [s.strip() for s in schema.split(",") if s.strip()]
+    the (name, schema) rows.
+
+    ``schema=None`` (config key absent) defaults to ``public`` for
+    information_schema dialects and to NO schema filter for Derby, which
+    has no "public" schema.  The sentinel is absence, not the string
+    "public": Derby users CAN create a schema named ``public``, and an
+    explicit ``schema_search_path="public"`` must filter to it rather
+    than silently return every schema's tables."""
     if dialect == "derby":
-        # Derby has no "public" schema, so the untouched default means
-        # "no schema filter" (the pre-search-path behavior: every user
-        # table).  An explicit path filters, matched case-insensitively —
+        # None = no filter (the pre-search-path behavior: every user
+        # table).  Any explicit path filters, matched case-insensitively —
         # Derby folds unquoted identifiers upper, so config "app,legacy"
         # finds APP/LEGACY.
-        if schema == "public":
-            path = []
+        path = (
+            []
+            if schema is None
+            else [s.strip() for s in schema.split(",") if s.strip()]
+        )
+        if schema is not None and not path:
+            raise ValueError(
+                "schema_search_path must name at least one schema for "
+                f"catalog discovery (got {schema!r})"
+            )
         q = (
             "(SELECT t.tablename AS table_name, s.schemaname AS table_schema "
             "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
@@ -320,6 +333,9 @@ def discover_jdbc_tables(
         rank = {s.upper(): i for i, s in enumerate(path)}
         norm = str.upper
     else:
+        if schema is None:
+            schema = "public"  # the reference's documented default path
+        path = [s.strip() for s in schema.split(",") if s.strip()]
         if not path:
             # '' or ',' would otherwise push the invalid SQL `IN ()`
             # and fail with an opaque database error at discovery time
