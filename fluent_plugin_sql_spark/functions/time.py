@@ -36,3 +36,21 @@ def time_fallback_flag(col: Column | str) -> Column:
     fired (the reference logs a warning there; we keep it queryable)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.try_cast("timestamp").isNull()
+
+
+def safe_date_trunc(unit: str, col: Column | str) -> Column:
+    """``date_trunc`` that NULLs results before year 1 CE.
+
+    Spark happily computes year-0 timestamps (week/month truncation of a
+    first-days-of-CE input underflows the proleptic calendar), but
+    Python's ``datetime`` cannot represent year 0, so any
+    collect()/toPandas boundary raises ``year 0 is out of range`` —
+    a single dirty ancient timestamp would kill the job.  The guard
+    (``year(t) >= 2``) evaluates JVM-side, so the bad value never
+    crosses into Python; the row degrades to NULL like every other
+    dirty-data path.  Year 1 is excluded too: PySpark's
+    internal-micros→datetime conversion underflows on some year-1
+    values even when the JVM value is valid (measured: 0001-01-01
+    NTZ collects as "year 0 is out of range")."""
+    t = F.date_trunc(unit, col)
+    return F.when(F.year(t) >= 2, t)

@@ -432,11 +432,31 @@ def embedding_dup_pairs(
     (The previous zip_with/aggregate pair-join formulation was O(pairs ×
     dim) *interpreted* expression evals — 86 s at sf0.1 vs ~2 s for the
     BLAS path.)
+
+    Dirty-data contract: NULL ids, NULL/empty vectors and vectors whose
+    dimension differs from the corpus's dominant dimension are dropped up
+    front (cosine across unequal dims is undefined and a ragged batch
+    would break the BLAS kernel).  Finding the dominant dimension costs
+    one size()-only aggregation pass over the vector column — skip-level
+    cheap next to the block matmul, but if your pipeline already
+    guarantees a uniform dimension you can pre-filter and this pass
+    reduces to a no-op scan.
     """
     import numpy as np
     import pandas as pd
 
     v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    # dirty-data contract: NULL/empty vectors match nothing — drop them
+    # JVM-side so the BLAS kernel below never sees them, and pin every
+    # block to the corpus's dominant dimension (cosine across unequal
+    # dims is undefined; a single ragged vector would otherwise make
+    # np.asarray build an inhomogeneous object array and kill the task)
+    v = v.where(F.col("vid").isNotNull() & (F.size("vec") > 0))
+    dim_row = (
+        v.groupBy(F.size("vec").alias("_d")).count().orderBy(F.desc("count"), F.asc("_d")).first()
+    )
+    if dim_row is not None:
+        v = v.where(F.size("vec") == int(dim_row["_d"]))
     blk = F.abs(F.xxhash64("vid")) % num_blocks
     # row of block b participates in every group (i,j), i<=j, with b∈{i,j}
     groups = F.filter(

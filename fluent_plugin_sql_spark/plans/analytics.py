@@ -417,8 +417,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "exact_parts",
             (
-                F.abs(F.col("_approx") - F.col("exact_parts"))
-                / F.col("exact_parts")
+                # try_divide: an all-NULL key group has exact_parts = 0
+                F.try_divide(
+                    F.abs(F.col("_approx") - F.col("exact_parts")),
+                    F.col("exact_parts"),
+                )
                 <= F.lit(0.05)
             ).alias("approx_within_5pct"),
         )
@@ -598,7 +601,10 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("o_orderpriority").alias("pri_len"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
-        F.round(F.col("o_totalprice") / 100.0, 0).cast("long").alias("price_hundreds"),
+        # try_cast: a NaN price overflows an ANSI bigint cast
+        F.round(F.col("o_totalprice") / 100.0, 0)
+        .try_cast("long")
+        .alias("price_hundreds"),
         F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias("size_class"),
     )
 

@@ -293,6 +293,8 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_text string")
     class ChunkDoc:
         def eval(self, text: str, n: int):  # noqa: ANN001
+            if text is None:  # NULL text → no chunks, never a task kill
+                return
             toks = text.split(" ")
             for i in range(0, len(toks), n):
                 yield i // n, " ".join(toks[i : i + n])

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.time import safe_date_trunc
 from ..io import load_table
 from .registry import query
 
@@ -74,7 +75,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("d"),
         # Spark dayofweek: 1=Sunday; ISO dow: 1=Monday
         (((F.dayofweek("o_orderdate") + 5) % 7) + 1).alias("dow_iso"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        safe_date_trunc("month", "o_orderdate").alias("month_start"),
         (F.col("o_orderdate") + F.expr("interval 30 days")).alias("due_date"),
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
@@ -109,15 +110,21 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
         F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
         F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
-        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_bucket"),
-        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        # nanvl: ceil/floor of NaN raises under ANSI; NaN input → NULL row
+        F.ceil(F.nanvl(F.col("l_quantity"), F.lit(None)) / 7.0)
+        .cast("long")
+        .alias("qty_bucket"),
+        F.floor(F.nanvl(F.col("l_extendedprice"), F.lit(None)) / 1000)
+        .cast("long")
+        .alias("price_k"),
         (F.col("l_quantity") % 5).alias("qty_mod"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
         F.least("l_tax", "l_discount").alias("min_rate"),
         # Spark signum returns DOUBLE, DuckDB sign() TINYINT: the values are
         # identical but the driver's value hash distinguishes 0.0 from 0, so
         # both sides cast to INTEGER (r01's only hash mismatch was this column).
-        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        # try_cast: signum(NaN) = NaN, which overflows an ANSI int cast
+        F.signum(F.col("l_discount") - 0.05).try_cast("int").alias("disc_sign"),
     )
 
 
@@ -461,7 +468,14 @@ def image_pipeline_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()))
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     ppm = docs.mapInPandas(synth, "doc_id long, payload binary")
     resized = resize_images(ppm, 8, 6, strict=True)
     feats = extract_pixel_features(resized, strict=True)
@@ -557,7 +571,14 @@ def jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     jpegs = docs.mapInPandas(synth, "doc_id long, payload binary")
     feats = extract_pixel_features(jpegs, strict=True)
     return feats.select("doc_id", "width", "height", "brightness")
@@ -599,7 +620,14 @@ def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, clip))
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     clips = docs.mapInPandas(synth, "doc_id long, payload binary")
     return sample_video_frames(clips, every_k=2, max_frames=8, strict=True)
 
@@ -678,7 +706,14 @@ def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, bytes(gif)))
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     clips = docs.mapInPandas(synth, "doc_id long, payload binary")
     return sample_video_frames(clips, every_k=1, max_frames=3, strict=True)
 
@@ -737,7 +772,14 @@ def tiff_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     tiffs = docs.mapInPandas(synth, "doc_id long, payload binary")
     feats = extract_pixel_features(tiffs, strict=True)
     return feats.select("doc_id", "width", "height", "brightness")
@@ -784,7 +826,14 @@ def audio_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "payload"],
             )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
     return audio_rms_windows(wavs, n_windows=2, strict=True)
 
@@ -836,6 +885,13 @@ def audio_pipeline_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, buf.getvalue()))
             yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
     wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
     return audio_rms_windows(wavs, n_windows=4, strict=True)

@@ -1395,13 +1395,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1e-12),
     )
     qv = F.transform(v, lambda x: F.round(x / scale).cast("int"))
-    mse = (
+    # try_divide: an empty embedding has size 0 — NULL mse, not a job kill
+    mse = F.try_divide(
         F.aggregate(
             F.zip_with(v, qv, lambda x, q: F.pow(x - q.cast("double") * scale, 2)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        / F.size(v)
+        ),
+        F.size(v),
     )
     return emb.select(
         "vec_id",
@@ -1599,7 +1600,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ip 10.0."),
             (F.col("doc_id") % 256).cast("string"),
             F.lit("."),
-            ((F.col("doc_id") * 7) % 256).cast("string"),
+            # reduce mod-256 BEFORE the ×7: (a·7) mod 256 ≡ ((a mod 256)·7)
+            # mod 256, and the pre-reduced form cannot overflow a long on
+            # an extreme doc_id under ANSI
+            ((F.col("doc_id") % 256) * 7 % 256).cast("string"),
             F.lit(" "),
             F.col("text"),
         )
@@ -1702,7 +1706,13 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # NULL text can't be compressed and a NULL id can't be emitted as a
+    # long (pandas widens the id column to float64); drop both JVM-side
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
 
     def gen(batches):
         for pdf in batches:

@@ -218,7 +218,9 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1_000_003)) + 0.5
     ) / 1_000_003.0
-    k = F.log(u) / F.col("n_chars")
+    # try_divide: a 0-length doc has zero weight — NULL key sorts last
+    # (never sampled) instead of DIVIDE_BY_ZERO killing the job
+    k = F.try_divide(F.log(u), F.col("n_chars"))
     return (
         d.select("doc_id", "n_chars", k.alias("k"))
         .orderBy(F.desc("k"), F.asc("doc_id"))

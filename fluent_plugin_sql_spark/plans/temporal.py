@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.time import safe_date_trunc
 from ..io import load_table
 from ..operators.asof import asof_join, interval_join
 from .registry import query
@@ -604,10 +605,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed shuffles — no windows, no self-join on events."""
     ev = _events(spark, sf_dir)
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort")
+        safe_date_trunc("week", F.min("ts")).alias("cohort")
     )
     act = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+        "user_id", safe_date_trunc("week", F.col("ts")).alias("wk")
     ).distinct()
     return (
         first.join(act, "user_id")

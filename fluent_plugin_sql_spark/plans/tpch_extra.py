@@ -493,9 +493,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # try_divide: a year whose only rows have zero volume would
+            # otherwise 0/0 under ANSI
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0))
-                / F.sum(vol),
+                F.try_divide(
+                    F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0)),
+                    F.sum(vol),
+                ),
                 6,
             ).alias("mkt_share")
         )

@@ -9,6 +9,11 @@ bit-identical output.
 
 from __future__ import annotations
 
+import os
+import time
+
+import pytest
+
 from fluent_plugin_sql_spark.operators.dedup import minhash_lsh_dup_pairs
 
 
@@ -52,3 +57,102 @@ def test_minhash_verify_shuffle_path_identical_output(spark):
     # sanity: each clique's pairs survived verification
     pair_ids = {p for r in a for p in (r[0], r[1])}
     assert len(pair_ids) >= 40
+
+
+# --------------------------------------------------------------------------
+# 1M-doc store scale proof (VERDICT r7 #3, carried from r6): the probe's
+# o(store) I/O claim measured at a size where it could actually fail.
+# Slow (several minutes): opt in with SPARK_GRAFT_RUN_SLOW=1.  Measured
+# numbers are recorded in ROUND8.md.
+
+
+def _fs_bytes_read(spark) -> int:
+    """Actual bytes read through Hadoop FileSystem in this JVM — in
+    local mode executors share the JVM, so this captures the real file
+    I/O a probe performs (post row-group/page pruning), which planned
+    `filesSize` does not."""
+    jvm = spark._jvm  # noqa: SLF001
+    tot = 0
+    it = jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics().iterator()
+    while it.hasNext():
+        tot += it.next().getBytesRead()
+    return tot
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_RUN_SLOW") != "1",
+    reason="1M-doc store build takes minutes; set SPARK_GRAFT_RUN_SLOW=1",
+)
+def test_dedup_store_probe_io_flat_at_1m_docs(spark, tmp_path):
+    """Grow a MinHash store to 1,000,000 docs over 20 batches; assert a
+    compacted probe's files-read stays at its touched-bucket bound and
+    its actual bytes-read stays o(store) — the store grew 5x between the
+    two measure points, so linear-in-store I/O would show a ~5x byte
+    blowup and fail the bound below."""
+    from fluent_plugin_sql_spark.operators.dedup import (
+        MinHashDedupStore,
+        _band_key_rows,
+        minhash_signatures,
+    )
+    from test_llm_ops import _scan_num_files
+
+    path = str(tmp_path / "store_1m")
+    store = MinHashDedupStore(spark, path, sig_match_frac=0.5)
+    batch_n, n_batches = 50_000, 20
+
+    def batch_df(start):
+        # disjoint token sets per doc: every batch genuinely grows the
+        # store (no cross-doc near-dups), generated distributed
+        return spark.range(start, start + batch_n).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', transform(sequence(0, 11), "
+            "j -> concat('w', id, 'x', j))) AS text",
+        )
+
+    probe_batch = spark.createDataFrame(
+        [(10**9, "totally novel probe words qq ww ee rr tt yy uu ii oo pp")],
+        "doc_id LONG, text STRING",
+    )
+    sig = minhash_signatures(
+        probe_batch, "text", "doc_id", store.num_hashes, store.k
+    )
+    bk = _band_key_rows(sig, store.num_hashes, store.bands).localCheckpoint()
+
+    def measure():
+        store.compact()
+        scan = store._pruned_band_key_scan(bk)
+        files = _scan_num_files(scan)
+        b0 = _fs_bytes_read(spark)
+        scan.collect()
+        scan_bytes = _fs_bytes_read(spark) - b0
+        t0 = time.monotonic()
+        b1 = _fs_bytes_read(spark)
+        n_dups = store.probe_dups(probe_batch, "text", "doc_id").count()
+        probe_bytes = _fs_bytes_read(spark) - b1
+        wall = time.monotonic() - t0
+        assert n_dups == 0
+        return files, scan_bytes, probe_bytes, wall
+
+    t_build0 = time.monotonic()
+    for i in range(4):
+        store.process_batch(batch_df(i * batch_n), "text", "doc_id")
+    files_s, scan_b_s, probe_b_s, wall_s = measure()
+
+    for i in range(4, n_batches):
+        store.process_batch(batch_df(i * batch_n), "text", "doc_id")
+    build_wall = time.monotonic() - t_build0
+    files_l, scan_b_l, probe_b_l, wall_l = measure()
+
+    print(
+        f"\n1M-doc store proof: store=200k docs -> files={files_s} "
+        f"scan_bytes={scan_b_s} probe_bytes={probe_b_s} wall={wall_s:.2f}s; "
+        f"store=1M docs -> files={files_l} scan_bytes={scan_b_l} "
+        f"probe_bytes={probe_b_l} wall={wall_l:.2f}s; "
+        f"build_wall={build_wall:.1f}s"
+    )
+    # files-read: bounded by the probe's touched buckets, NOT store size
+    assert files_l <= max(files_s, 6)
+    # bytes-read: the store grew 5x; actual probe I/O must stay well
+    # under proportional growth (footers + matched pages only)
+    assert scan_b_l <= max(2 * scan_b_s, 4 << 20), (scan_b_s, scan_b_l)
+    assert probe_b_l <= max(2 * probe_b_s, 8 << 20), (probe_b_s, probe_b_l)
