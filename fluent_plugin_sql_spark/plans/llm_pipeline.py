@@ -1394,7 +1394,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
         F.lit(1e-12),
     )
-    qv = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    # try_cast: an Inf element makes scale Inf and Inf/Inf = NaN, which
+    # overflows an ANSI int cast — the element degrades to NULL instead
+    qv = F.transform(v, lambda x: F.round(x / scale).try_cast("int"))
     # try_divide: an empty embedding has size 0 — NULL mse, not a job kill
     mse = F.try_divide(
         F.aggregate(

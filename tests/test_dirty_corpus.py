@@ -43,28 +43,35 @@ _TS_MAX = datetime.datetime(2200, 12, 31, 23, 59, 59)
 
 
 def _adversarial_values(dt, sample):
-    """Three dirty values (null-ish / empty-or-zero / extreme) for a type."""
+    """Four dirty values (null-ish / empty-or-zero / high extreme /
+    low-negative extreme) for a type."""
     if isinstance(dt, StringType):
-        return [None, "", "\N{UNICORN FACE} " + "x" * 2000]
+        return [None, "", "\N{UNICORN FACE} " + "x" * 2000, "\t\n  \r "]
     if isinstance(dt, (LongType, IntegerType)):
         hi = 2**31 - 1 if isinstance(dt, IntegerType) else 2**63 - 1
-        return [None, 0, hi]
+        return [None, 0, hi, -hi - 1]
     if isinstance(dt, (DoubleType, FloatType)):
-        return [None, 0.0, float("nan")]
+        return [None, 0.0, float("nan"), float("-inf")]
     if isinstance(dt, (TimestampNTZType, TimestampType)):
-        return [None, _TS_MIN, _TS_MAX]
+        return [None, _TS_MIN, _TS_MAX, datetime.datetime(1969, 12, 31, 23, 59, 59)]
     if isinstance(dt, DateType):
-        return [None, datetime.date(1, 1, 2), datetime.date(2200, 12, 31)]
+        return [
+            None,
+            datetime.date(1, 1, 2),
+            datetime.date(2200, 12, 31),
+            datetime.date(1969, 12, 31),
+        ]
     if isinstance(dt, BooleanType):
-        return [None, False, True]
+        return [None, False, True, None]
     if isinstance(dt, BinaryType):
-        return [None, b"", b"\x00\xff" * 64]
+        return [None, b"", b"\x00\xff" * 64, b"\xff" * 16]
     if isinstance(dt, ArrayType):
         dim = len(sample) if sample is not None else 4
         if isinstance(dt.elementType, (FloatType, DoubleType)):
-            return [None, [], [0.0] * dim]  # zero-norm vector included
-        return [None, [], None]
-    return [None, None, None]
+            # zero-norm, and a ragged shorter vector with an Inf element
+            return [None, [], [0.0] * dim, [float("inf")] * max(1, dim // 2)]
+        return [None, [], None, None]
+    return [None, None, None, None]
 
 
 @pytest.fixture(scope="module")
@@ -75,7 +82,7 @@ def dirty_dir(spark, tmp_path_factory) -> str:
         base = df.limit(30)
         sample_row = base.first()
         cols = []
-        for i in range(3):
+        for i in range(4):
             row = []
             for f in df.schema.fields:
                 sample = sample_row[f.name] if sample_row is not None else None
