@@ -600,6 +600,7 @@ def sample_video_frames(
     every_k: int = 2,
     max_frames: int = 8,
     strict: bool = False,
+    decode_frame=None,
 ) -> DataFrame:
     """REAL video frame sampling over MJPEG and animated-GIF payloads:
     MJPEG assets split into JPEG frames (:func:`mjpeg_frame_spans`,
@@ -614,7 +615,12 @@ def sample_video_frames(
     memory per task (one asset's sampled frames at a time), no shuffle;
     frame sampling bounds the decode cost per asset regardless of clip
     length — the property that matters when the corpus is hours of
-    video, not the 100-frame test clips."""
+    video, not the 100-frame test clips.
+
+    ``decode_frame``: optional ``bytes -> (h, w, 3) uint8 | None``
+    override for the per-frame JPEG decode — the native-codec hook,
+    same contract as :func:`extract_pixel_features`'s ``decode``."""
+    frame_pixels = decode_frame or jpeg_pixels
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -624,7 +630,7 @@ def sample_video_frames(
                 if spans:
                     n_frames = len(spans)
                     sampled = [
-                        (i * every_k, jpeg_pixels(p[s:e]))
+                        (i * every_k, frame_pixels(p[s:e]))
                         for i, (s, e) in enumerate(
                             spans[::every_k][:max_frames]
                         )
@@ -1569,20 +1575,32 @@ PIXEL_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_pixel_features(
-    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strict: bool = False,
+    decode=None,
 ) -> DataFrame:
     """Feature extraction with REAL pixel math for uncompressed formats
     (per-channel mean/std + overall brightness, the standard cheap
     image-quality signals).  Compressed formats: strict-raise, else
     dropped.  Same constant-memory ``mapInPandas`` shape as
     :func:`decode_images` — features reduce each image to O(channels)
-    doubles executor-side; full pixel arrays never cross the wire."""
+    doubles executor-side; full pixel arrays never cross the wire.
+
+    ``decode``: optional ``bytes -> (h, w, 3) uint8 ndarray | None``
+    overriding the built-in pure-python decoder — the production hook
+    for a native codec (PIL / libvips / a libjpeg-turbo binding), which
+    is ~2 orders of magnitude faster per core (see bench.py codec
+    table).  The callable is cloudpickled to executors with the UDF;
+    everything else (Arrow batching, schema, drop contract) is
+    identical, so swapping the codec never changes the plan."""
+    read_pixels = decode or _read_pixels
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
-                arr = _read_pixels(p)
+                arr = read_pixels(p)
                 if arr is None:
                     if strict:
                         raise NotImplementedError(
@@ -1629,6 +1647,7 @@ def resize_images(
     target_h: int,
     id_col: str = "doc_id",
     strict: bool = False,
+    decode=None,
 ) -> DataFrame:
     """REAL nearest-neighbor resize for uncompressed formats, emitting
     canonical PPM (P6) bytes — the normalize-dimensions step of an image
@@ -1636,14 +1655,19 @@ def resize_images(
     formats: strict-raise, else dropped.  Arrow-batched ``mapInPandas``;
     peak memory per task is one batch of source + resized payloads (size
     the Arrow batch down via ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    when images are large)."""
+    when images are large).
+
+    ``decode``: optional native-codec override, same contract as
+    :func:`extract_pixel_features`."""
     import numpy as np
+
+    read_pixels = decode or _read_pixels
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
-                arr = _read_pixels(p)
+                arr = read_pixels(p)
                 if arr is None:
                     if strict:
                         raise NotImplementedError(
