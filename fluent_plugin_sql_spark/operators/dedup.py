@@ -418,6 +418,7 @@ def embedding_dup_pairs(
     id_col: str,
     threshold: float = 0.9,
     num_blocks: int = 8,
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -437,10 +438,10 @@ def embedding_dup_pairs(
     dimension differs from the corpus's dominant dimension are dropped up
     front (cosine across unequal dims is undefined and a ragged batch
     would break the BLAS kernel).  Finding the dominant dimension costs
-    one size()-only aggregation pass over the vector column — skip-level
-    cheap next to the block matmul, but if your pipeline already
-    guarantees a uniform dimension you can pre-filter and this pass
-    reduces to a no-op scan.
+    one size()-only aggregation pass over the vector column; pass
+    ``expected_dim`` to pin the dimension and skip that pass entirely —
+    the right call at corpus scale when the schema already guarantees
+    it.
     """
     import numpy as np
     import pandas as pd
@@ -452,11 +453,17 @@ def embedding_dup_pairs(
     # dims is undefined; a single ragged vector would otherwise make
     # np.asarray build an inhomogeneous object array and kill the task)
     v = v.where(F.col("vid").isNotNull() & (F.size("vec") > 0))
-    dim_row = (
-        v.groupBy(F.size("vec").alias("_d")).count().orderBy(F.desc("count"), F.asc("_d")).first()
-    )
-    if dim_row is not None:
-        v = v.where(F.size("vec") == int(dim_row["_d"]))
+    if expected_dim is not None:
+        v = v.where(F.size("vec") == int(expected_dim))
+    else:
+        dim_row = (
+            v.groupBy(F.size("vec").alias("_d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("_d"))
+            .first()
+        )
+        if dim_row is not None:
+            v = v.where(F.size("vec") == int(dim_row["_d"]))
     blk = F.abs(F.xxhash64("vid")) % num_blocks
     # row of block b participates in every group (i,j), i<=j, with b∈{i,j}
     groups = F.filter(

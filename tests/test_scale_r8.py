@@ -156,3 +156,27 @@ def test_dedup_store_probe_io_flat_at_1m_docs(spark, tmp_path):
     # under proportional growth (footers + matched pages only)
     assert scan_b_l <= max(2 * scan_b_s, 4 << 20), (scan_b_s, scan_b_l)
     assert probe_b_l <= max(2 * probe_b_s, 8 << 20), (probe_b_s, probe_b_l)
+
+
+def test_embedding_dup_pairs_expected_dim_skips_scan(spark):
+    """expected_dim pins the dimension without the dominant-dim
+    aggregation pass; ragged/zero vectors are still excluded and
+    results match the scanning path."""
+    from fluent_plugin_sql_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),
+            (3, [0.5, 0.5]),              # ragged → excluded
+            (4, []),                       # empty → excluded
+            (5, [0.0, 0.0, 0.0, 0.0]),     # zero-norm → never pairs
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    scan = embedding_dup_pairs(df, "embedding", "vec_id", threshold=0.95).collect()
+    pinned = embedding_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.95, expected_dim=4
+    ).collect()
+    assert sorted(map(tuple, scan)) == sorted(map(tuple, pinned))
+    assert {(r["id_a"], r["id_b"]) for r in pinned} == {(1, 2)}
