@@ -14,6 +14,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fluent_plugin_sql_spark.operators.dedup import minhash_lsh_dup_pairs
 
 
@@ -180,3 +182,74 @@ def test_embedding_dup_pairs_expected_dim_skips_scan(spark):
     ).collect()
     assert sorted(map(tuple, scan)) == sorted(map(tuple, pinned))
     assert {(r["id_a"], r["id_b"]) for r in pinned} == {(1, 2)}
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_RUN_SLOW") != "1",
+    reason="80k-vector store build takes ~6 min; set SPARK_GRAFT_RUN_SLOW=1",
+)
+def test_embedding_store_probe_reads_only_probed_buckets(spark, tmp_path):
+    """EmbeddingDedupStore's documented I/O contract: a probe reads
+    ~(touched buckets / num_centroids) of the store, never all of it.
+    Grow the store 4x; the compacted probe's postings files must stay at
+    the probed-bucket bound and its actual bytes must stay a bucket-
+    fraction of the store, not track store size."""
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    dim, n_cent = 16, 16
+    store = EmbeddingDedupStore(
+        spark, str(tmp_path / "estore_scale"),
+        threshold=0.98, num_centroids=n_cent, nprobe=2,
+    )
+
+    def batch(start, n):
+        # deterministic pseudo-random vectors, generated distributed
+        comps = ", ".join(
+            f"cast(pmod(xxhash64(concat(cast(id as string), ':{j}')), 1000) "
+            f"/ 1000.0 - 0.5 as float)"
+            for j in range(dim)
+        )
+        return spark.range(start, start + n).selectExpr(
+            "id AS vec_id", f"array({comps}) AS embedding"
+        )
+
+    probe = batch(10**9, 1).localCheckpoint()
+
+    def measure():
+        store.compact()
+        from test_llm_ops import _scan_num_files
+
+        centroids = store._load_centroids()
+        probes = store._assign(
+            probe.selectExpr("vec_id AS doc", "embedding AS vec"),
+            centroids, store.nprobe,
+        )
+        bkts = [r[0] for r in probes.select("bucket").distinct().collect()]
+        scan = spark.read.parquet(f"{store.path}/postings").where(
+            F.col("bucket").isin(bkts)
+        )
+        files = _scan_num_files(scan)
+        b0 = _fs_bytes_read(spark)
+        scan.collect()
+        scan_bytes = _fs_bytes_read(spark) - b0
+        store_bytes = sum(
+            f.stat().st_size
+            for f in (tmp_path / "estore_scale" / "postings").rglob("*.parquet")
+        )
+        return len(bkts), files, scan_bytes, store_bytes
+
+    for i in range(2):
+        store.process_batch(batch(i * 10_000, 10_000), "embedding", "vec_id")
+    bkts_s, files_s, bytes_s, total_s = measure()
+
+    for i in range(2, 8):
+        store.process_batch(batch(i * 10_000, 10_000), "embedding", "vec_id")
+    bkts_l, files_l, bytes_l, total_l = measure()
+
+    assert total_l > 3 * total_s  # the store really grew ~4x
+    # files: one compacted file per probed bucket, regardless of store size
+    assert files_l <= max(bkts_l, files_s)
+    # bytes: stay a bucket-fraction of the store (x1.8 slack for skewed
+    # bucket sizes + footers), never the whole store
+    frac = bkts_l / n_cent
+    assert bytes_l <= 1.8 * frac * total_l, (bytes_l, frac, total_l)
