@@ -207,3 +207,38 @@ def test_near_dedup_stream_survives_dirty_batches(spark, tmp_path):
     # doc 1 is novel and survives; doc 5 (near-copy of 1) is dropped;
     # the dirty rows neither crash the stream nor block later batches
     assert 1 in got and 5 not in got
+
+
+def test_curation_job_survives_dirty_documents(spark, dirty_dir, tmp_path):
+    """The config-driven batch curation pipeline (quality → exact dedup →
+    near dedup → span removal → export) over the adversarial documents
+    table: NULL ids/texts, empty and whitespace docs, extreme ids must
+    flow through every step without raising, and the survivors must be
+    writable as shards."""
+    import json
+
+    from fluent_plugin_sql_spark.curation import run_curation
+
+    cfg = {
+        "input": {"path": dirty_dir, "table": "documents"},
+        "steps": [
+            {"quality_filter": {"min_tokens": 3, "min_ttr": 0.3}},
+            {"exact_dedup": {}},
+            {"near_dedup": {"threshold": 0.8}},
+            {"span_removal": {"n": 8}},
+        ],
+        "output": {"path": str(tmp_path / "dirty_curated"), "shards": 2},
+    }
+    report = run_curation(spark, cfg)
+    assert report["input_rows"] == 34  # 30 base + 4 adversarial
+    # every step ran; rows never increase across steps
+    counts = [s["rows_after"] for s in report["steps"]]
+    assert len(counts) == 4 and counts == sorted(counts, reverse=True)
+    # NULL/empty/whitespace text fails the quality gate (some dirty rows
+    # may legitimately pass — surviving is the contract, not rejection)
+    assert counts[0] < 34
+    out = spark.read.parquet(str(tmp_path / "dirty_curated"))
+    manifest = json.loads(
+        open(str(tmp_path / "dirty_curated" / "_manifest.json")).read()
+    )
+    assert out.count() == sum(s["n_docs"] for s in manifest["shards"].values())
