@@ -57,15 +57,20 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
     the decoders); corpus content is seeded → runs are comparable."""
     import numpy as np
 
+    import struct
+
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    from test_gif_decode import encode_gif
     from test_jpeg_decode import Q1, encode_jpeg
     from test_png_decode import encode_png
     from test_tiff_decode import encode_tiff
 
     from fluent_plugin_sql_spark.operators.multimodal import (
+        gif_frames,
         jpeg_pixels,
         png_pixels,
         tiff_pixels,
+        wav_pcm16_samples,
     )
 
     rng = np.random.default_rng(42)
@@ -84,10 +89,23 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
         for _ in range(32)
     ]
     q_std = np.full(64, 16, np.int32)  # coarse flat table ≈ web quality
+    # GIF: quantize each image to a 256-color palette (the format's model)
+    pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3) % 256
+    gifs = [encode_gif([im[:, :, 0]], pal) for im in imgs]
+    # G.711 µ-law WAV: 1 s of telephony audio (8 kHz) per asset
+    mu_frames = bytes([(0x80 + i) % 256 for i in range(8000)])
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(mu_frames)) + mu_frames
+    )
+    wavs = [b"RIFF" + struct.pack("<I", len(body)) + body] * 32
     corpora = {
         "jpeg": ([encode_jpeg(im, q_std) for im in imgs], jpeg_pixels),
         "png": ([encode_png(im, 2, [4] * 96) for im in imgs], png_pixels),
         "tiff": ([encode_tiff(im) for im in imgs], tiff_pixels),
+        "gif": (gifs, gif_frames),
+        "wav_g711": (wavs, wav_pcm16_samples),
     }
     out: dict[str, dict[str, float]] = {}
     for fmt, (payloads, decode) in corpora.items():
@@ -101,11 +119,12 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
         out[fmt] = {
             "mb_per_s_core": round(total_mb / best, 2),
             "images_per_s_core": round(len(payloads) / best, 1),
-            "megapixels_per_s_core": round(
-                96 * 96 * len(payloads) / best / 1e6, 2
-            ),
             "corpus_mb": round(total_mb, 2),
         }
+        if fmt != "wav_g711":  # pixel formats: 96×96 each
+            out[fmt]["megapixels_per_s_core"] = round(
+                96 * 96 * len(payloads) / best / 1e6, 2
+            )
     return out
 
 
