@@ -16,6 +16,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def portable_id_hash(col: Column) -> Column:
+    """60-bit hash of an id, identical in every engine that has md5 —
+    the same primitive the dedup oracles use (`('0x'||substr(md5(x),1,
+    15))::BIGINT` on the DuckDB side).  Used for the IVF centroid pick
+    instead of Spark's ``xxhash64`` so the pick — and therefore the
+    entire IVF result — is replicable outside Spark, which is what lets
+    the ANN gate queries carry full value-hash oracles rather than
+    rows-only checks.  Cost: one md5 per corpus row in the build phase,
+    noise next to the O(dim) vector math that follows."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -217,6 +229,57 @@ def hyperplane_buckets(
     return F.expr(_hyperplane_buckets_sql(vec, num_planes, num_tables, dim))
 
 
+def _topk_from_candidates(cand: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of every bucketed ANN variant: rounded cosine
+    over the candidate pairs, NULL (zero-norm) scores dropped, top-k per
+    query with id tiebreak."""
+    from pyspark.sql import Window
+
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+    ).where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "match_id", "cos", "rank")
+    )
+
+
+def _lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(query_id, match_id, qvec, cvec) pairs sharing an LSH bucket in
+    ≥1 table — the comparison set whose size IS the cost of the query."""
+    buckets_sql = _hyperplane_buckets_sql(vec_col, num_planes, num_tables, dim)
+    c = corpus.selectExpr(
+        f"{id_col} AS match_id",
+        f"{vec_col} AS cvec",
+        f"explode({buckets_sql}) AS bucket",
+    )
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec_col} AS qvec",
+        f"explode({buckets_sql}) AS bucket",
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (c.bucket == q.bucket) & (F.col("query_id") != F.col("match_id")),
+        )
+        .select("query_id", "match_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "match_id"])  # candidate found by >1 table
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -233,68 +296,34 @@ def lsh_topk(
     :func:`brute_force_topk`); expected candidates per query ≈
     num_tables × |corpus| / 2^num_planes — sublinear in corpus size,
     which is the 100 TB path (the brute-force cross product is not).
+    The fraction is measured, not assumed: see
+    :func:`ann_candidate_stats` and the slow-marked scale proof in
+    tests/test_scale_r8.py.
 
     The bucket expressions are generated SQL strings (one py4j crossing
     per side), not Column trees — see :func:`_hyperplane_bucket_sql`.
     """
-    buckets_sql = _hyperplane_buckets_sql(vec_col, num_planes, num_tables, dim)
-    c = corpus.selectExpr(
-        f"{id_col} AS match_id",
-        f"{vec_col} AS cvec",
-        f"explode({buckets_sql}) AS bucket",
+    cand = _lsh_candidates(
+        corpus, queries, vec_col, id_col, num_planes, num_tables, dim
     )
-    q = queries.selectExpr(
-        f"{id_col} AS query_id",
-        f"{vec_col} AS qvec",
-        f"explode({buckets_sql}) AS bucket",
-    )
-    scored = (
-        c.join(F.broadcast(q), (c.bucket == q.bucket) & (F.col("query_id") != F.col("match_id")))
-        .select("query_id", "match_id", "qvec", "cvec")
-        .dropDuplicates(["query_id", "match_id"])  # candidate found by >1 table
-        .select(
-            "query_id",
-            "match_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
-        )
-        .where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "match_id", "cos", "rank")
-    )
+    return _topk_from_candidates(cand, k)
 
 
-def ivf_topk(
+def _ivf_candidates(
     corpus: DataFrame,
     queries: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 2,
+    vec_col: str,
+    id_col: str,
+    num_centroids: int,
+    nprobe: int,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the clustering counterpart
-    to hyperplane LSH.
-
-    Index build: ``num_centroids`` corpus vectors are picked
-    deterministically (smallest xxhash of id — stable across runs and
-    partitionings, no trained model to store) and every corpus vector is
-    assigned to its max-cosine centroid (one broadcast of the tiny
-    centroid set; assignment is a corpus map — no shuffle of the corpus).
-    Search: each query probes its ``nprobe`` nearest centroids' posting
-    lists only — candidates per query ≈ nprobe × |corpus|/num_centroids,
-    sublinear in corpus size.  Recall vs brute force is asserted in tests.
-    """
+    """(query_id, match_id, qvec, cvec) pairs where the corpus vector's
+    posting bucket is among the query's ``nprobe`` probed centroids."""
     from pyspark.sql import Window
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
     centroids = (
-        c.withColumn("_h", F.xxhash64("match_id"))
+        c.withColumn("_h", portable_id_hash(F.col("match_id")))
         .orderBy("_h")
         .limit(num_centroids)
         .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
@@ -320,27 +349,78 @@ def ivf_topk(
     posting = assign(c, "cvec", "bucket", 1)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     probes = assign(q, "qvec", "bucket", nprobe)
-    scored = (
+    return (
         posting.join(
             F.broadcast(probes),
             (posting.bucket == probes.bucket) & (F.col("query_id") != F.col("match_id")),
         )
         .dropDuplicates(["query_id", "match_id"])
-        .select(
-            "query_id",
-            "match_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
-        )
-        .where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
+        .select("query_id", "match_id", "qvec", "cvec")
     )
-    from pyspark.sql import Window as W2
 
-    w = W2.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "match_id", "cos", "rank")
-    )
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustering counterpart
+    to hyperplane LSH.
+
+    Index build: ``num_centroids`` corpus vectors are picked
+    deterministically (smallest :func:`portable_id_hash` of id — stable
+    across runs, partitionings AND engines, no trained model to store —
+    see that function for why not xxhash64) and every corpus vector is
+    assigned to its max-cosine centroid (one broadcast of the tiny
+    centroid set; assignment is a corpus map — no shuffle of the corpus).
+    Search: each query probes its ``nprobe`` nearest centroids' posting
+    lists only — candidates per query ≈ nprobe × |corpus|/num_centroids,
+    sublinear in corpus size (measured: :func:`ann_candidate_stats` and
+    the slow-marked scale proof in tests/test_scale_r8.py).  Recall vs
+    brute force is asserted in tests.
+    """
+    cand = _ivf_candidates(corpus, queries, vec_col, id_col, num_centroids, nprobe)
+    return _topk_from_candidates(cand, k)
+
+
+def ann_candidate_stats(
+    corpus: DataFrame,
+    queries: DataFrame,
+    method: str = "lsh",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    dim: int = 64,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Per-query candidate counts ``(query_id, n_candidates)`` for a
+    parameter set — the capacity-planning diagnostic for ANN tuning.
+
+    The candidate count IS the cost of a bucketed ANN query (each
+    candidate is one O(dim) cosine), so this answers "what does
+    num_planes=8 × num_tables=8 cost on MY corpus" without running the
+    search: expected fractions are num_tables/2^num_planes (LSH) and
+    nprobe/num_centroids (IVF), but real corpora are skewed — measuring
+    is how you pick parameters before committing a 100 TB pass.  Uses
+    the exact candidate generators the top-k operators run, so the
+    numbers are the true comparison counts, not estimates."""
+    if method == "lsh":
+        cand = _lsh_candidates(
+            corpus, queries, vec_col, id_col, num_planes, num_tables, dim
+        )
+    elif method == "ivf":
+        cand = _ivf_candidates(
+            corpus, queries, vec_col, id_col, num_centroids, nprobe
+        )
+    else:
+        raise ValueError(f"unknown ANN method {method!r} (want 'lsh' or 'ivf')")
+    return cand.groupBy("query_id").agg(F.count("*").alias("n_candidates"))
 
 
 def build_ivf_index(
@@ -363,7 +443,7 @@ def build_ivf_index(
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
     centroids = (
-        c.withColumn("_h", F.xxhash64("match_id"))
+        c.withColumn("_h", portable_id_hash(F.col("match_id")))
         .orderBy("_h")
         .limit(num_centroids)
         .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))

@@ -50,6 +50,68 @@ _PAIR_JACCARD = f"""
 """
 
 
+# --- DuckDB replication of the engine's vector math (ANN oracles) ---
+# Spark evaluates dot/norm as SEQUENTIAL left folds over double-cast
+# elements (operators/similarity.py).  These emit the same fold in
+# DuckDB lambda SQL — same products, same addition order — so cosine is
+# BIT-IDENTICAL across engines (verified: 0 mismatches over 1,500 pairs
+# at sf0.01), which is what lets the approximate ANN queries carry full
+# value-hash oracles: the oracle re-runs the same LSH / IVF algorithm
+# from scratch in SQL, not just a recall bound.
+
+
+def _dd_seq_sum(terms: str) -> str:
+    """Left-fold sum of a DuckDB list expression — the order-exact
+    mirror of Spark's ``aggregate(…, 0.0D, (acc, x) -> acc + x)``."""
+    return f"list_reduce(list_prepend(0.0::DOUBLE, {terms}), (acc, x) -> acc + x)"
+
+
+def _dd_dot(a: str, b: str, dim: int) -> str:
+    return _dd_seq_sum(
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)"
+    )
+
+
+def _dd_norm(v: str) -> str:
+    return f"sqrt({_dd_seq_sum(f'list_transform({v}, x -> x::DOUBLE * x::DOUBLE)')})"
+
+
+def _dd_cosine(a: str, b: str, dim: int) -> str:
+    """Mirror of similarity.cosine(): NULL (never an error) on zero
+    norm, exactly like Spark's ``try_divide``."""
+    na, nb = _dd_norm(a), _dd_norm(b)
+    return (
+        f"CASE WHEN {na} * {nb} = 0 THEN NULL"
+        f" ELSE {_dd_dot(a, b, dim)} / ({na} * {nb}) END"
+    )
+
+
+def _dd_lsh_buckets(vec: str, num_planes: int, num_tables: int, dim: int) -> str:
+    """DuckDB mirror of ``_hyperplane_buckets_sql``: the per-table
+    ``'t:bits'`` LSH bucket array over the SAME md5-derived literal
+    hyperplanes (``_plane_components`` is pure Python, shared verbatim),
+    with the projection as the same sequential fold — the sign bits, and
+    therefore the buckets, match Spark bit-for-bit."""
+    from ..operators.similarity import _plane_components
+
+    tables = []
+    for t in range(num_tables):
+        ps = ",".join(
+            "[" + ",".join(repr(c) for c in _plane_components(t, p, dim)) + "]"
+            for p in range(num_planes)
+        )
+        tables.append(f"[{ps}]")
+    planes = "[" + ",".join(tables) + "]"
+    proj = _dd_seq_sum(
+        f"list_transform(range(1, {dim + 1}), i -> {vec}[i]::DOUBLE * pl[i])"
+    )
+    return (
+        f"list_transform(list_zip({planes}, range(0, {num_tables})), tz -> "
+        f"tz[2]::VARCHAR || ':' || list_aggregate(list_transform(tz[1], pl -> "
+        f"CASE WHEN {proj} >= 0.0 THEN '1' ELSE '0' END), 'string_agg', ''))"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -585,10 +647,39 @@ def ann_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@query("ann_lsh_top5")  # approximate by construction → rows-only + recall test
+@query(
+    "ann_lsh_top5",
+    # full value-hash oracle: DuckDB re-runs the SAME LSH algorithm from
+    # scratch — identical literal hyperplanes, order-exact fold
+    # projections (bit-identical sign bits), same candidate join, same
+    # rounded cosine ranking.  Approximate vs brute force, but fully
+    # deterministic — so the approximate RESULT is hash-verified, not
+    # just a recall bound.
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS match_id, embedding AS cv,
+                       unnest({_dd_lsh_buckets("embedding", 6, 8, 64)}) AS bucket
+                FROM embeddings),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv,
+                  unnest({_dd_lsh_buckets("embedding", 6, 8, 64)}) AS bucket
+           FROM embeddings WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT query_id, match_id, qv, cv
+             FROM cb JOIN qb ON cb.bucket = qb.bucket AND query_id != match_id),
+    scored AS (SELECT query_id, match_id, round(c, 4) AS cos
+               FROM (SELECT query_id, match_id,
+                            {_dd_cosine("qv", "cv", 64)} AS c FROM cand)
+               WHERE c IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, match_id ASC) AS rank FROM scored)
+    SELECT query_id, match_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
 def ann_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed top-5 — the sublinear scale path; recall
-    vs brute force is asserted in tests/test_llm_ops.py."""
+    vs brute force is asserted in tests/test_llm_ops.py, and the exact
+    approximate result is hash-verified against a from-scratch DuckDB
+    replication of the bucketing (the planes are portable md5-derived
+    literals and the projections order-exact folds, so buckets match
+    bit-for-bit across engines)."""
     emb = _emb(spark, sf_dir)
     return lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, num_planes=6, num_tables=8)
 
@@ -767,11 +858,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_top5")  # approximate by construction → rows-only + recall test
+# Shared by all three IVF gate queries: the in-memory ivf_topk, the
+# persisted-index search and the incrementally-grown index are proven
+# bit-identical by pytest (index/append parity tests), so one oracle
+# verifies all three.  DuckDB re-runs the SAME IVF algorithm from
+# scratch: centroid pick by the portable md5 id-hash (the reason
+# ivf_topk uses portable_id_hash, not xxhash64), nearest-centroid
+# assignment and probing via the order-exact fold cosine (bit-identical
+# to Spark's), then rounded-cosine top-5.  NULLS LAST is explicit where
+# a zero-norm vector could score NULL (Spark's desc is nulls-last).
+_ANN_IVF_ORACLE = f"""
+WITH c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10),
+cent AS (SELECT match_id AS centroid_id, cv AS centvec FROM c
+         ORDER BY {_H.format(x="match_id::VARCHAR")} LIMIT 16),
+passign AS (
+  SELECT match_id, cv, centroid_id AS bucket FROM (
+    SELECT c.match_id, c.cv, cent.centroid_id,
+           row_number() OVER (PARTITION BY c.match_id
+                ORDER BY {_dd_cosine("cv", "centvec", 64)} DESC NULLS LAST,
+                         cent.centroid_id ASC) AS rn
+    FROM c, cent) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, centroid_id AS bucket FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                ORDER BY {_dd_cosine("qv", "centvec", 64)} DESC NULLS LAST,
+                         cent.centroid_id ASC) AS rn
+    FROM q, cent) WHERE rn <= 3),
+scored AS (SELECT query_id, match_id, round(cc, 4) AS cos FROM (
+    SELECT p.query_id, a.match_id, {_dd_cosine("qv", "cv", 64)} AS cc
+    FROM passign a JOIN probes p
+      ON a.bucket = p.bucket AND p.query_id != a.match_id)
+  WHERE cc IS NOT NULL),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, match_id ASC) AS rank FROM scored)
+SELECT query_id, match_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_top5", oracle=_ANN_IVF_ORACLE)
 def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 (deterministic centroid pick,
     nprobe=3) — the clustering scale path beside hyperplane LSH; recall
-    vs brute force asserted in tests/test_llm_ops.py."""
+    vs brute force asserted in tests/test_llm_ops.py, and the exact
+    approximate result is hash-verified against ``_ANN_IVF_ORACLE``'s
+    from-scratch DuckDB replication (portable centroid hash +
+    order-exact fold cosine make every step engine-independent)."""
     from ..operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
@@ -780,8 +914,9 @@ def ann_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_from_index_top5")  # approximate + on-disk index → rows-only;
-# exact equality vs the in-memory IVF asserted in tests/test_llm_ops.py
+@query("ann_ivf_from_index_top5", oracle=_ANN_IVF_ORACLE)
+# bit-identical to the in-memory IVF (asserted in tests/test_llm_ops.py)
+# → shares its full value-hash oracle
 def ann_ivf_from_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search a PERSISTED IVF index: build centroids + bucket-PARTITIONED
     posting lists on parquet, then probe nprobe=3 buckets per query —
@@ -803,8 +938,9 @@ def ann_ivf_from_index_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_append_top5")  # approximate + on-disk index → rows-only;
-# append≡full-build parity asserted exactly in tests/test_llm_ops.py
+@query("ann_ivf_append_top5", oracle=_ANN_IVF_ORACLE)
+# append≡full-build≡in-memory parity asserted exactly in
+# tests/test_llm_ops.py → shares the in-memory IVF's value-hash oracle
 def ann_ivf_append_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search an IVF index grown INCREMENTALLY: built on half the corpus,
     the other half folded in with ``append_ivf_index`` (frozen centroids
@@ -1690,20 +1826,19 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_compression_ratio")  # zlib is not SQL-expressible -> rows-only
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compression_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style compressibility quality signal: zlib bytes-in /
     bytes-out per document.  Highly repetitive or templated text
     compresses far better than natural prose, so a high ratio flags
     boilerplate and degenerate generations that n-gram repetition
     signals can miss (long-range repeats beyond any fixed n).
 
-    No SQL engine exposes zlib, so this registers rows-only; the
-    semantic checks (repetitive >> natural >> random-ish ordering,
-    determinism) live in pytest.  Execution is the DECLARED Python
-    boundary done right: mapInPandas (Arrow-batched columnar transfer,
-    zlib's C loop per value) — a map with no shuffle, scaling linearly
-    with corpus bytes, never a row-at-a-time Python UDF."""
+    Execution is the DECLARED Python boundary done right: mapInPandas
+    (Arrow-batched columnar transfer, zlib's C loop per value) — a map
+    with no shuffle, scaling linearly with corpus bytes, never a
+    row-at-a-time Python UDF.  Returns (doc_id, n_bytes, n_compressed,
+    compression_ratio); semantic checks (repetitive >> natural >>
+    random-ish ordering, determinism) live in pytest."""
     import zlib
 
     import pandas as pd
@@ -1711,8 +1846,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text can't be compressed and a NULL id can't be emitted as a
     # long (pandas widens the id column to float64); drop both JVM-side
     d = (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
+        docs.select("doc_id", "text")
         .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
 
@@ -1735,6 +1869,53 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         gen,
         "doc_id long, n_bytes long, n_compressed long, compression_ratio double",
+    )
+
+
+@query(
+    "text_compression_ratio",
+    # zlib itself is not SQL-expressible, so — like `percentiles_approx`
+    # and `approx_distinct_parts` — the gate query hashes the exact
+    # SQL-computable value (utf-8 byte length) plus the CONTRACT the
+    # zlib stage must satisfy, instead of registering rows-only.
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           TRUE AS compression_contract_ok
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-quality contract over :func:`compression_stats`.
+
+    `n_bytes` is a real value comparison (DuckDB recomputes the utf-8
+    byte length); `compression_contract_ok` asserts the deflate-format
+    bounds — 8 ≤ n_compressed ≤ n_bytes + 64 (zlib worst case is ~5
+    bytes per 16 KiB stored block + 6 bytes header/trailer; the empty
+    string compresses to 8 bytes) — and that the reported ratio is
+    n_bytes/n_compressed to within rounding.  A broken or absent
+    compression stage hash-fails; the ordering semantics live in pytest
+    (`test_compression_ratio_orders_repetitive_above_natural`), and the
+    raw per-doc ratio comes from :func:`compression_stats`."""
+    s = compression_stats(_docs(spark, sf_dir))
+    ratio_consistent = (
+        F.abs(
+            F.col("compression_ratio")
+            - F.coalesce(
+                F.try_divide(F.col("n_bytes"), F.col("n_compressed")), F.lit(0.0)
+            )
+        )
+        < F.lit(1e-6)
+    )
+    return s.select(
+        "doc_id",
+        "n_bytes",
+        (
+            (F.col("n_compressed") >= 8)
+            & (F.col("n_compressed") <= F.col("n_bytes") + 64)
+            & ratio_consistent
+        ).alias("compression_contract_ok"),
     )
 
 

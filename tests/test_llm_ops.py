@@ -1296,14 +1296,16 @@ class TestDupClustersStar:
 
 def test_compression_ratio_orders_repetitive_above_natural(spark):
     """zlib compressibility must rank: pathological repetition >
-    word-soup corpus text > high-entropy junk; and be deterministic."""
+    word-soup corpus text > high-entropy junk; and be deterministic.
+    The registered gate query is the CONTRACT projection (hash-oracled
+    since r8); the full per-doc stats come from compression_stats()."""
     import random
 
-    from fluent_plugin_sql_spark.plans.llm_pipeline import text_compression_ratio
+    from fluent_plugin_sql_spark.plans.llm_pipeline import compression_stats
     from fluent_plugin_sql_spark.plans.registry import REGISTRY
 
     fn, oracle = REGISTRY["text_compression_ratio"]
-    assert oracle is None  # declared rows-only
+    assert oracle is not None  # contract-hash-oracled since r8
 
     rng = random.Random(13)
     junk = " ".join(
@@ -1315,25 +1317,32 @@ def test_compression_ratio_orders_repetitive_above_natural(spark):
         (3, junk),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    # run the registered operator against a scratch documents table
+    got = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    again = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert got.keys() == again.keys() and all(
+        got[k]["n_compressed"] == again[k]["n_compressed"] for k in got
+    )
+    r1, r2, r3 = (got[i]["compression_ratio"] for i in (1, 2, 3))
+    assert r1 > r2 > r3
+    assert r1 > 10  # 300x repetition compresses enormously
+    assert all(got[i]["n_bytes"] == len(rows[i - 1][1]) for i in (1, 2, 3))
+
+    # the registered contract query over the same rows as a scratch table:
+    # every doc must satisfy the deflate bounds, incl. an empty string
     import os
     import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp()
     try:
-        (df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t"))
+        extra = spark.createDataFrame([(4, "")], "doc_id long, text string")
+        (df.union(extra)
+           .withColumn("lang", F.lit("en")).withColumn("source", F.lit("t"))
            .withColumn("n_chars", F.length("text"))
            .write.parquet(os.path.join(tmp, "documents.parquet")))
-        got = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
-        again = {r["doc_id"]: r for r in fn(spark, tmp).collect()}
-        assert got.keys() == again.keys() and all(
-            got[k]["n_compressed"] == again[k]["n_compressed"] for k in got
-        )
-        r1, r2, r3 = (got[i]["compression_ratio"] for i in (1, 2, 3))
-        assert r1 > r2 > r3
-        assert r1 > 10  # 300x repetition compresses enormously
-        assert all(got[i]["n_bytes"] == len(rows[i - 1][1]) for i in (1, 2, 3))
+        contract = fn(spark, tmp).collect()
+        assert len(contract) == 4
+        assert all(r["compression_contract_ok"] for r in contract)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
