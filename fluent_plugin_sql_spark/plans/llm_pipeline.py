@@ -23,7 +23,7 @@ from ..operators.dedup import (
     remove_duplicate_spans,
     simhash_dup_pairs,
 )
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import ann_candidate_stats, brute_force_topk, lsh_topk
 from .registry import query
 
 # shared DuckDB SQL fragments (oracle side of the portable hash primitive)
@@ -867,7 +867,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment and probing via the order-exact fold cosine (bit-identical
 # to Spark's), then rounded-cosine top-5.  NULLS LAST is explicit where
 # a zero-norm vector could score NULL (Spark's desc is nulls-last).
-_ANN_IVF_ORACLE = f"""
+_ANN_IVF_CTES = f"""
 WITH c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
       WHERE vec_id < 10),
@@ -886,7 +886,10 @@ probes AS (
            row_number() OVER (PARTITION BY q.query_id
                 ORDER BY {_dd_cosine("qv", "centvec", 64)} DESC NULLS LAST,
                          cent.centroid_id ASC) AS rn
-    FROM q, cent) WHERE rn <= 3),
+    FROM q, cent) WHERE rn <= 3)"""
+
+_ANN_IVF_ORACLE = f"""
+{_ANN_IVF_CTES},
 scored AS (SELECT query_id, match_id, round(cc, 4) AS cos FROM (
     SELECT p.query_id, a.match_id, {_dd_cosine("qv", "cv", 64)} AS cc
     FROM passign a JOIN probes p
@@ -970,6 +973,64 @@ def ann_ivf_append_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivf_index(spark, path, emb.where(F.col("vec_id") % 2 == 1))
     return ivf_topk_from_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+    )
+
+
+@query(
+    "ann_lsh_candidate_stats",
+    # oracle recounts the LSH comparison set from scratch: same literal
+    # hyperplanes, same bit-identical fold projections, distinct
+    # (query, match) pairs sharing >= 1 bucket
+    oracle=f"""
+    WITH cb AS (SELECT vec_id AS match_id,
+                       unnest({_dd_lsh_buckets("embedding", 6, 8, 64)}) AS bucket
+                FROM embeddings),
+    qb AS (SELECT vec_id AS query_id,
+                  unnest({_dd_lsh_buckets("embedding", 6, 8, 64)}) AS bucket
+           FROM embeddings WHERE vec_id < 10)
+    SELECT query_id, count(DISTINCT match_id) AS n_candidates
+    FROM cb JOIN qb ON cb.bucket = qb.bucket AND query_id != match_id
+    GROUP BY query_id
+    """,
+)
+def ann_lsh_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query LSH comparison cost at `ann_lsh_top5`'s parameters —
+    the capacity-planning diagnostic (`ann_candidate_stats`): what a
+    bucketed search actually scans, for tuning num_planes/num_tables
+    before committing a corpus-scale pass."""
+    emb = _emb(spark, sf_dir)
+    return ann_candidate_stats(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        "lsh",
+        num_planes=6,
+        num_tables=8,
+    )
+
+
+@query(
+    "ann_ivf_candidate_stats",
+    # oracle recounts the IVF comparison set from the shared centroid /
+    # posting / probe CTEs (portable centroid hash, fold cosine)
+    oracle=f"""
+    {_ANN_IVF_CTES}
+    SELECT query_id, count(DISTINCT a.match_id) AS n_candidates
+    FROM passign a JOIN probes p
+      ON a.bucket = p.bucket AND p.query_id != a.match_id
+    GROUP BY query_id
+    """,
+)
+def ann_ivf_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF comparison cost at `ann_ivf_top5`'s parameters —
+    the posting-list fraction (≈ nprobe/num_centroids of the corpus)
+    each query actually scans, measured not assumed."""
+    emb = _emb(spark, sf_dir)
+    return ann_candidate_stats(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        "ivf",
+        num_centroids=16,
+        nprobe=3,
     )
 
 

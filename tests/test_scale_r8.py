@@ -253,3 +253,150 @@ def test_embedding_store_probe_reads_only_probed_buckets(spark, tmp_path):
     # bucket sizes + footers), never the whole store
     frac = bkts_l / n_cent
     assert bytes_l <= 1.8 * frac * total_l, (bytes_l, frac, total_l)
+
+
+# --------------------------------------------------------------------------
+# ANN sublinearity: the "candidates per query is a corpus FRACTION that
+# does not grow with corpus size" claim, measured where it could fail.
+# The fast test pins the diagnostic's contract; the slow test measures
+# the fractions + wall times at 50k -> 200k vectors (numbers in
+# ROUND8.md).
+
+
+def _synth_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic pseudo-random corpus generated JVM-side (no driver
+    materialization): component = scaled xxhash of (id, dim-index)."""
+    return spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {dim}), i -> "
+        f"cast(pmod(xxhash64(id * {dim} + i), 1000) AS DOUBLE) / 1000.0 - 0.5)"
+        " AS embedding",
+    )
+
+
+def test_ann_candidate_stats_matches_search_cost(spark):
+    """The diagnostic must report the TRUE comparison set of the search:
+    every returned top-k row is one of the counted candidates, and the
+    LSH count equals an independent bucket-join recount."""
+    from fluent_plugin_sql_spark.operators.similarity import (
+        ann_candidate_stats,
+        hyperplane_buckets,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    corpus = _synth_embeddings(spark, 400)
+    queries = corpus.where("vec_id < 5")
+
+    stats = {
+        r["query_id"]: r["n_candidates"]
+        for r in ann_candidate_stats(
+            corpus, queries, "lsh", num_planes=4, num_tables=4
+        ).collect()
+    }
+    # independent recount through the public bucket expression
+    b = corpus.select(
+        "vec_id", F.explode(hyperplane_buckets("embedding", 4, 4)).alias("bkt")
+    )
+    qb = b.where("vec_id < 5").withColumnRenamed("vec_id", "qid")
+    recount = {
+        r["qid"]: r["n"]
+        for r in b.join(qb, "bkt")
+        .where("vec_id != qid")
+        .groupBy("qid")
+        .agg(F.countDistinct("vec_id").alias("n"))
+        .collect()
+    }
+    assert stats == recount
+
+    # every search result is a counted candidate (cost ≥ results)
+    topk = lsh_topk(corpus, queries, k=5, num_planes=4, num_tables=4)
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in topk.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(stats.get(q, 0) >= n for q, n in per_q.items())
+
+    ivf_stats = {
+        r["query_id"]: r["n_candidates"]
+        for r in ann_candidate_stats(
+            corpus, queries, "ivf", num_centroids=8, nprobe=2
+        ).collect()
+    }
+    ivf_per_q = {
+        r["query_id"]: r["n"]
+        for r in ivf_topk(corpus, queries, k=5, num_centroids=8, nprobe=2)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(ivf_stats.get(q, 0) >= n for q, n in ivf_per_q.items())
+
+    with pytest.raises(ValueError):
+        ann_candidate_stats(corpus, queries, "annoy")
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_RUN_SLOW") != "1",
+    reason="200k-vector ANN measurement takes minutes; set SPARK_GRAFT_RUN_SLOW=1",
+)
+def test_ann_candidate_fraction_sublinear_at_200k(spark):
+    """Grow the corpus 4x (50k -> 200k, dim 64): the candidate FRACTION
+    each bucketed method scans must stay flat (sublinearity) and small
+    (near its analytic expectation: num_tables/2^num_planes for LSH,
+    nprobe/num_centroids for IVF).  Brute force scans 1.0 by definition
+    — the contrast that kills it at 100 TB.  Wall times are logged for
+    ROUND8.md, asserted only loosely (shared box)."""
+    from fluent_plugin_sql_spark.operators.similarity import (
+        ann_candidate_stats,
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    fractions = {}
+    times = {}
+    for n in (50_000, 200_000):
+        corpus = _synth_embeddings(spark, n).localCheckpoint(eager=True)
+        queries = corpus.where("vec_id < 20")
+
+        lsh_avg = (
+            ann_candidate_stats(
+                corpus, queries, "lsh", num_planes=8, num_tables=8
+            )
+            .agg(F.avg("n_candidates"))
+            .first()[0]
+        )
+        ivf_avg = (
+            ann_candidate_stats(
+                corpus, queries, "ivf", num_centroids=64, nprobe=4
+            )
+            .agg(F.avg("n_candidates"))
+            .first()[0]
+        )
+        fractions[n] = (lsh_avg / n, ivf_avg / n)
+
+        t = {}
+        t0 = time.time()
+        assert brute_force_topk(corpus, queries, k=5).count() == 100
+        t["brute"] = time.time() - t0
+        t0 = time.time()
+        assert lsh_topk(corpus, queries, k=5, num_planes=8, num_tables=8).count() > 0
+        t["lsh"] = time.time() - t0
+        t0 = time.time()
+        assert ivf_topk(corpus, queries, k=5, num_centroids=64, nprobe=4).count() > 0
+        t["ivf"] = time.time() - t0
+        times[n] = t
+        print(
+            f"\n[ann-scale] n={n}: lsh_frac={fractions[n][0]:.4f} "
+            f"ivf_frac={fractions[n][1]:.4f} times={ {k: round(v, 2) for k, v in t.items()} }"
+        )
+
+    f50, f200 = fractions[50_000], fractions[200_000]
+    # sublinear: 4x the corpus, same (or smaller) scanned fraction
+    assert f200[0] <= f50[0] * 1.5, (f50, f200)
+    assert f200[1] <= f50[1] * 1.5, (f50, f200)
+    # small and near the analytic expectation (x2-3 slack for skew):
+    # LSH 8/2^8 = 3.1%, IVF 4/64 = 6.25%
+    assert f200[0] < 0.10, f200
+    assert f200[1] < 0.20, f200
