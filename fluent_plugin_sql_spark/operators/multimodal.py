@@ -704,41 +704,68 @@ def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
     """Unfilter ``h`` rows of ``stride`` bytes starting at ``raw[off]``
     (PNG spec filters 0-4: None/Sub/Up/Average/Paeth; ``bpp`` = bytes
     per COMPLETE pixel, min 1, the left-neighbor distance).  Returns
-    ((h, stride) uint8 array, next offset) or (None, 0) on error."""
+    ((h, stride) uint8 array, next offset) or (None, 0) on error.
+
+    The sequential filters (Sub/Average/Paeth carry a left-recon
+    recurrence, so they cannot vectorize along the row) run over
+    bytearrays with plain-int arithmetic: numpy SCALAR indexing costs
+    ~100 ns per element in boxing/unboxing, and swapping it for
+    bytearray indexing measured ~4× on a Paeth-filtered corpus (the
+    bench's PNG row).  Up has no intra-row dependence and stays
+    numpy-vectorized.  For the first ``bpp`` bytes of a row the left
+    and up-left recon are 0, which collapses Paeth's predictor to
+    ``up`` (p=b → pb=0 wins every tie-break) and Average's to
+    ``up>>1`` — hoisting that prefix removes the per-byte x≥bpp
+    branch from the hot loop."""
     import numpy as np
 
     if len(raw) < off + h * (stride + 1):
         return None, 0
     out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint16)
+    prev = bytes(stride)  # row above the first is all zeros
     for y in range(h):
         rs = off + y * (stride + 1)
         ftype = raw[rs]
-        row = np.frombuffer(raw, np.uint8, stride, rs + 1).astype(np.uint16)
+        cur = bytearray(raw[rs + 1 : rs + 1 + stride])
         if ftype == 0:  # None
             pass
         elif ftype == 2:  # Up — fully vectorized
-            row = (row + prev) & 0xFF
+            cur = bytearray(
+                (
+                    (
+                        np.frombuffer(bytes(cur), np.uint8).astype(np.uint16)
+                        + np.frombuffer(prev, np.uint8)
+                    )
+                    & 0xFF
+                )
+                .astype(np.uint8)
+                .tobytes()
+            )
         elif ftype == 1:  # Sub — recurrence on the recon bytes left of x
             for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif ftype == 3:  # Average of recon left and up
-            for x in range(stride):
-                left = int(row[x - bpp]) if x >= bpp else 0
-                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            n = min(bpp, stride)
+            for x in range(n):
+                cur[x] = (cur[x] + (prev[x] >> 1)) & 0xFF
+            for x in range(n, stride):
+                cur[x] = (cur[x] + ((cur[x - bpp] + prev[x]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth predictor over left/up/up-left recon
-            for x in range(stride):
-                a = int(row[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+            n = min(bpp, stride)
+            for x in range(n):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+            for x in range(n, stride):
+                a = cur[x - bpp]
+                b = prev[x]
+                c = prev[x - bpp]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[x] = (row[x] + pred) & 0xFF
+                cur[x] = (cur[x] + pred) & 0xFF
         else:
             return None, 0  # invalid filter byte
-        out[y] = row.astype(np.uint8)
-        prev = row
+        prev = bytes(cur)
+        out[y] = np.frombuffer(prev, np.uint8)
     return out, off + h * (stride + 1)
 
 
