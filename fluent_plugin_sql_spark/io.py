@@ -60,18 +60,56 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, keep_ns: bool = False
+) -> DataFrame:
     """Load one driver table; nanos timestamps come back as proper
-    ``TimestampType`` (µs, UTC) columns."""
+    ``TimestampType`` (µs, UTC) columns.
+
+    ``keep_ns=True`` additionally exposes EVERY timestamp column ``c``
+    as an exact int64 ``c_ns`` (nanoseconds since epoch) — raw physical
+    value for TIMESTAMP(NANOS) columns, ``unix_micros * 1000`` for µs
+    columns — a uniform exact-ns surface regardless of the file's
+    physical unit.  This closes the reference's ns-resolution event
+    time (fluentd EventTime is ns — reference ChangeLog:21) that
+    Spark's µs ``TimestampType`` cannot carry: ns ordering, watermarks
+    and tiebreaks run on the long column (``IncrementalScan`` with
+    ``update_column="ts_ns"`` is an exact ns watermark, since the
+    strict ``>`` scan predicate and the JSON checkpoint are both exact
+    on int64), while windows/intervals keep the µs timestamp.
+
+    Scale note: both derived forms are pure codegen projections over the
+    same vectorized scan; pushdown on the raw column is unaffected."""
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_columns(path)
-    if not nanos:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
+        if keep_ns:
+            df = df.withColumn(f"{c}_ns", F.col(c))
         # integer `div` — a double division would lose precision above 2^53 ns
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if keep_ns:
+        for field in df.schema.fields:
+            # driver parquet is isAdjustedToUTC=false → TIMESTAMP_NTZ;
+            # under the factory's UTC session pin the NTZ→TIMESTAMP cast
+            # is value-identity, matching DuckDB's epoch_ns on the same
+            # naive value.
+            if (
+                field.dataType.typeName() in ("timestamp", "timestamp_ntz")
+                and f"{field.name}_ns" not in df.columns
+            ):
+                # try_multiply: int64 ns only spans ~1677..2262 — a time
+                # outside it gets a NULL ns twin (deterministic, ANSI-safe)
+                # rather than an ARITHMETIC_OVERFLOW job kill.
+                df = df.withColumn(
+                    f"{field.name}_ns",
+                    F.try_multiply(
+                        F.unix_micros(F.col(field.name).cast("timestamp")),
+                        F.lit(1000),
+                    ),
+                )
     return df
 
 

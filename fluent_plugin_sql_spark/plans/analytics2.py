@@ -308,3 +308,40 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+@query(
+    "incremental_scan_ns",
+    oracle="""
+    SELECT event_id, epoch_ns(ts) AS ts_ns, event_type
+    FROM events WHERE epoch_ns(ts) > 1705708800000000000
+    ORDER BY ts_ns ASC, event_id ASC LIMIT 1000
+    """,
+)
+def incremental_scan_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at NANOSECOND watermark precision (fluentd EventTime is ns —
+    reference ChangeLog:21 — which Spark's µs TimestampType cannot
+    carry).  ``load_table(keep_ns=True)`` exposes the exact int64
+    ``ts_ns`` and the standard :class:`IncrementalScan` runs on it
+    unchanged: the strict ``>`` predicate, the ASC+LIMIT batch and the
+    JSON checkpoint are all exact on int64, so two rows in the same
+    microsecond but different nanoseconds resume correctly (proved with
+    a synthesized TIMESTAMP(NANOS) file in tests/test_ns_time.py —
+    driver parquet is µs-physical, where ``ts_ns = micros*1000``).
+
+    Scale note: same pushed range-scan shape as ``incremental_scan`` —
+    the ns long is a codegen projection, the filter pushes to the scan.
+    """
+    from ..io import load_table as _lt
+    from ..sources.incremental import IncrementalScan
+
+    scan = IncrementalScan(
+        lambda: _lt(spark, sf_dir, "events", keep_ns=True),
+        update_column="ts_ns",
+        select_limit=1000,
+        tiebreak_column="event_id",
+    )
+    # 2024-01-20 00:00:00 UTC as exact nanoseconds
+    return scan.batch_plan(1705708800000000000).select(
+        "event_id", "ts_ns", "event_type"
+    )
