@@ -1039,24 +1039,30 @@ def _jpeg_entropy_segments(payload: bytes, pos: int):
     segments: list[bytes] = []
     cur = bytearray()
     i = pos
+    find = payload.find
     while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+        # bulk-copy the marker-free span (find + slice run at memchr/
+        # memcpy speed; the former per-byte append loop was ~15% of a
+        # whole baseline decode)
+        j = find(0xFF, i)
+        if j < 0:
+            cur += payload[i:]
             i = n
             break
-        m = payload[i + 1]
+        cur += payload[i:j]
+        if j + 1 >= n:
+            i = n
+            break
+        m = payload[j + 1]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:
             segments.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:  # EOI / next scan header / table marker ends the scan
+            i = j
             break
     segments.append(bytes(cur))
     return segments, i
@@ -1064,35 +1070,96 @@ def _jpeg_entropy_segments(payload: bytes, pos: int):
 
 def _jpeg_block_sequential(bits, dc_tab, ac_tab, coef_row, dc_pred):
     """Sequential (baseline) block: DC diff + AC run/length over 1..63.
-    Returns the new DC predictor, or None on corrupt data."""
-    t = _jpeg_huff_decode(bits, dc_tab)
-    if t is None or t > 15:
+    Returns the new DC predictor, or None on corrupt data.
+
+    Hot path: the reader state (pos/acc/nbits) lives in LOCALS for the
+    whole block with the 12-bit LUT probe and magnitude-bit reads
+    inlined — attribute access and the read()/peek16() call pair per
+    symbol were ~40% of baseline entropy decode (measured on the bench
+    corpus).  Long/corrupt codes, raw-dict tables and end-of-segment
+    windows sync the state back and take :func:`_jpeg_huff_decode`'s
+    original walk, so semantics — including bits consumed on garbage —
+    are unchanged.  On a corrupt-data ``None`` return the reader state
+    is NOT synced; every caller aborts the whole decode there."""
+    data = bits.data
+    end = len(data)
+    pos = bits.pos
+    acc = bits.acc
+    nb = bits.nbits
+    dc_lut = getattr(dc_tab, "lut", None)
+    ac_lut = getattr(ac_tab, "lut", None)
+
+    while nb < 16 and pos < end:
+        acc = (acc << 8) | data[pos]
+        pos += 1
+        nb += 8
+    t = -1
+    if dc_lut is not None and nb >= 16:
+        e = dc_lut[acc >> (nb - 12)]
+        if e:
+            nb -= e & 31
+            acc &= (1 << nb) - 1
+            t = e >> 5
+    if t < 0:
+        bits.pos, bits.acc, bits.nbits = pos, acc, nb
+        t = _jpeg_huff_decode(bits, dc_tab)
+        if t is None or t > 15:
+            return None
+        pos, acc, nb = bits.pos, bits.acc, bits.nbits
+    elif t > 15:
         return None
     if t:
-        v = bits.read(t)
-        if v is None:
-            return None
-        dc_pred += _jpeg_extend(v, t)
+        while nb < t:
+            if pos >= end:
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        nb -= t
+        v = (acc >> nb) & ((1 << t) - 1)
+        acc &= (1 << nb) - 1
+        dc_pred += v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
     coef_row[0] = dc_pred
     k = 1
     while k < 64:
-        rs = _jpeg_huff_decode(bits, ac_tab)
-        if rs is None:
-            return None
-        r, s = rs >> 4, rs & 15
+        while nb < 16 and pos < end:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        rs = -1
+        if ac_lut is not None and nb >= 16:
+            e = ac_lut[acc >> (nb - 12)]
+            if e:
+                nb -= e & 31
+                acc &= (1 << nb) - 1
+                rs = e >> 5
+        if rs < 0:
+            bits.pos, bits.acc, bits.nbits = pos, acc, nb
+            rs = _jpeg_huff_decode(bits, ac_tab)
+            if rs is None:
+                return None
+            pos, acc, nb = bits.pos, bits.acc, bits.nbits
+        s = rs & 15
         if s == 0:
-            if r == 15:
+            if rs == 0xF0:  # ZRL
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             return None
-        v = bits.read(s)
-        if v is None:
-            return None
-        coef_row[k] = _jpeg_extend(v, s)
+        while nb < s:
+            if pos >= end:
+                return None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nb += 8
+        nb -= s
+        v = (acc >> nb) & ((1 << s) - 1)
+        acc &= (1 << nb) - 1
+        coef_row[k] = v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
         k += 1
+    bits.pos, bits.acc, bits.nbits = pos, acc, nb
     return dc_pred
 
 
@@ -1405,6 +1472,18 @@ def jpeg_pixels(payload: bytes):
             interleaved = ns > 1
             if interleaved:
                 n_units = mcus_x * mcus_y
+                # per-MCU block order is fixed for the scan: precompute
+                # each slot's (component, tables, bi = my*ymul + mx*xmul
+                # + off) decomposition of (my*vs+by)*bx_full + mx*hs+bx
+                pattern = []
+                for cs, dc_tab, ac_tab in scomps:
+                    hs, vs, bx_full, _bw, _bh = geom[cs]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            pattern.append(
+                                (cs, dc_tab, ac_tab,
+                                 vs * bx_full, hs, by * bx_full + bx)
+                            )
             else:
                 _hs, _vs, _bxf, bw, bh = geom[scomps[0][0]]
                 n_units = bw * bh
@@ -1418,13 +1497,10 @@ def jpeg_pixels(payload: bytes):
                     eobrun = 0
                 if interleaved:
                     my, mx = divmod(unit, mcus_x)
-                    block_list = []
-                    for cs, dc_tab, ac_tab in scomps:
-                        hs, vs, bx_full, _bw, _bh = geom[cs]
-                        for by in range(vs):
-                            for bx in range(hs):
-                                bi = (my * vs + by) * bx_full + (mx * hs + bx)
-                                block_list.append((cs, dc_tab, ac_tab, bi))
+                    block_list = [
+                        (cs, dc_tab, ac_tab, my * ymul + mx * xmul + off)
+                        for cs, dc_tab, ac_tab, ymul, xmul, off in pattern
+                    ]
                 else:
                     cs, dc_tab, ac_tab = scomps[0]
                     _hs, _vs, bx_full, bw, _bh = geom[cs]
@@ -1487,7 +1563,10 @@ def jpeg_pixels(payload: bytes):
         nat = np.zeros_like(deq)
         nat[:, zz] = deq
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
-        spatial = np.einsum("xu,nuv,vy->nxy", m.T, blocks, m) + 128.0
+        # batched (m.T @ F @ m) via two BLAS matmuls — numpy's default
+        # (unoptimized) 3-operand einsum evaluated this same contraction
+        # ~50× slower and was 25% of whole-decode time
+        spatial = (m.T @ blocks) @ m + 128.0
         spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
         bx = mcus_x * hs
         by = mcus_y * vs
