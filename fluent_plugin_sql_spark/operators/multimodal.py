@@ -323,11 +323,12 @@ def sample_frames(
 def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     """GIF-variant LZW: codes packed LSB-first, width grows from
     min_code_size+1 to 12 bits, CLEAR resets the dictionary, END stops.
-    Returns a list of palette indices, or None on corrupt data."""
+    Returns a bytearray of palette indices, or None on corrupt data."""
     clear = 1 << min_code_size
     end = clear + 1
-    out: list[int] = []
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()  # palette indices are bytes; += entry is a memcpy
+    base: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base.copy()
     width = min_code_size + 1
     acc = 0
     nbits = 0
@@ -340,7 +341,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
             acc >>= width
             nbits -= width
             if code == clear:
-                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                table = base.copy()
                 width = min_code_size + 1
                 prev = None
                 continue
@@ -358,7 +359,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
                 table.append(entry)
             else:
                 return None
-            out.extend(entry)
+            out += entry
             if len(out) > max_pixels:
                 return None  # more data than the frame can hold
             prev = entry
@@ -480,7 +481,7 @@ def gif_frames(payload: bytes, max_frames: int = 64):
             idx = _gif_lzw_decode(data, min_code_size, fw * fh)
             if idx is None or len(idx) < fw * fh:
                 return None
-            arr = np.array(idx[: fw * fh], np.uint16).reshape(fh, fw)
+            arr = np.frombuffer(bytes(idx[: fw * fh]), np.uint8).reshape(fh, fw)
             if int(arr.max(initial=0)) >= len(table):
                 return None
             if lflags & 0x40:  # interlaced: reorder rows by pass
