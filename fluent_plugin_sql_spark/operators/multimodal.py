@@ -1207,58 +1207,110 @@ def _jpeg_ac_refine(bits, ac_tab, coef_row, ss, se, al, eobrun):
     enter with magnitude 1<<Al.  Returns the new EOB-run, or None."""
     p1 = 1 << al
     m1 = -p1
-    k = ss
+    # hot path mirrors _jpeg_block_sequential: reader state in locals,
+    # LUT probe and 1-bit correction reads inlined, and the band's
+    # coefficient history in a Python list (the per-position numpy
+    # scalar reads were the single largest cost of progressive decode).
+    # On a corrupt-data None return neither the reader state nor the
+    # band is synced back — every caller aborts the whole decode there.
+    data = bits.data
+    end = len(data)
+    pos = bits.pos
+    acc = bits.acc
+    nb = bits.nbits
+    lut = getattr(ac_tab, "lut", None)
+    band = coef_row[ss : se + 1].tolist()
+    n = se - ss + 1
+    k = 0
     if eobrun == 0:
-        while k <= se:
-            rs = _jpeg_huff_decode(bits, ac_tab)
-            if rs is None:
-                return None
+        while k < n:
+            while nb < 16 and pos < end:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nb += 8
+            rs = -1
+            if lut is not None and nb >= 16:
+                e = lut[acc >> (nb - 12)]
+                if e:
+                    nb -= e & 31
+                    acc &= (1 << nb) - 1
+                    rs = e >> 5
+            if rs < 0:
+                bits.pos, bits.acc, bits.nbits = pos, acc, nb
+                rs = _jpeg_huff_decode(bits, ac_tab)
+                if rs is None:
+                    return None
+                pos, acc, nb = bits.pos, bits.acc, bits.nbits
             r, s = rs >> 4, rs & 15
             val = 0
             if s:
                 if s != 1:
                     return None  # refinement creates only ±1<<Al
-                b = bits.read(1)
-                if b is None:
-                    return None
-                val = p1 if b else m1
+                if nb == 0:
+                    if pos >= end:
+                        return None
+                    acc = data[pos]
+                    pos += 1
+                    nb = 8
+                nb -= 1
+                val = p1 if (acc >> nb) & 1 else m1
+                acc &= (1 << nb) - 1
             else:
                 if r != 15:
                     eobrun = 1 << r
                     if r:
-                        eb = bits.read(r)
-                        if eb is None:
-                            return None
-                        eobrun += eb
+                        while nb < r:
+                            if pos >= end:
+                                return None
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nb += 8
+                        nb -= r
+                        eobrun += (acc >> nb) & ((1 << r) - 1)
+                        acc &= (1 << nb) - 1
                     break
                 # r == 15 (ZRL): pass 16 zero-history positions
-            while k <= se:
-                c = int(coef_row[k])
+            while k < n:
+                c = band[k]
                 if c != 0:
-                    b = bits.read(1)
-                    if b is None:
-                        return None
+                    if nb == 0:
+                        if pos >= end:
+                            return None
+                        acc = data[pos]
+                        pos += 1
+                        nb = 8
+                    nb -= 1
+                    b = (acc >> nb) & 1
+                    acc &= (1 << nb) - 1
                     if b and (c & p1) == 0:
-                        coef_row[k] = c + (p1 if c >= 0 else m1)
+                        band[k] = c + (p1 if c >= 0 else m1)
                 else:
                     if r == 0:
                         break
                     r -= 1
                 k += 1
-            if val and k <= se:
-                coef_row[k] = val
+            if val and k < n:
+                band[k] = val
             k += 1
     if eobrun > 0:
-        while k <= se:
-            c = int(coef_row[k])
+        while k < n:
+            c = band[k]
             if c != 0:
-                b = bits.read(1)
-                if b is None:
-                    return None
+                if nb == 0:
+                    if pos >= end:
+                        return None
+                    acc = data[pos]
+                    pos += 1
+                    nb = 8
+                nb -= 1
+                b = (acc >> nb) & 1
+                acc &= (1 << nb) - 1
                 if b and (c & p1) == 0:
-                    coef_row[k] = c + (p1 if c >= 0 else m1)
+                    band[k] = c + (p1 if c >= 0 else m1)
             k += 1
         eobrun -= 1
+    bits.pos, bits.acc, bits.nbits = pos, acc, nb
+    coef_row[ss : se + 1] = band
     return eobrun
 
 
