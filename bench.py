@@ -62,6 +62,7 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
     from test_gif_decode import encode_gif
     from test_jpeg_decode import Q1, encode_jpeg
+    from test_jpeg_progressive import encode_jpeg_progressive
     from test_png_decode import encode_png
     from test_tiff_decode import encode_tiff
 
@@ -102,6 +103,12 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
     wavs = [b"RIFF" + struct.pack("<I", len(body)) + body] * 32
     corpora = {
         "jpeg": ([encode_jpeg(im, q_std) for im in imgs], jpeg_pixels),
+        # successive-approximation progressive (DC+AC refinement scans),
+        # the other Huffman JPEG variant found in web corpora
+        "jpeg_progressive": (
+            [encode_jpeg_progressive(im, q_std, dc_al=1, ac_al=1) for im in imgs],
+            jpeg_pixels,
+        ),
         "png": ([encode_png(im, 2, [4] * 96) for im in imgs], png_pixels),
         "tiff": ([encode_tiff(im) for im in imgs], tiff_pixels),
         "gif": (gifs, gif_frames),
