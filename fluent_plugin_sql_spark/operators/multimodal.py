@@ -1988,12 +1988,16 @@ def tiff_pixels(payload: bytes):
     """REAL (h, w, 3) uint8 RGB decode of a baseline TIFF — the scanned-
     document workhorse — pure stdlib: header/IFD walk in either byte
     order, strip OR tile assembly (TIFF 6 §15 tiled layouts with
-    edge-tile padding), uncompressed,
-    PackBits-, or LZW-compressed data (MSB-first early-change variant), photometric interpretations 0/1 (bilevel
+    edge-tile padding), uncompressed, PackBits-, LZW- (MSB-first
+    early-change variant), or new-style JPEG-compressed data
+    (compression 7 per TIFF TechNote 2, incl. shared tag-347
+    JPEGTables, routed through this module's own jpeg_pixels),
+    photometric interpretations 0/1 (bilevel
     and gray, incl. 1-bit scans and WhiteIsZero inversion), 2 (RGB),
-    and 3 (palette via the 16-bit ColorMap).  Returns None for anything
-    out of scope (JPEG-in-TIFF, >8-bit samples) so
-    callers' strict/drop contract applies uniformly."""
+    3 (palette via the 16-bit ColorMap), and 6 (YCbCr, JPEG-coded).
+    Returns None for anything
+    out of scope (old-style compression-6 JPEG, CCITT, >8-bit samples)
+    so callers' strict/drop contract applies uniformly."""
     import struct
 
     import numpy as np
@@ -2014,8 +2018,10 @@ def tiff_pixels(payload: bytes):
     if ifd_off + 2 + 12 * n_entries > n:
         return None
 
-    type_size = {1: 1, 3: 2, 4: 4}
-    type_code = {1: "B", 3: "H", 4: "I"}
+    # type 7 (UNDEFINED) carries opaque bytes — needed for tag 347
+    # (JPEGTables), whose value is an abbreviated JPEG tables stream
+    type_size = {1: 1, 3: 2, 4: 4, 7: 1}
+    type_code = {1: "B", 3: "H", 4: "I", 7: "B"}
 
     def read_values(pos):
         tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
@@ -2063,8 +2069,92 @@ def tiff_pixels(payload: bytes):
             counts = (n - offsets[0],)  # tolerate a missing count, 1 strip
         if len(counts) != len(offsets):
             return None
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF TechNote 2): every strip/tile
+        # payload is an independent JPEG interchange stream; tag 347
+        # (JPEGTables) optionally carries an abbreviated tables-only
+        # stream (SOI..DQT/DHT..EOI) shared by all chunks, spliced in
+        # between each chunk's SOI and its frame markers.  Decoded by
+        # this module's own jpeg_pixels — still no codec library; the
+        # JPEG stream declares its own precision/subsampling/colorspace,
+        # so the strip assembly below works in decoded-RGB space rather
+        # than raw samples.  Old-style JPEG (compression 6, deprecated
+        # by TechNote 2 as unimplementable from the spec) stays out of
+        # scope with CCITT below.
+        jt = tags.get(347)
+        tables_blob = bytes(jt) if jt else None
+        if tables_blob is not None and (
+            len(tables_blob) < 4
+            or tables_blob[:2] != b"\xff\xd8"
+            or tables_blob[-2:] != b"\xff\xd9"
+        ):
+            return None
+        if photometric not in (0, 1, 2, 6):
+            return None  # gray / RGB / YCbCr JPEG payloads only
+
+        def jpeg_chunk_rgb(off, cnt, nrows, ncols):
+            if cnt < 4 or off + cnt > n:
+                return None
+            chunk = payload[off : off + cnt]
+            if chunk[:2] != b"\xff\xd8":
+                return None
+            if tables_blob is not None:
+                chunk = tables_blob[:-2] + chunk[2:]
+            rgb = jpeg_pixels(bytes(chunk))
+            # a chunk's JPEG frame covers exactly its strip/tile region
+            # (edge tiles are encoded at full tile size); tolerate MCU
+            # padding by cropping, reject anything smaller
+            if rgb is None or rgb.shape[0] < nrows or rgb.shape[1] < ncols:
+                return None
+            return rgb[:nrows, :ncols]
+
+        if tiled:
+            if not (322 in tags and 323 in tags and 324 in tags):
+                return None
+            tw, th_ = tags[322][0], tags[323][0]
+            if not tw or not th_:
+                return None
+            toffs = tags[324]
+            tcnts = tags.get(325)
+            tiles_x = -(-w // tw)
+            tiles_y = -(-h // th_)
+            if tcnts is None or len(toffs) != tiles_x * tiles_y or len(
+                tcnts
+            ) != len(toffs):
+                return None
+            # RGB canvas bound in BYTES (×3), same header-cap class as
+            # the raw-sample tile path
+            if tiles_y * th_ * tiles_x * tw * 3 > (1 << 25):
+                return None
+            canvas = np.zeros((tiles_y * th_, tiles_x * tw, 3), np.uint8)
+            for ti, (off, cnt) in enumerate(zip(toffs, tcnts)):
+                rgb = jpeg_chunk_rgb(off, cnt, th_, tw)
+                if rgb is None:
+                    return None
+                ty, tx = divmod(ti, tiles_x)
+                canvas[
+                    ty * th_ : (ty + 1) * th_, tx * tw : (tx + 1) * tw
+                ] = rgb
+            out = canvas[:h, :w]
+        else:
+            parts = []
+            remaining = h
+            for off, cnt in zip(offsets, counts):
+                strip_rows = min(rows_per_strip, remaining)
+                remaining -= strip_rows
+                rgb = jpeg_chunk_rgb(off, cnt, strip_rows, w)
+                if rgb is None:
+                    return None
+                parts.append(rgb)
+            if remaining > 0:
+                return None
+            out = np.vstack(parts) if len(parts) > 1 else parts[0]
+        if photometric == 0:  # WhiteIsZero grayscale JPEG
+            out = 255 - out
+        return np.ascontiguousarray(out)
+
     if compression not in (1, 5, 32773):
-        return None  # CCITT/JPEG-in-TIFF need more than stdlib
+        return None  # CCITT/old-style-JPEG need more than stdlib
     if any(b != bits[0] for b in bits) or bits[0] not in (1, 8):
         return None
     if bits[0] == 1 and (spp != 1 or photometric not in (0, 1)):

@@ -786,6 +786,116 @@ def tiff_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tiff_jpeg_pipeline_brightness",
+    oracle="""
+    SELECT doc_id,
+           8 + 8 * (doc_id % 3) AS width,
+           16 AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness
+    FROM documents
+    """,
+)
+def tiff_jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline through NEW-STYLE JPEG-IN-TIFF (compression
+    7, TIFF TechNote 2, operators/multimodal.tiff_pixels → jpeg_pixels):
+    each document becomes a two-strip TIFF whose strips are ABBREVIATED
+    JPEG streams sharing one tag-347 JPEGTables blob — the common
+    libtiff layout — built from the same DC-only grayscale JPEG the
+    baseline-JPEG query uses, split at the marker level.  A uniform
+    image's DC coefficient quantizes losslessly at q=1, so the decoded
+    brightness is exactly the fill value and DuckDB predicts every row
+    arithmetically.  Scale shape: two Arrow-batched mapInPandas stages,
+    zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def split_tables(stream):
+            # DQT/DHT hoist into an SOI..EOI tables-only stream (tag
+            # 347); frame/scan segments stay in the per-strip stream
+            tables = bytearray(b"\xff\xd8")
+            rest = bytearray(b"\xff\xd8")
+            pos = 2
+            while pos + 2 <= len(stream):
+                marker = stream[pos + 1]
+                if marker == 0xDA:
+                    rest += stream[pos:]
+                    break
+                (seg_len,) = struct.unpack_from(">H", stream, pos + 2)
+                seg = stream[pos : pos + 2 + seg_len]
+                (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+                pos += 2 + seg_len
+            tables += b"\xff\xd9"
+            return bytes(tables), bytes(rest)
+
+        def jpeg_tiff(w, h, v):
+            tables, strip = split_tables(_dc_only_gray_jpeg(w, h // 2, v))
+            strips = [strip, strip]  # both halves: same uniform fill
+            pos = 8
+            offs = []
+            for s in strips:
+                offs.append(pos)
+                pos += len(s)
+            ifd_off = pos + (pos % 2)
+            entries = [
+                (256, 4, [w]), (257, 4, [h]), (258, 3, [8]),
+                (259, 3, [7]), (262, 3, [1]), (273, 4, offs),
+                (277, 3, [1]), (278, 4, [h // 2]),
+                (279, 4, [len(s) for s in strips]),
+                (347, 7, list(tables)),
+            ]
+            tsize = {3: 2, 4: 4, 7: 1}
+            tcode = {3: "H", 4: "I", 7: "B"}
+            extra_base = ifd_off + 2 + 12 * len(entries) + 4
+            extra = bytearray()
+            ifd = struct.pack("<H", len(entries))
+            for tag, typ, values in entries:
+                total = tsize[typ] * len(values)
+                if total <= 4:
+                    packed = struct.pack(
+                        "<" + str(len(values)) + tcode[typ], *values
+                    ) + b"\x00" * (4 - total)
+                    ifd += struct.pack("<HHI", tag, typ, len(values))
+                    ifd += packed
+                else:
+                    ifd += struct.pack(
+                        "<HHII", tag, typ, len(values),
+                        extra_base + len(extra),
+                    )
+                    extra += struct.pack(
+                        "<" + str(len(values)) + tcode[typ], *values
+                    )
+            ifd += struct.pack("<I", 0)
+            body = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))
+            for s in strips:
+                body += s
+            body += b"\x00" * (ifd_off - len(body))
+            return bytes(body + ifd + extra)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append((d, jpeg_tiff(8 + 8 * (d % 3), 16, d % 256)))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
+    tiffs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(tiffs, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
     "audio_g711_rms",
     oracle="""
     SELECT doc_id, w AS window_idx, 64::BIGINT AS n_samples,
