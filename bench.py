@@ -72,6 +72,7 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
         png_pixels,
         tiff_pixels,
         wav_pcm16_samples,
+        webp_pixels,
     )
 
     rng = np.random.default_rng(42)
@@ -101,6 +102,15 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
         + b"data" + struct.pack("<I", len(mu_frames)) + mu_frames
     )
     wavs = [b"RIFF" + struct.pack("<I", len(body)) + body] * 32
+    # IMA ADPCM WAV: 1 s of 8 kHz speech-like audio per asset
+    # (505 samples/block = whole 4-byte code groups)
+    from test_ima_adpcm import _sine, encode_ima_wav
+    from test_webp_decode import encode_vp8l
+
+    adpcm_wavs = [
+        encode_ima_wav(_sine(8080, 1, seed), samples_per_block=505)[0]
+        for seed in range(32)
+    ]
     corpora = {
         "jpeg": ([encode_jpeg(im, q_std) for im in imgs], jpeg_pixels),
         # successive-approximation progressive (DC+AC refinement scans),
@@ -112,7 +122,15 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
         "png": ([encode_png(im, 2, [4] * 96) for im in imgs], png_pixels),
         "tiff": ([encode_tiff(im) for im in imgs], tiff_pixels),
         "gif": (gifs, gif_frames),
+        # WebP lossless: subtract-green + LZ77 + color cache, the
+        # typical cwebp -lossless feature set
+        "webp_lossless": (
+            [encode_vp8l(im, subtract_green=True, lz77=True, cache_bits=6)
+             for im in imgs],
+            webp_pixels,
+        ),
         "wav_g711": (wavs, wav_pcm16_samples),
+        "wav_adpcm": (adpcm_wavs, wav_pcm16_samples),
     }
     out: dict[str, dict[str, float]] = {}
     for fmt, (payloads, decode) in corpora.items():
@@ -128,7 +146,7 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
             "images_per_s_core": round(len(payloads) / best, 1),
             "corpus_mb": round(total_mb, 2),
         }
-        if fmt != "wav_g711":  # pixel formats: 96×96 each
+        if not fmt.startswith("wav_"):  # pixel formats: 96×96 each
             out[fmt]["megapixels_per_s_core"] = round(
                 96 * 96 * len(payloads) / best / 1e6, 2
             )

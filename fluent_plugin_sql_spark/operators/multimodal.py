@@ -8,8 +8,9 @@ decode incl. successive approximation + batched IDCT, see
 :func:`jpeg_pixels`), GIF incl. animation/interlace/transparency
 (LZW, :func:`gif_frames`), TIFF incl. PackBits/bilevel/palette/both
 endians (:func:`tiff_pixels`), MJPEG video (:func:`mjpeg_frame_spans`),
-and WAV (PCM + G.711 A-law/µ-law).  Only formats whose codecs the
-container genuinely lacks (WebP/AVIF/H.264)
+WebP lossless (VP8L, :func:`webp_pixels`), and WAV (PCM, G.711
+A-law/µ-law, IMA ADPCM).  Only formats whose codecs the
+container genuinely lacks (lossy WebP/AVIF/H.264)
 strict-raise ``NotImplementedError``; fake mode derives deterministic dimensions so the Spark-side
 plumbing (schema contract, Arrow-batched ``mapInPandas`` iterator,
 batch shapes, partitioning) is exercised end-to-end either way.
@@ -159,6 +160,28 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
         if not width or not height:
             return None
         return ("tiff", width, height, spp)
+    if payload[:4] == b"RIFF" and len(payload) >= 30 and payload[8:12] == b"WEBP":
+        # WebP: dims live inside the first image chunk (RFC 9649 §2)
+        pos, n = 12, len(payload)
+        while pos + 8 <= n:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8 : pos + 8 + size]
+            if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                b14 = struct.unpack_from("<I", body, 1)[0]
+                width = (b14 & 0x3FFF) + 1
+                height = ((b14 >> 14) & 0x3FFF) + 1
+                alpha = (b14 >> 28) & 1
+                return ("webp", width, height, 4 if alpha else 3)
+            if fourcc == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+                # lossy keyframe: 14-bit dims after the start code
+                width = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+                height = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+                return ("webp", width, height, 3)
+            # other chunks (VP8X/ICCP/EXIF/ALPH/...) are walked past —
+            # dims always come from the actual image chunk
+            pos += 8 + size + (size % 2)
+        return None
     if payload[:2] == b"P6":
         # PPM: ASCII "P6 <w> <h> <maxval>", '#' comments allowed
         fields: list[int] = []
@@ -221,7 +244,7 @@ def _decode_image(payload: bytes, strict: bool) -> tuple[int, int, int]:
         raise NotImplementedError(
             "pixel-data decode for this format requires a codec library "
             "(PIL/libvips) not present in this environment; BMP/PPM/PNG/"
-            "JPEG headers are parsed natively"
+            "JPEG/GIF/TIFF/WebP headers are parsed natively"
         )
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 240
@@ -1660,7 +1683,7 @@ def _read_pixels(payload: bytes):
     full fixed-layout matrix), baseline + progressive JPEG via
     :func:`jpeg_pixels` (Huffman + batched IDCT).  Returns None only
     for formats whose decode genuinely needs a codec library
-    (WebP/AVIF/...) or corrupt payloads."""
+    (lossy-WebP/AVIF/...) or corrupt payloads."""
     import struct
 
     import numpy as np
@@ -1777,6 +1800,10 @@ def _read_pixels(payload: bytes):
         return gif_pixels(payload)
     if fmt == "tiff":
         return tiff_pixels(payload)
+    if fmt == "webp":
+        # lossless (VP8L) decodes natively; lossy VP8 returns None —
+        # the documented codec-library boundary
+        return webp_pixels(payload)
     return None
 
 
@@ -1823,8 +1850,8 @@ def extract_pixel_features(
                     if strict:
                         raise NotImplementedError(
                             "pixel access for this format requires a codec "
-                            "library; PPM/BMP/PNG/JPEG pixels "
-                            "decode natively"
+                            "library; PPM/BMP/PNG/JPEG/GIF/TIFF/"
+                            "WebP-lossless pixels decode natively"
                         )
                     continue
                 h, w, _ = arr.shape
@@ -1890,8 +1917,8 @@ def resize_images(
                     if strict:
                         raise NotImplementedError(
                             "pixel access for this format requires a codec "
-                            "library; PPM/BMP/PNG/JPEG pixels "
-                            "decode natively"
+                            "library; PPM/BMP/PNG/JPEG/GIF/TIFF/"
+                            "WebP-lossless pixels decode natively"
                         )
                     continue
                 h, w, _ = arr.shape
@@ -2294,13 +2321,98 @@ def _g711_lut(fmt_tag: int):
     return out
 
 
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """(n_samples, channels) int16 from IMA/DVI ADPCM block data (WAV
+    fmt 17): per block, a 4-byte header per channel (int16 predictor —
+    emitted as the block's first sample — plus step-table index), then
+    4-byte round-robin channel groups of 4-bit codes, low nibble first.
+    The in-block recurrence (each sample's step index depends on the
+    previous code) is inherently sequential — same per-asset Python
+    cost class as the JPEG entropy walk, parallel across assets.  A
+    trailing partial block is dropped (truncated-upload tolerance);
+    a corrupt header index returns None for the drop contract."""
+    import numpy as np
+
+    steps, index_tab = _IMA_STEPS, _IMA_INDEX
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return None
+    out_blocks = []
+    for b in range(nblocks):
+        blk = data[b * block_align : (b + 1) * block_align]
+        preds: list[int] = []
+        idxs: list[int] = []
+        chans: list[list[int]] = []
+        for c in range(channels):
+            pred = int.from_bytes(
+                blk[4 * c : 4 * c + 2], "little", signed=True
+            )
+            idx = blk[4 * c + 2]
+            if idx > 88:
+                return None
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        body = blk[4 * channels :]
+        for g in range(len(body) // 4):
+            c = g % channels
+            pred = preds[c]
+            idx = idxs[c]
+            out = chans[c]
+            for byte in body[4 * g : 4 * g + 4]:
+                for nib in (byte & 15, byte >> 4):
+                    step = steps[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    if nib & 8:
+                        diff = -diff
+                    pred += diff
+                    if pred > 32767:
+                        pred = 32767
+                    elif pred < -32768:
+                        pred = -32768
+                    idx += index_tab[nib]
+                    if idx < 0:
+                        idx = 0
+                    elif idx > 88:
+                        idx = 88
+                    out.append(pred)
+            preds[c] = pred
+            idxs[c] = idx
+        m = min(len(x) for x in chans)
+        arr = np.empty((m, channels), np.int16)
+        for c in range(channels):
+            arr[:, c] = chans[c][:m]
+        out_blocks.append(arr)
+    return np.vstack(out_blocks) if len(out_blocks) > 1 else out_blocks[0]
+
+
 def wav_pcm16_samples(payload: bytes):
     """Sample matrix (n_samples, channels) as int16 from a WAV payload:
-    uncompressed 16-bit PCM (fmt 1), or G.711 A-law / µ-law telephony
+    uncompressed 16-bit PCM (fmt 1), G.711 A-law / µ-law telephony
     audio (fmt 6 / 7, 8-bit codes expanded through the standard segment
-    tables).  None if the payload is not a decodable WAV.  Same stdlib
-    RIFF chunk walk as :func:`parse_wav_header`, extended to return the
-    data chunk's bytes instead of just its size."""
+    tables), or IMA/DVI ADPCM (fmt 17, 4-bit codes through the standard
+    step tables per block).  None if the payload is not a decodable
+    WAV.  Same stdlib RIFF chunk walk as :func:`parse_wav_header`,
+    extended to return the data chunk's bytes instead of just its
+    size."""
     import struct
 
     import numpy as np
@@ -2313,19 +2425,27 @@ def wav_pcm16_samples(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, n = 12, len(payload)
-    channels = bits = fmt_tag = None
+    channels = bits = fmt_tag = block_align = None
     data = None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         if cid == b"fmt " and pos + 24 <= n:
             fmt_tag, channels = struct.unpack_from("<HH", payload, pos + 8)
+            block_align = struct.unpack_from("<H", payload, pos + 20)[0]
             bits = struct.unpack_from("<H", payload, pos + 22)[0]
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)
     if channels in (None, 0) or data is None:
         return None
+    if fmt_tag == 17:
+        # IMA ADPCM: block layout needs the fmt chunk's block alignment;
+        # a block must at least hold the per-channel 4-byte headers plus
+        # one 4-byte code group per channel
+        if bits != 4 or not block_align or block_align < 8 * channels:
+            return None
+        return _ima_adpcm_decode(data, channels, block_align)
     if fmt_tag in (6, 7) and bits == 8:
         arr = _g711_lut(fmt_tag)[np.frombuffer(data, np.uint8)]
     elif fmt_tag == 1 and bits == 16:
@@ -2393,3 +2513,634 @@ def audio_rms_windows(
             )
 
     return df.select(id_col, "payload").mapInPandas(gen, AUDIO_RMS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — RFC 9649 §3-5, pure stdlib + numpy.
+# Lossy VP8 (boolean arithmetic coding + loop filter) genuinely needs a
+# codec library and stays at the strict-raise boundary; VP8L is a
+# Huffman/LZ77 format in the same implementability class as PNG/GIF.
+# ---------------------------------------------------------------------------
+
+
+class _Vp8lError(Exception):
+    """Internal corrupt-stream abort; webp_pixels catches it and
+    returns None per the uniform drop contract."""
+
+
+class _Vp8lBits:
+    """LSB-first bit reader (RFC 9649 §4: values are assembled from
+    the least-significant bits of each successive byte)."""
+
+    __slots__ = ("data", "bit", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bit = 0
+        self.nbits = len(data) * 8
+
+    def read(self, k: int) -> int:
+        bit = self.bit
+        if bit + k > self.nbits:
+            raise _Vp8lError("bitstream exhausted")
+        data = self.data
+        v = 0
+        for i in range(k):
+            v |= ((data[(bit + i) >> 3] >> ((bit + i) & 7)) & 1) << i
+        self.bit = bit + k
+        return v
+
+
+def _vp8l_canonical(lengths):
+    """Canonical-Huffman decode structure from per-symbol code lengths
+    (DEFLATE convention per RFC 9649 §4.1.2): ('single', sym) for the
+    degenerate one-symbol code (zero bits read), else a
+    {(len, code): sym} dict walked MSB-of-code-first.  Rejects
+    over-/under-subscribed codes — a corrupt stream must not decode."""
+    nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not nz:
+        raise _Vp8lError("empty code")
+    if len(nz) == 1:
+        return ("single", nz[0][1])
+    max_len = max(l for l, _ in nz)
+    if max_len > 15:
+        raise _Vp8lError("code length > 15")
+    bl_count = [0] * (max_len + 1)
+    for l, _ in nz:
+        bl_count[l] += 1
+    total = 0
+    for l in range(1, max_len + 1):
+        total += bl_count[l] << (max_len - l)
+    if total != (1 << max_len):
+        raise _Vp8lError("incomplete huffman code")
+    next_code = [0] * (max_len + 1)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    table = {}
+    for s, l in enumerate(lengths):
+        if l:
+            table[(l, next_code[l])] = s
+            next_code[l] += 1
+    return ("table", table)
+
+
+def _vp8l_read_sym(bits: _Vp8lBits, code) -> int:
+    if code[0] == "single":
+        return code[1]
+    table = code[1]
+    c = 0
+    for l in range(1, 16):
+        c = (c << 1) | bits.read(1)
+        sym = table.get((l, c))
+        if sym is not None:
+            return sym
+    raise _Vp8lError("bad huffman code")
+
+
+# code-length-code symbol order (RFC 9649 §4.1.2)
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_read_code(bits: _Vp8lBits, alphabet: int):
+    """One Huffman code: the 1-bit 'simple' form (1-2 symbols), or the
+    full code-length-code form with DEFLATE-style 16/17/18 repeats and
+    the optional max_symbol cap (RFC 9649 §4.1.2)."""
+    if bits.read(1):  # simple code
+        num = bits.read(1) + 1
+        if bits.read(1):
+            s0 = bits.read(8)
+        else:
+            s0 = bits.read(1)
+        syms = [s0]
+        if num == 2:
+            syms.append(bits.read(8))
+        if any(s >= alphabet for s in syms):
+            raise _Vp8lError("simple-code symbol out of range")
+        if num == 1:
+            return ("single", syms[0])
+        if syms[0] == syms[1]:
+            raise _Vp8lError("duplicate simple-code symbols")
+        return ("table", {(1, 0): syms[0], (1, 1): syms[1]})
+    num_codes = 4 + bits.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = bits.read(3)
+    cl_code = _vp8l_canonical(cl_lengths)
+    if bits.read(1):  # use a length cap on the coded symbol count
+        length_nbits = 2 + 2 * bits.read(3)
+        max_symbol = 2 + bits.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_read_sym(bits, cl_code)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat = 3 + bits.read(2)
+                fill = prev_len
+            elif cl == 17:
+                repeat = 3 + bits.read(3)
+                fill = 0
+            else:
+                repeat = 11 + bits.read(7)
+                fill = 0
+            if symbol + repeat > alphabet:
+                raise _Vp8lError("repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_prefix_value(bits: _Vp8lBits, prefix_code: int) -> int:
+    """LZ77 length/distance prefix decode (RFC 9649 §4.2.2): 24 prefix
+    slots, the first four direct, then exponentially-growing extra
+    bits."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra
+    return offset + bits.read(extra) + 1
+
+
+# 2-D distance map for distance codes 1..120 (RFC 9649 §4.2.2): close
+# pixels in the 8-neighborhood window get short codes; (dx, dy) with
+# distance = dy * xsize + dx.
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+_VP8L_LUT_BITS = 10  # peek-LUT width: covers codes ≤ 10 bits in one index
+
+
+def _vp8l_fast(code):
+    """(single_sym | None, lut, table) decode bundle for the hot loop:
+    a peek-LUT maps the next _VP8L_LUT_BITS of the stream (LSB-first,
+    so each code's bits are reversed into the index) straight to
+    (symbol, length); longer codes fall back to the bit-by-bit dict
+    walk.  Same structure as the JPEG decoder's 12-bit DHT LUT."""
+    if code[0] == "single":
+        return (code[1], None, None)
+    table = code[1]
+    W = _VP8L_LUT_BITS
+    lut = [None] * (1 << W)
+    for (l, c), s in table.items():
+        if l > W:
+            continue
+        # reverse the code's l bits: stream delivers MSB-of-code first,
+        # but the window is indexed LSB-first
+        rev = 0
+        for i in range(l):
+            rev |= ((c >> i) & 1) << (l - 1 - i)
+        for f in range(rev, 1 << W, 1 << l):
+            lut[f] = (s, l)
+    return (None, lut, table)
+
+
+def _vp8l_spatial(bits: _Vp8lBits, w: int, h: int, allow_meta: bool):
+    """Spatially-coded ARGB image (RFC 9649 §4.2-4.3): optional color
+    cache, optional meta-Huffman grouping (main image only), then the
+    literal / LZ77-backref / cache-hit pixel stream.  Returns a flat
+    row-major list of 32-bit ARGB ints.
+
+    The pixel loop keeps the bit reader in locals (acc/nbits) and
+    decodes symbols through per-code peek-LUTs — the same shape as the
+    optimized JPEG entropy loop; bit-exact with the reference reader,
+    including the abort-on-exhausted-stream contract."""
+    cache_bits = 0
+    cache = None
+    if bits.read(1):
+        cache_bits = bits.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise _Vp8lError("bad color-cache size")
+        cache = [0] * (1 << cache_bits)
+        cache_shift = 32 - cache_bits
+    meta = None
+    hbits = 0
+    n_groups = 1
+    if allow_meta and bits.read(1):
+        hbits = bits.read(3) + 2
+        mw = (w + (1 << hbits) - 1) >> hbits
+        mh = (h + (1 << hbits) - 1) >> hbits
+        meta_img = _vp8l_decode_image(bits, mw, mh, False)
+        # group index = (red << 8) | green of the sub-image pixel
+        meta = [((px >> 16) & 0xFF) << 8 | ((px >> 8) & 0xFF) for px in meta_img]
+        n_groups = max(meta) + 1
+        meta_w = mw
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _vp8l_read_code(bits, green_alpha),
+                _vp8l_read_code(bits, 256),
+                _vp8l_read_code(bits, 256),
+                _vp8l_read_code(bits, 256),
+                _vp8l_read_code(bits, 40),
+            )
+        )
+    n_px = w * h
+    out = [0] * n_px
+    p = 0
+    fast_groups = [tuple(_vp8l_fast(c) for c in g) for g in groups]
+    lut_mask = (1 << _VP8L_LUT_BITS) - 1
+
+    # bit reader hoisted into locals; resynced to `bits` on return
+    data = bits.data
+    dlen = len(data)
+    pos = bits.bit
+    bytepos = pos >> 3
+    rem = pos & 7
+    if bytepos < dlen:
+        acc = data[bytepos] >> rem
+        nb = 8 - rem
+        bytepos += 1
+    else:
+        acc = 0
+        nb = 0
+
+    def sync_back():
+        bits.bit = bytepos * 8 - nb
+
+    def read_k(k):  # inline-refill scalar read (cold paths: extras)
+        nonlocal acc, nb, bytepos
+        while nb < k:
+            if bytepos >= dlen:
+                raise _Vp8lError("bitstream exhausted")
+            acc |= data[bytepos] << nb
+            bytepos += 1
+            nb += 8
+        v = acc & ((1 << k) - 1)
+        acc >>= k
+        nb -= k
+        return v
+
+    def read_sym_fast(fc):
+        nonlocal acc, nb, bytepos
+        single, lut, table = fc
+        if single is not None:
+            return single
+        while nb < 15 and bytepos < dlen:
+            acc |= data[bytepos] << nb
+            bytepos += 1
+            nb += 8
+        hit = lut[acc & lut_mask]
+        if hit is not None:
+            s, l = hit
+            if l > nb:
+                raise _Vp8lError("bitstream exhausted")
+            acc >>= l
+            nb -= l
+            return s
+        c = 0
+        for l in range(1, 16):
+            if nb == 0:
+                raise _Vp8lError("bitstream exhausted")
+            c = (c << 1) | (acc & 1)
+            acc >>= 1
+            nb -= 1
+            s = table.get((l, c))
+            if s is not None:
+                return s
+        raise _Vp8lError("bad huffman code")
+
+    def prefix_val(prefix_code):
+        if prefix_code < 4:
+            return prefix_code + 1
+        extra = (prefix_code - 2) >> 1
+        return ((2 + (prefix_code & 1)) << extra) + read_k(extra) + 1
+
+    fg = fast_groups[0]
+    while p < n_px:
+        if meta is not None:
+            y, x = divmod(p, w)
+            g_idx = meta[(y >> hbits) * meta_w + (x >> hbits)]
+            if g_idx >= n_groups:
+                raise _Vp8lError("bad meta index")
+            fg = fast_groups[g_idx]
+        green_f, red_f, blue_f, alpha_f, dist_f = fg
+        s = read_sym_fast(green_f)
+        if s < 256:
+            r = read_sym_fast(red_f)
+            b = read_sym_fast(blue_f)
+            a = read_sym_fast(alpha_f)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[p] = px
+            p += 1
+            if cache is not None:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
+        elif s < 280:
+            length = prefix_val(s - 256)
+            dist_code = prefix_val(read_sym_fast(dist_f))
+            if dist_code > 120:
+                distance = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                distance = dy * w + dx
+                if distance < 1:
+                    distance = 1
+            if distance > p or p + length > n_px:
+                raise _Vp8lError("backref out of range")
+            if cache is not None:
+                for _ in range(length):
+                    px = out[p - distance]
+                    out[p] = px
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
+                    p += 1
+            else:
+                for _ in range(length):
+                    out[p] = out[p - distance]
+                    p += 1
+        else:
+            if cache is None:
+                raise _Vp8lError("cache hit without cache")
+            out[p] = cache[s - 280]
+            p += 1
+    sync_back()
+    return out
+
+
+def _vp8l_decode_image(bits: _Vp8lBits, w: int, h: int, level0: bool):
+    """Decode one image stream (RFC 9649 §5): the main (level-0) image
+    may carry up to four transforms, each at most once; auxiliary
+    images (predictor / color / palette / meta-Huffman sub-images)
+    carry none and may not nest meta-Huffman grouping."""
+    import numpy as np
+
+    if not w or not h or w * h > (1 << 24):
+        raise _Vp8lError("absurd dimensions")
+    orig_w = w
+    transforms = []
+    seen = set()
+    if level0:
+        while bits.read(1):
+            ttype = bits.read(2)
+            if ttype in seen:
+                raise _Vp8lError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract green
+                transforms.append(("subgreen",))
+            elif ttype in (0, 1):  # predictor / cross-color
+                size_bits = bits.read(3) + 2
+                bw = (w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub = _vp8l_decode_image(bits, bw, bh, False)
+                transforms.append(
+                    ("pred" if ttype == 0 else "color", size_bits, bw, sub)
+                )
+            else:  # color indexing (palette)
+                psize = bits.read(8) + 1
+                pal_raw = _vp8l_decode_image(bits, psize, 1, False)
+                # palette entries are stored componentwise delta-coded
+                pal = []
+                prev = 0
+                for px in pal_raw:
+                    a = ((px >> 24) + (prev >> 24)) & 0xFF
+                    r = (((px >> 16) & 0xFF) + ((prev >> 16) & 0xFF)) & 0xFF
+                    g = (((px >> 8) & 0xFF) + ((prev >> 8) & 0xFF)) & 0xFF
+                    b = ((px & 0xFF) + (prev & 0xFF)) & 0xFF
+                    prev = (a << 24) | (r << 16) | (g << 8) | b
+                    pal.append(prev)
+                if psize <= 2:
+                    width_bits = 3
+                elif psize <= 4:
+                    width_bits = 2
+                elif psize <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append(("palette", pal, width_bits, w))
+                w = (w + (1 << width_bits) - 1) >> width_bits
+    argb = _vp8l_spatial(bits, w, h, level0)
+
+    for t in reversed(transforms):
+        if t[0] == "palette":
+            _, pal, width_bits, full_w = t
+            npal = len(pal)
+            if width_bits:
+                per = 1 << width_bits
+                ibits = 8 >> width_bits
+                mask = (1 << ibits) - 1
+                expanded = [0] * (full_w * h)
+                packed_w = w
+                for y in range(h):
+                    row = y * packed_w
+                    orow = y * full_w
+                    for x in range(full_w):
+                        packed = argb[row + (x >> width_bits)]
+                        idx = ((packed >> 8) >> ((x % per) * ibits)) & mask
+                        expanded[orow + x] = pal[idx] if idx < npal else 0
+                argb = expanded
+                w = full_w
+            else:
+                argb = [
+                    pal[(px >> 8) & 0xFF] if ((px >> 8) & 0xFF) < npal else 0
+                    for px in argb
+                ]
+        elif t[0] == "subgreen":
+            arr = np.array(argb, np.uint32)
+            g = (arr >> 8) & 0xFF
+            r = ((arr >> 16) & 0xFF) + g
+            b = (arr & 0xFF) + g
+            arr = (
+                (arr & 0xFF00FF00)
+                | ((r & 0xFF) << 16)
+                | (b & 0xFF)
+            )
+            argb = arr.tolist()
+        elif t[0] == "color":
+            _, size_bits, bw, sub = t
+            arr = np.array(argb, np.uint32).reshape(h, w)
+            subarr = np.array(sub, np.uint32).reshape(-1, bw)
+            ys = np.arange(h) >> size_bits
+            xs = np.arange(w) >> size_bits
+            cte = subarr[ys[:, None], xs[None, :]]
+            g2r = ((cte >> 0) & 0xFF).astype(np.int8).astype(np.int32)
+            g2b = ((cte >> 8) & 0xFF).astype(np.int8).astype(np.int32)
+            r2b = ((cte >> 16) & 0xFF).astype(np.int8).astype(np.int32)
+            green = ((arr >> 8) & 0xFF).astype(np.int8).astype(np.int32)
+            red = ((arr >> 16) & 0xFF).astype(np.int32)
+            blue = (arr & 0xFF).astype(np.int32)
+            red = (red + ((g2r * green) >> 5)) & 0xFF
+            blue = blue + ((g2b * green) >> 5)
+            red_i8 = red.astype(np.int8).astype(np.int32)
+            blue = (blue + ((r2b * red_i8) >> 5)) & 0xFF
+            arr = (
+                (arr & 0xFF00FF00)
+                | (red.astype(np.uint32) << 16)
+                | blue.astype(np.uint32)
+            )
+            argb = arr.reshape(-1).tolist()
+        else:  # predictor — inherently sequential (left/top recursion)
+            _, size_bits, bw, sub = t
+            out = argb
+            for p in range(len(out)):
+                y, x = divmod(p, w)
+                if p == 0:
+                    pa, pr, pg, pb = 0xFF, 0, 0, 0
+                else:
+                    mode = 1 if y == 0 else (2 if x == 0 else
+                                             ((sub[(y >> size_bits) * bw
+                                                   + (x >> size_bits)] >> 8)
+                                              & 0xFF))
+                    if mode > 13:
+                        raise _Vp8lError("bad predictor mode")
+                    L = out[p - 1] if x else 0
+                    T = out[p - w] if y else 0
+                    TL = out[p - w - 1] if (x and y) else 0
+                    # flat addressing: TR of the rightmost pixel is the
+                    # current row's leftmost (already decoded) pixel
+                    TR = out[p - w + 1] if y else 0
+                    pa, pr, pg, pb = _vp8l_predict(mode, L, T, TL, TR)
+                px = out[p]
+                out[p] = (
+                    (((px >> 24) + pa) & 0xFF) << 24
+                    | ((((px >> 16) & 0xFF) + pr) & 0xFF) << 16
+                    | ((((px >> 8) & 0xFF) + pg) & 0xFF) << 8
+                    | (((px & 0xFF) + pb) & 0xFF)
+                )
+            argb = out
+    if w != orig_w:
+        raise _Vp8lError("transform width mismatch")
+    return argb
+
+
+def _vp8l_predict(mode, L, T, TL, TR):
+    """One predictor-mode pixel (RFC 9649 §4.4.2), returned as
+    (a, r, g, b) channel tuple."""
+
+    def ch(px):
+        return ((px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                (px >> 8) & 0xFF, px & 0xFF)
+
+    def avg2(u, v):
+        return tuple((a + b) >> 1 for a, b in zip(ch(u), ch(v)))
+
+    if mode == 0:
+        return (0xFF, 0, 0, 0)
+    if mode == 1:
+        return ch(L)
+    if mode == 2:
+        return ch(T)
+    if mode == 3:
+        return ch(TR)
+    if mode == 4:
+        return ch(TL)
+    if mode == 5:
+        inner = avg2(L, TR)
+        return tuple((a + b) >> 1 for a, b in zip(inner, ch(T)))
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        i1 = avg2(L, TL)
+        i2 = avg2(T, TR)
+        return tuple((a + b) >> 1 for a, b in zip(i1, i2))
+    lc, tc, tlc = ch(L), ch(T), ch(TL)
+    if mode == 11:  # Select: the full gradient L+T-TL picks L or T by
+        # total channel error; |pred-L| reduces to |T-TL|, |pred-T| to
+        # |L-TL|
+        p_l = sum(abs(t - tl) for t, tl in zip(tc, tlc))
+        p_t = sum(abs(l - tl) for l, tl in zip(lc, tlc))
+        return lc if p_l <= p_t else tc
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            min(255, max(0, l + t - tl)) for l, t, tl in zip(lc, tc, tlc)
+        )
+    # mode 13: ClampAddSubtractHalf — C-style trunc-toward-zero halving
+    out = []
+    for l, t, tl in zip(lc, tc, tlc):
+        a = (l + t) >> 1
+        d = a - tl
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(min(255, max(0, a + half)))
+    return tuple(out)
+
+
+def webp_pixels(payload: bytes):
+    """REAL (h, w, 3) uint8 RGB decode of a LOSSLESS WebP (VP8L chunk,
+    RFC 9649): RIFF chunk walk (direct or inside a VP8X extended
+    container), then the full VP8L stream — LSB-first bit reader,
+    canonical Huffman via the DEFLATE-style code-length code, optional
+    color cache and meta-Huffman groups, LZ77 backrefs with the 2-D
+    distance map, and all four transforms inverted in reverse order
+    (predictor / cross-color / subtract-green / color-indexing incl.
+    sub-byte index bundling).  Alpha drops like the PNG path.  Lossy
+    VP8 returns None — boolean arithmetic decoding plus the loop filter
+    is the documented codec-library boundary.
+
+    Scale note: same class as the JPEG decoder — the entropy stream is
+    an irreducibly sequential per-image Python walk, parallel across
+    images inside the Arrow-batched ``mapInPandas`` tasks; transform
+    inversion is numpy-vectorized except the (inherently recursive)
+    predictor pass."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 20:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    n = len(payload)
+    pos = 12
+    stream = None
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if fourcc == b"VP8L":
+            stream = payload[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size % 2)
+    if stream is None or len(stream) < 5 or stream[0] != 0x2F:
+        return None
+    try:
+        bits = _Vp8lBits(stream[1:])
+        w = bits.read(14) + 1
+        h = bits.read(14) + 1
+        bits.read(1)  # alpha-used hint
+        if bits.read(3) != 0:  # version must be 0
+            return None
+        if w * h > (1 << 24):
+            return None
+        argb = _vp8l_decode_image(bits, w, h, True)
+    except _Vp8lError:
+        return None
+    arr = np.array(argb, np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), np.uint8)
+    rgb[:, :, 0] = (arr >> 16) & 0xFF
+    rgb[:, :, 1] = (arr >> 8) & 0xFF
+    rgb[:, :, 2] = arr & 0xFF
+    return rgb

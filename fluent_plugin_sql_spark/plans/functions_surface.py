@@ -896,6 +896,97 @@ def tiff_jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "webp_pipeline_brightness",
+    oracle="""
+    SELECT doc_id,
+           8 + (doc_id % 5) AS width,
+           4 + (doc_id % 3) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness
+    FROM documents
+    """,
+)
+def webp_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web-image pipeline through the REAL WebP-lossless
+    decoder (operators/multimodal.webp_pixels, RFC 9649 VP8L):
+    synthesize a uniform-fill VP8L per document built bit-by-bit —
+    RIFF/WEBP container, 14-bit dimension fields, and five
+    single-symbol 'simple' Huffman codes, under which every literal
+    pixel costs ZERO bits, so the whole image is headers.  Lossless
+    decode means brightness is exactly the fill value and DuckDB
+    predicts every row arithmetically.  Scale shape: two Arrow-batched
+    mapInPandas stages, zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def vp8l_uniform(w, h, v):
+            bits = []  # (value, nbits), LSB-first
+
+            def put(val, k):
+                bits.append((val, k))
+
+            put(w - 1, 14)
+            put(h - 1, 14)
+            put(0, 1)  # no alpha
+            put(0, 3)  # version
+            put(0, 1)  # no transforms
+            put(0, 1)  # no color cache
+            put(0, 1)  # no meta-huffman
+            # five simple-form single-symbol codes: green/red/blue = v,
+            # alpha = 255, distance = 0 — every literal then reads 0 bits
+            for sym in (v, v, v, 255, 0):
+                put(1, 1)  # simple
+                put(0, 1)  # one symbol
+                if sym < 2:
+                    put(0, 1)
+                    put(sym, 1)
+                else:
+                    put(1, 1)
+                    put(sym, 8)
+            acc = n = 0
+            out = bytearray()
+            for val, k in bits:
+                acc |= val << n
+                n += k
+                while n >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    n -= 8
+            if n:
+                out.append(acc & 0xFF)
+            stream = b"\x2f" + bytes(out)
+            chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+            if len(stream) % 2:
+                chunk += b"\x00"
+            body = b"WEBP" + chunk
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    (d, vp8l_uniform(8 + d % 5, 4 + d % 3, d % 256))
+                )
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
+    webps = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(webps, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
     "audio_g711_rms",
     oracle="""
     SELECT doc_id, w AS window_idx, 64::BIGINT AS n_samples,
@@ -933,6 +1024,62 @@ def audio_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             yield pd_.DataFrame(
                 [(int(d), wav) for d in pdf["doc_id"]],
+                columns=["doc_id", "payload"],
+            )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_rms_windows(wavs, n_windows=2, strict=True)
+
+
+@query(
+    "audio_adpcm_rms",
+    oracle="""
+    SELECT doc_id, w AS window_idx, 65::BIGINT AS n_samples,
+           CAST(doc_id % 128 AS DOUBLE) AS rms
+    FROM documents, LATERAL (SELECT unnest(range(0, 2)) AS w) x
+    """,
+)
+def audio_adpcm_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compressed-audio pipeline through the REAL IMA/DVI
+    ADPCM decoder (operators/multimodal._ima_adpcm_decode, WAV fmt 17):
+    each document becomes a mono two-block ADPCM WAV whose block
+    headers carry predictor = doc_id % 128 at step index 0 and whose
+    code nibbles are all zero — at the minimum step (7) code 0
+    dequantizes to diff = 7>>3 = 0, so every decoded sample equals the
+    header predictor EXACTLY and the per-window RMS is the predictor
+    itself, stated arithmetically by the oracle.  Scale shape: one
+    synth map + one Arrow-batched mapInPandas, zero shuffles."""
+    from ..operators.multimodal import audio_rms_windows
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def adpcm_wav(v):
+            # block: 4-byte header (pred, idx=0) + 32 zero code bytes
+            # -> 1 + 64 = 65 samples per block, two blocks
+            block = struct.pack("<hBB", v, 0, 0) + bytes(32)
+            data = block * 2
+            fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 36, 4)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd_.DataFrame(
+                [(int(d), adpcm_wav(int(d) % 128)) for d in pdf["doc_id"]],
                 columns=["doc_id", "payload"],
             )
 
