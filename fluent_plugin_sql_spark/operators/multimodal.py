@@ -626,14 +626,16 @@ def sample_video_frames(
     strict: bool = False,
     decode_frame=None,
 ) -> DataFrame:
-    """REAL video frame sampling over MJPEG and animated-GIF payloads:
-    MJPEG assets split into JPEG frames (:func:`mjpeg_frame_spans`,
-    decoded lazily so only sampled frames pay decode cost); GIF assets
-    decode through :func:`gif_frames` (composited frames).  Every
-    ``every_k``-th frame — at most ``max_frames`` — yields per-frame
-    dimensions + brightness.  This upgrades the byte-offset
-    :func:`sample_frames` stub to real decode paths for two genuine
-    animation formats; H.264/VP9 remain behind the codec boundary.
+    """REAL video frame sampling over MJPEG, animated-GIF, and
+    animated-lossless-WebP payloads: MJPEG assets split into JPEG
+    frames (:func:`mjpeg_frame_spans`, decoded lazily so only sampled
+    frames pay decode cost); GIF assets decode through
+    :func:`gif_frames` and WebP through :func:`webp_frames` (composited
+    frames).  Every ``every_k``-th frame — at most ``max_frames`` —
+    yields per-frame dimensions + brightness.  This upgrades the
+    byte-offset :func:`sample_frames` stub to real decode paths for
+    three genuine animation formats; H.264/VP9/lossy-WebP remain behind
+    the codec boundary.
 
     Scale shape: one Arrow-batched ``mapInPandas`` stage, constant
     memory per task (one asset's sampled frames at a time), no shuffle;
@@ -660,17 +662,19 @@ def sample_video_frames(
                         )
                     ]
                 else:
-                    gframes = (
-                        gif_frames(p)
-                        if p is not None and p[:4] == b"GIF8"
-                        else None
-                    )
+                    if p is not None and p[:4] == b"GIF8":
+                        gframes = gif_frames(p)
+                    elif p is not None and p[:4] == b"RIFF":
+                        gframes = webp_frames(p)
+                    else:
+                        gframes = None
                     if not gframes:
                         if strict:
                             raise NotImplementedError(
-                                "not a splittable MJPEG/GIF stream; "
-                                "compressed video formats (H.264/VP9) "
-                                "require a codec library"
+                                "not a splittable MJPEG/GIF/animated-"
+                                "lossless-WebP stream; compressed video "
+                                "formats (H.264/VP9, lossy WebP) require "
+                                "a codec library"
                             )
                         continue
                     n_frames = len(gframes)
@@ -2786,58 +2790,16 @@ def _vp8l_spatial(bits: _Vp8lBits, w: int, h: int, allow_meta: bool):
         acc = 0
         nb = 0
 
-    def sync_back():
-        bits.bit = bytepos * 8 - nb
-
-    def read_k(k):  # inline-refill scalar read (cold paths: extras)
-        nonlocal acc, nb, bytepos
-        while nb < k:
-            if bytepos >= dlen:
-                raise _Vp8lError("bitstream exhausted")
-            acc |= data[bytepos] << nb
-            bytepos += 1
-            nb += 8
-        v = acc & ((1 << k) - 1)
-        acc >>= k
-        nb -= k
-        return v
-
-    def read_sym_fast(fc):
-        nonlocal acc, nb, bytepos
-        single, lut, table = fc
-        if single is not None:
-            return single
-        while nb < 15 and bytepos < dlen:
-            acc |= data[bytepos] << nb
-            bytepos += 1
-            nb += 8
-        hit = lut[acc & lut_mask]
-        if hit is not None:
-            s, l = hit
-            if l > nb:
-                raise _Vp8lError("bitstream exhausted")
-            acc >>= l
-            nb -= l
-            return s
-        c = 0
-        for l in range(1, 16):
-            if nb == 0:
-                raise _Vp8lError("bitstream exhausted")
-            c = (c << 1) | (acc & 1)
-            acc >>= 1
-            nb -= 1
-            s = table.get((l, c))
-            if s is not None:
-                return s
-        raise _Vp8lError("bad huffman code")
-
-    def prefix_val(prefix_code):
-        if prefix_code < 4:
-            return prefix_code + 1
-        extra = (prefix_code - 2) >> 1
-        return ((2 + (prefix_code & 1)) << extra) + read_k(extra) + 1
-
+    # the four per-pixel symbol decodes are inlined below (no function
+    # calls, no cell variables) — same locals-inlined shape as the JPEG
+    # entropy loop; bit-exact with the cold-path reader incl. the
+    # abort-on-exhausted-stream contract.  Each decode: refill to 15
+    # bits, peek-LUT hit (codes ≤ _VP8L_LUT_BITS), else bit-by-bit walk.
     fg = fast_groups[0]
+    (g_single, g_lut, g_tbl), (r_single, r_lut, r_tbl), \
+        (b_single, b_lut, b_tbl), (a_single, a_lut, a_tbl), \
+        (d_single, d_lut, d_tbl) = fg
+    exhausted = _Vp8lError("bitstream exhausted")
     while p < n_px:
         if meta is not None:
             y, x = divmod(p, w)
@@ -2845,20 +2807,184 @@ def _vp8l_spatial(bits: _Vp8lBits, w: int, h: int, allow_meta: bool):
             if g_idx >= n_groups:
                 raise _Vp8lError("bad meta index")
             fg = fast_groups[g_idx]
-        green_f, red_f, blue_f, alpha_f, dist_f = fg
-        s = read_sym_fast(green_f)
+            (g_single, g_lut, g_tbl), (r_single, r_lut, r_tbl), \
+                (b_single, b_lut, b_tbl), (a_single, a_lut, a_tbl), \
+                (d_single, d_lut, d_tbl) = fg
+        if g_single is not None:
+            s = g_single
+        else:
+            while nb < 15 and bytepos < dlen:
+                acc |= data[bytepos] << nb
+                bytepos += 1
+                nb += 8
+            hit = g_lut[acc & lut_mask]
+            if hit is not None:
+                s, l = hit
+                if l > nb:
+                    raise exhausted
+                acc >>= l
+                nb -= l
+            else:
+                c = 0
+                s = None
+                for l in range(1, 16):
+                    if nb == 0:
+                        raise exhausted
+                    c = (c << 1) | (acc & 1)
+                    acc >>= 1
+                    nb -= 1
+                    s = g_tbl.get((l, c))
+                    if s is not None:
+                        break
+                if s is None:
+                    raise _Vp8lError("bad huffman code")
         if s < 256:
-            r = read_sym_fast(red_f)
-            b = read_sym_fast(blue_f)
-            a = read_sym_fast(alpha_f)
+            if r_single is not None:
+                r = r_single
+            else:
+                while nb < 15 and bytepos < dlen:
+                    acc |= data[bytepos] << nb
+                    bytepos += 1
+                    nb += 8
+                hit = r_lut[acc & lut_mask]
+                if hit is not None:
+                    r, l = hit
+                    if l > nb:
+                        raise exhausted
+                    acc >>= l
+                    nb -= l
+                else:
+                    c = 0
+                    r = None
+                    for l in range(1, 16):
+                        if nb == 0:
+                            raise exhausted
+                        c = (c << 1) | (acc & 1)
+                        acc >>= 1
+                        nb -= 1
+                        r = r_tbl.get((l, c))
+                        if r is not None:
+                            break
+                    if r is None:
+                        raise _Vp8lError("bad huffman code")
+            if b_single is not None:
+                b = b_single
+            else:
+                while nb < 15 and bytepos < dlen:
+                    acc |= data[bytepos] << nb
+                    bytepos += 1
+                    nb += 8
+                hit = b_lut[acc & lut_mask]
+                if hit is not None:
+                    b, l = hit
+                    if l > nb:
+                        raise exhausted
+                    acc >>= l
+                    nb -= l
+                else:
+                    c = 0
+                    b = None
+                    for l in range(1, 16):
+                        if nb == 0:
+                            raise exhausted
+                        c = (c << 1) | (acc & 1)
+                        acc >>= 1
+                        nb -= 1
+                        b = b_tbl.get((l, c))
+                        if b is not None:
+                            break
+                    if b is None:
+                        raise _Vp8lError("bad huffman code")
+            if a_single is not None:
+                a = a_single
+            else:
+                while nb < 15 and bytepos < dlen:
+                    acc |= data[bytepos] << nb
+                    bytepos += 1
+                    nb += 8
+                hit = a_lut[acc & lut_mask]
+                if hit is not None:
+                    a, l = hit
+                    if l > nb:
+                        raise exhausted
+                    acc >>= l
+                    nb -= l
+                else:
+                    c = 0
+                    a = None
+                    for l in range(1, 16):
+                        if nb == 0:
+                            raise exhausted
+                        c = (c << 1) | (acc & 1)
+                        acc >>= 1
+                        nb -= 1
+                        a = a_tbl.get((l, c))
+                        if a is not None:
+                            break
+                    if a is None:
+                        raise _Vp8lError("bad huffman code")
             px = (a << 24) | (r << 16) | (s << 8) | b
             out[p] = px
             p += 1
             if cache is not None:
                 cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> cache_shift] = px
         elif s < 280:
-            length = prefix_val(s - 256)
-            dist_code = prefix_val(read_sym_fast(dist_f))
+            # LZ77: length prefix extra bits
+            pc = s - 256
+            if pc < 4:
+                length = pc + 1
+            else:
+                k = (pc - 2) >> 1
+                while nb < k:
+                    if bytepos >= dlen:
+                        raise exhausted
+                    acc |= data[bytepos] << nb
+                    bytepos += 1
+                    nb += 8
+                length = ((2 + (pc & 1)) << k) + (acc & ((1 << k) - 1)) + 1
+                acc >>= k
+                nb -= k
+            if d_single is not None:
+                ds = d_single
+            else:
+                while nb < 15 and bytepos < dlen:
+                    acc |= data[bytepos] << nb
+                    bytepos += 1
+                    nb += 8
+                hit = d_lut[acc & lut_mask]
+                if hit is not None:
+                    ds, l = hit
+                    if l > nb:
+                        raise exhausted
+                    acc >>= l
+                    nb -= l
+                else:
+                    c = 0
+                    ds = None
+                    for l in range(1, 16):
+                        if nb == 0:
+                            raise exhausted
+                        c = (c << 1) | (acc & 1)
+                        acc >>= 1
+                        nb -= 1
+                        ds = d_tbl.get((l, c))
+                        if ds is not None:
+                            break
+                    if ds is None:
+                        raise _Vp8lError("bad huffman code")
+            if ds < 4:
+                dist_code = ds + 1
+            else:
+                k = (ds - 2) >> 1
+                while nb < k:
+                    if bytepos >= dlen:
+                        raise exhausted
+                    acc |= data[bytepos] << nb
+                    bytepos += 1
+                    nb += 8
+                dist_code = ((2 + (ds & 1)) << k) + (acc & ((1 << k) - 1)) + 1
+                acc >>= k
+                nb -= k
             if dist_code > 120:
                 distance = dist_code - 120
             else:
@@ -2883,7 +3009,7 @@ def _vp8l_spatial(bits: _Vp8lBits, w: int, h: int, allow_meta: bool):
                 raise _Vp8lError("cache hit without cache")
             out[p] = cache[s - 280]
             p += 1
-    sync_back()
+    bits.bit = bytepos * 8 - nb
     return out
 
 
@@ -3124,23 +3250,120 @@ def webp_pixels(payload: bytes):
             stream = payload[pos + 8 : pos + 8 + size]
             break
         pos += 8 + size + (size % 2)
-    if stream is None or len(stream) < 5 or stream[0] != 0x2F:
+    if stream is None:
         return None
     try:
-        bits = _Vp8lBits(stream[1:])
-        w = bits.read(14) + 1
-        h = bits.read(14) + 1
-        bits.read(1)  # alpha-used hint
-        if bits.read(3) != 0:  # version must be 0
-            return None
-        if w * h > (1 << 24):
-            return None
-        argb = _vp8l_decode_image(bits, w, h, True)
+        return _vp8l_stream_rgb(stream)
     except _Vp8lError:
         return None
+
+
+def _vp8l_stream_rgb(stream: bytes):
+    """(h, w, 3) uint8 RGB from one bare VP8L stream (signature byte +
+    bitstream); raises _Vp8lError on corruption."""
+    import numpy as np
+
+    if len(stream) < 5 or stream[0] != 0x2F:
+        raise _Vp8lError("bad VP8L signature")
+    bits = _Vp8lBits(stream[1:])
+    w = bits.read(14) + 1
+    h = bits.read(14) + 1
+    bits.read(1)  # alpha-used hint
+    if bits.read(3) != 0:  # version must be 0
+        raise _Vp8lError("bad VP8L version")
+    if w * h > (1 << 24):
+        raise _Vp8lError("absurd dimensions")
+    argb = _vp8l_decode_image(bits, w, h, True)
     arr = np.array(argb, np.uint32).reshape(h, w)
     rgb = np.empty((h, w, 3), np.uint8)
     rgb[:, :, 0] = (arr >> 16) & 0xFF
     rgb[:, :, 1] = (arr >> 8) & 0xFF
     rgb[:, :, 2] = arr & 0xFF
     return rgb
+
+
+def webp_frames(payload: bytes, max_frames: int = 64):
+    """Composited RGB frames of an ANIMATED lossless WebP (RFC 9649
+    container: VP8X with the animation flag, ANIM background, one ANMF
+    chunk per frame wrapping a VP8L sub-stream) — the same compositing
+    scope as :func:`gif_frames`: frames paste at their (2·x, 2·y)
+    offsets as opaque pixels, dispose-to-background resets the painted
+    region, and the canvas starts at the ANIM background color.  A
+    still VP8L decodes as a single frame.  Returns None when any frame
+    needs the lossy VP8 codec, matching the whole-asset drop contract."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 20:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    n = len(payload)
+    pos = 12
+    frames = []
+    animated = False
+    canvas = None
+    bg = (255, 255, 255)
+    dispose_prev = None  # (region slice pair) to clear before next frame
+    try:
+        while pos + 8 <= n and len(frames) < max_frames:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + size]
+            if fourcc == b"VP8X" and len(body) >= 10:
+                animated = bool(body[0] & 0x02)
+                cw = int.from_bytes(body[4:7], "little") + 1
+                ch = int.from_bytes(body[7:10], "little") + 1
+                if cw * ch > (1 << 24):
+                    return None
+                canvas = np.zeros((ch, cw, 3), np.uint8)
+            elif fourcc == b"ANIM" and len(body) >= 6:
+                # background is stored B, G, R, A
+                bg = (body[2], body[1], body[0])
+                if canvas is not None:
+                    canvas[:, :] = bg
+            elif fourcc == b"ANMF" and len(body) >= 16 and animated:
+                if canvas is None:
+                    return None
+                fx = int.from_bytes(body[0:3], "little") * 2
+                fy = int.from_bytes(body[3:6], "little") * 2
+                fw = int.from_bytes(body[6:9], "little") + 1
+                fh = int.from_bytes(body[9:12], "little") + 1
+                flags = body[15]
+                # frame data: sub-chunks (ALPH skipped, VP8L decoded)
+                spos = 16
+                rgb = None
+                while spos + 8 <= len(body):
+                    sc = body[spos : spos + 4]
+                    (ssz,) = struct.unpack_from("<I", body, spos + 4)
+                    if sc == b"VP8L":
+                        rgb = _vp8l_stream_rgb(
+                            body[spos + 8 : spos + 8 + ssz]
+                        )
+                        break
+                    if sc == b"VP8 ":
+                        return None  # lossy frame: codec boundary
+                    spos += 8 + ssz + (ssz % 2)
+                if rgb is None or rgb.shape[0] < fh or rgb.shape[1] < fw:
+                    return None
+                if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                    return None
+                if dispose_prev is not None:
+                    ys, xs = dispose_prev
+                    canvas[ys, xs] = bg
+                    dispose_prev = None
+                canvas[fy : fy + fh, fx : fx + fw] = rgb[:fh, :fw]
+                frames.append(canvas.copy())
+                if flags & 0x01:  # dispose to background
+                    dispose_prev = (
+                        slice(fy, fy + fh), slice(fx, fx + fw)
+                    )
+            elif fourcc == b"VP8L":
+                return [_vp8l_stream_rgb(body)]
+            elif fourcc == b"VP8 ":
+                return None
+            pos += 8 + size + (size % 2)
+    except _Vp8lError:
+        return None
+    return frames or None

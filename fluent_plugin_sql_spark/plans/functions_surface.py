@@ -719,6 +719,83 @@ def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_frame_sample",
+    oracle="""
+    SELECT doc_id, f AS frame_idx, 3 AS n_frames,
+           12 AS width, 6 AS height,
+           CAST((doc_id + 40 * f) % 256 AS DOUBLE) AS brightness
+    FROM documents, LATERAL (SELECT unnest([0, 1, 2]) AS f) x
+    """,
+)
+def webp_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END animation sampling through the REAL animated-WebP
+    path (operators/multimodal.webp_frames → VP8L): each document
+    becomes a 3-frame 12×6 animated WebP — VP8X animation flag, ANIM
+    background, one ANMF chunk per frame wrapping a headers-only
+    uniform VP8L stream (fill = (doc_id + 40·frame) % 256).  Full-
+    canvas opaque frames composite to themselves, so per-frame
+    brightness is exact and DuckDB predicts every row arithmetically.
+    Scale shape: one synth map + one Arrow-batched mapInPandas, zero
+    shuffles; ``max_frames`` bounds decode cost per asset."""
+    from ..operators.multimodal import sample_video_frames
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        def anim_webp(w, h, fills):
+            chunks = []
+            vp8x = bytes([0x02, 0, 0, 0]) + (w - 1).to_bytes(
+                3, "little"
+            ) + (h - 1).to_bytes(3, "little")
+            chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+            anim = bytes([0, 0, 0, 255]) + struct.pack("<H", 0)
+            chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+            for v in fills:
+                stream = _vp8l_uniform_stream(w, h, v)
+                sub = b"VP8L" + struct.pack("<I", len(stream)) + stream
+                if len(stream) % 2:
+                    sub += b"\x00"
+                body = (
+                    (0).to_bytes(3, "little") * 2
+                    + (w - 1).to_bytes(3, "little")
+                    + (h - 1).to_bytes(3, "little")
+                    + (40).to_bytes(3, "little")
+                    + bytes([0])
+                    + sub
+                )
+                chunks.append(
+                    b"ANMF" + struct.pack("<I", len(body)) + body
+                )
+                if len(body) % 2:
+                    chunks.append(b"\x00")
+            payload = b"WEBP" + b"".join(chunks)
+            return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    (d, anim_webp(12, 6, [(d + 40 * f) % 256
+                                          for f in range(3)]))
+                )
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
+    clips = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return sample_video_frames(clips, every_k=1, max_frames=3, strict=True)
+
+
+@query(
     "tiff_pipeline_brightness",
     oracle="""
     SELECT doc_id,
@@ -895,6 +972,48 @@ def tiff_jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame
     return feats.select("doc_id", "width", "height", "brightness")
 
 
+def _vp8l_uniform_stream(w: int, h: int, v: int) -> bytes:
+    """A uniform-fill bare VP8L stream built bit-by-bit (RFC 9649): no
+    transforms, no cache, five simple-form SINGLE-SYMBOL Huffman codes
+    (green/red/blue = v, alpha = 255, distance = 0) — a one-symbol code
+    reads ZERO bits per literal, so the whole image is headers and the
+    lossless decode is exactly the fill value.  Shared by the still and
+    animated WebP gate queries."""
+    bits = []  # (value, nbits), LSB-first
+
+    def put(val, k):
+        bits.append((val, k))
+
+    put(w - 1, 14)
+    put(h - 1, 14)
+    put(0, 1)  # no alpha
+    put(0, 3)  # version
+    put(0, 1)  # no transforms
+    put(0, 1)  # no color cache
+    put(0, 1)  # no meta-huffman
+    for sym in (v, v, v, 255, 0):
+        put(1, 1)  # simple
+        put(0, 1)  # one symbol
+        if sym < 2:
+            put(0, 1)
+            put(sym, 1)
+        else:
+            put(1, 1)
+            put(sym, 8)
+    acc = n = 0
+    out = bytearray()
+    for val, k in bits:
+        acc |= val << n
+        n += k
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return b"\x2f" + bytes(out)
+
+
 @query(
     "webp_pipeline_brightness",
     oracle="""
@@ -923,41 +1042,7 @@ def webp_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd_
 
         def vp8l_uniform(w, h, v):
-            bits = []  # (value, nbits), LSB-first
-
-            def put(val, k):
-                bits.append((val, k))
-
-            put(w - 1, 14)
-            put(h - 1, 14)
-            put(0, 1)  # no alpha
-            put(0, 3)  # version
-            put(0, 1)  # no transforms
-            put(0, 1)  # no color cache
-            put(0, 1)  # no meta-huffman
-            # five simple-form single-symbol codes: green/red/blue = v,
-            # alpha = 255, distance = 0 — every literal then reads 0 bits
-            for sym in (v, v, v, 255, 0):
-                put(1, 1)  # simple
-                put(0, 1)  # one symbol
-                if sym < 2:
-                    put(0, 1)
-                    put(sym, 1)
-                else:
-                    put(1, 1)
-                    put(sym, 8)
-            acc = n = 0
-            out = bytearray()
-            for val, k in bits:
-                acc |= val << n
-                n += k
-                while n >= 8:
-                    out.append(acc & 0xFF)
-                    acc >>= 8
-                    n -= 8
-            if n:
-                out.append(acc & 0xFF)
-            stream = b"\x2f" + bytes(out)
+            stream = _vp8l_uniform_stream(w, h, v)
             chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
             if len(stream) % 2:
                 chunk += b"\x00"

@@ -317,7 +317,19 @@ def _predict_ref(mode, L, T, TL, TR):
     return pack(out)
 
 
-def encode_vp8l(
+def encode_vp8l(rgb, **kwargs):
+    """rgb: (h, w, 3) uint8.  Emits a complete WebP container whose
+    VP8L stream uses the requested features; the decode must reproduce
+    rgb exactly."""
+    stream = encode_vp8l_stream(rgb, **kwargs)
+    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_vp8l_stream(
     rgb,
     alpha=None,
     cache_bits=0,
@@ -326,9 +338,8 @@ def encode_vp8l(
     palette=False,
     lz77=False,
 ):
-    """rgb: (h, w, 3) uint8.  Emits a complete WebP container whose
-    VP8L stream uses the requested features; the decode must reproduce
-    rgb exactly."""
+    """The bare VP8L stream (signature byte + bitstream), for direct
+    VP8L chunks and for ANMF animation frames alike."""
     h, w = rgb.shape[:2]
     a = alpha if alpha is not None else np.full((h, w), 255, np.uint8)
     argb = (
@@ -431,11 +442,45 @@ def encode_vp8l(
     _emit_spatial(
         wtr, _pixels_to_tokens(argb, cache_bits, lz77), cache_bits, True
     )
-    stream = b"\x2f" + wtr.bytes()
-    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
-    if len(stream) % 2:
-        chunk += b"\x00"
-    body = b"WEBP" + chunk
+    return b"\x2f" + wtr.bytes()
+
+
+def encode_webp_anim(frames, canvas_wh, offsets=None, dispose=None,
+                     bg=(0, 0, 0)):
+    """Animated WebP container: VP8X (animation flag) + ANIM + one ANMF
+    per frame wrapping a VP8L stream.  ``offsets`` are (x, y) pairs in
+    even pixels; ``dispose[i]`` sets frame i's dispose-to-background
+    flag."""
+    cw, ch = canvas_wh
+    chunks = []
+    vp8x = bytes([0x02, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (
+        ch - 1
+    ).to_bytes(3, "little")
+    chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    anim = bytes([bg[2], bg[1], bg[0], 255]) + struct.pack("<H", 0)
+    chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+    for i, fr in enumerate(frames):
+        fh, fw = fr.shape[:2]
+        x, y = (offsets or [(0, 0)] * len(frames))[i]
+        assert x % 2 == 0 and y % 2 == 0
+        stream = encode_vp8l_stream(fr)
+        sub = b"VP8L" + struct.pack("<I", len(stream)) + stream
+        if len(stream) % 2:
+            sub += b"\x00"
+        flags = 0x01 if (dispose or [False] * len(frames))[i] else 0
+        body = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + (40).to_bytes(3, "little")  # duration ms
+            + bytes([flags])
+            + sub
+        )
+        chunks.append(b"ANMF" + struct.pack("<I", len(body)) + body)
+        if len(body) % 2:
+            chunks.append(b"\x00")
+    body = b"WEBP" + b"".join(chunks)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -584,3 +629,105 @@ class TestVp8lDecode:
                 buf[int(g.integers(12, len(buf)))] = int(g.integers(0, 256))
             out = webp_pixels(bytes(buf))
             assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+class TestWebpAnimation:
+    def test_fullframe_animation(self):
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        frames = [_photo(10, 14, 20 + i) for i in range(3)]
+        wp = encode_webp_anim(frames, (14, 10))
+        out = webp_frames(wp)
+        assert len(out) == 3
+        for got, want in zip(out, frames):
+            np.testing.assert_array_equal(got, want)
+
+    def test_offset_frame_composites_over_previous(self):
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        base = _photo(12, 16, 30)
+        patch = _photo(4, 6, 31)
+        wp = encode_webp_anim(
+            [base, patch], (16, 12), offsets=[(0, 0), (4, 2)]
+        )
+        out = webp_frames(wp)
+        assert len(out) == 2
+        expect = base.copy()
+        expect[2:6, 4:10] = patch
+        np.testing.assert_array_equal(out[1], expect)
+
+    def test_dispose_to_background(self):
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        patch = _photo(4, 4, 32)
+        full = _photo(8, 8, 33)
+        wp = encode_webp_anim(
+            [full, patch, patch],
+            (8, 8),
+            offsets=[(0, 0), (2, 2), (0, 0)],
+            dispose=[False, True, False],
+            bg=(9, 8, 7),
+        )
+        out = webp_frames(wp)
+        assert len(out) == 3
+        # frame 2 painted over frame 1 WITH its region reset to bg first
+        expect = full.copy()
+        expect[2:6, 2:6] = (9, 8, 7)
+        expect[0:4, 0:4] = patch
+        np.testing.assert_array_equal(out[2], expect)
+
+    def test_still_vp8l_is_single_frame(self):
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        px = _photo(6, 6, 34)
+        out = webp_frames(encode_vp8l(px))
+        assert len(out) == 1
+        np.testing.assert_array_equal(out[0], px)
+
+    def test_lossy_frame_drops_asset(self):
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        frame = bytes([0, 0, 0]) + b"\x9d\x01\x2a" + struct.pack(
+            "<HH", 8, 8
+        ) + bytes(8)
+        sub = b"VP8 " + struct.pack("<I", len(frame)) + frame
+        body = (
+            (0).to_bytes(3, "little") * 2
+            + (7).to_bytes(3, "little") * 2
+            + (40).to_bytes(3, "little")
+            + bytes([0])
+            + sub
+        )
+        vp8x = bytes([0x02, 0, 0, 0]) + (7).to_bytes(3, "little") + (
+            7
+        ).to_bytes(3, "little")
+        chunks = (
+            b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+            + b"ANMF" + struct.pack("<I", len(body)) + body
+        )
+        wp = b"RIFF" + struct.pack("<I", len(chunks) + 4) + b"WEBP" + chunks
+        assert webp_frames(wp) is None
+
+    def test_sampler_integration_shape(self):
+        # webp_frames feeds sample_video_frames' non-strict path; check
+        # the frame list contract it relies on (composited full-canvas
+        # arrays, uint8)
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        frames = [_photo(6, 8, 35 + i) for i in range(5)]
+        out = webp_frames(encode_webp_anim(frames, (8, 6)), max_frames=4)
+        assert len(out) == 4  # max_frames honored
+        assert all(f.shape == (6, 8, 3) and f.dtype == np.uint8 for f in out)
+
+    def test_anim_fuzz_never_raises(self):
+        from fluent_plugin_sql_spark.operators.multimodal import webp_frames
+
+        frames = [_photo(8, 8, 40 + i) for i in range(2)]
+        wp = encode_webp_anim(frames, (8, 8))
+        g = np.random.default_rng(41)
+        for _ in range(200):
+            buf = bytearray(wp)
+            for _ in range(int(g.integers(1, 6))):
+                buf[int(g.integers(12, len(buf)))] = int(g.integers(0, 256))
+            out = webp_frames(bytes(buf))
+            assert out is None or isinstance(out, list)
