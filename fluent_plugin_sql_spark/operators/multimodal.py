@@ -3367,3 +3367,203 @@ def webp_frames(payload: bytes, max_frames: int = 64):
     except _Vp8lError:
         return None
     return frames or None
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("centroid_hz", T.DoubleType()),
+    ]
+)
+
+
+def audio_features_windows(
+    df: DataFrame,
+    n_windows: int = 4,
+    id_col: str = "doc_id",
+    strict: bool = True,
+) -> DataFrame:
+    """Windowed audio-analysis features over decodable WAV payloads
+    (PCM 16 / G.711 / IMA ADPCM via :func:`wav_pcm16_samples`) — the
+    standard cheap curation signals beyond loudness:
+
+    - ``rms``: root-mean-square amplitude (as :func:`audio_rms_windows`)
+    - ``zcr``: zero-crossing rate — sign changes / (n-1); separates
+      voiced speech / music / noise bands
+    - ``centroid_hz``: spectral centroid — power-weighted mean frequency
+      of the window's rFFT (DC excluded), in Hz from the header sample
+      rate; the brightness axis of silence/music/speech discrimination
+
+    All numpy-vectorized per window inside the same Arrow-batched
+    ``mapInPandas`` shape as the other audio ops: constant memory per
+    task, zero shuffles, features reduce each asset to O(windows)
+    doubles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                payload = None if p is None else bytes(p)
+                sm = wav_pcm16_samples(payload)
+                if sm is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "compressed-audio decode requires a codec "
+                            "library; PCM/G.711/IMA-ADPCM WAV decodes "
+                            "natively"
+                        )
+                    continue
+                rate = parse_wav_header(payload)[1]
+                mono = sm.astype(np.float64).mean(axis=1)
+                wlen = len(mono) // n_windows
+                for wi in range(n_windows):
+                    chunk = mono[wi * wlen : (wi + 1) * wlen]
+                    if len(chunk) == 0:
+                        rows.append((int(doc_id), wi, 0, 0.0, 0.0, 0.0))
+                        continue
+                    rms = float(np.sqrt((chunk**2).mean()))
+                    if len(chunk) > 1:
+                        s = np.sign(chunk)
+                        # zeros adopt the previous nonzero sign (no
+                        # spurious double-crossing through exact zero):
+                        # vectorized forward-fill via a running max of
+                        # last-nonzero indices; an all-zero prefix
+                        # falls back to +1
+                        nz = s != 0
+                        idx = np.where(nz, np.arange(len(s)), -1)
+                        np.maximum.accumulate(idx, out=idx)
+                        s = np.where(idx >= 0, s[np.maximum(idx, 0)], 1.0)
+                        zcr = float((s[1:] != s[:-1]).mean())
+                    else:
+                        zcr = 0.0
+                    spec = np.abs(np.fft.rfft(chunk)) ** 2
+                    spec[0] = 0.0  # exclude DC
+                    total = spec.sum()
+                    if total > 0:
+                        freqs = np.fft.rfftfreq(len(chunk), d=1.0 / rate)
+                        centroid = float((freqs * spec).sum() / total)
+                    else:
+                        centroid = 0.0
+                    rows.append(
+                        (
+                            int(doc_id),
+                            wi,
+                            len(chunk),
+                            round(rms, 6),
+                            round(zcr, 6),
+                            round(centroid, 6),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "window_idx", "n_samples",
+                    "rms", "zcr", "centroid_hz",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        gen, AUDIO_FEATURES_SCHEMA
+    )
+
+
+IMAGE_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("contrast", T.DoubleType()),
+        T.StructField("sharpness", T.DoubleType()),
+        T.StructField("colorfulness", T.DoubleType()),
+    ]
+)
+
+
+def image_quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strict: bool = False,
+    decode=None,
+) -> DataFrame:
+    """Image-quality curation signals over any decodable payload
+    (BMP/PPM/PNG/JPEG/GIF/TIFF/WebP-lossless via :func:`_read_pixels`,
+    or an injected native ``decode``) — the standard cheap filters of a
+    vision-data pipeline:
+
+    - ``brightness`` / ``contrast``: gray mean / gray std
+    - ``sharpness``: variance of the 4-neighbor Laplacian over interior
+      pixels (the classic blur detector; 0 for uniform AND for linear
+      gradients, large for in-focus detail)
+    - ``colorfulness``: Hasler-Süsstrunk metric
+      ``sqrt(var(rg)+var(yb)) + 0.3*sqrt(mean(rg)²+mean(yb)²)`` with
+      ``rg = R-G``, ``yb = (R+G)/2 - B``; 0 for any grayscale image
+
+    All numpy-vectorized per image inside the usual Arrow-batched
+    ``mapInPandas`` shape: constant memory per task, zero shuffles,
+    O(1) doubles out per asset."""
+    read_pixels = decode or _read_pixels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                arr = read_pixels(None if p is None else bytes(p))
+                if arr is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "pixel access for this format requires a "
+                            "codec library; PPM/BMP/PNG/JPEG/GIF/TIFF/"
+                            "WebP-lossless pixels decode natively"
+                        )
+                    continue
+                h, w, _ = arr.shape
+                f = arr.astype(np.float64)
+                gray = f.mean(axis=2)
+                if h >= 3 and w >= 3:
+                    lap = (
+                        4.0 * gray[1:-1, 1:-1]
+                        - gray[:-2, 1:-1]
+                        - gray[2:, 1:-1]
+                        - gray[1:-1, :-2]
+                        - gray[1:-1, 2:]
+                    )
+                    sharp = float(lap.var())
+                else:
+                    sharp = 0.0
+                rg = f[:, :, 0] - f[:, :, 1]
+                yb = 0.5 * (f[:, :, 0] + f[:, :, 1]) - f[:, :, 2]
+                color = float(
+                    np.sqrt(rg.var() + yb.var())
+                    + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        round(float(gray.mean()), 6),
+                        round(float(gray.std()), 6),
+                        round(sharp, 6),
+                        round(color, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "brightness",
+                    "contrast", "sharpness", "colorfulness",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        gen, IMAGE_QUALITY_SCHEMA
+    )

@@ -1015,6 +1015,61 @@ def _vp8l_uniform_stream(w: int, h: int, v: int) -> bytes:
 
 
 @query(
+    "image_quality_uniform",
+    oracle="""
+    SELECT doc_id,
+           6 + (doc_id % 4) AS width,
+           5 + (doc_id % 3) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness,
+           CAST(0 AS DOUBLE) AS contrast,
+           CAST(0 AS DOUBLE) AS sharpness,
+           CAST(0 AS DOUBLE) AS colorfulness
+    FROM documents
+    """,
+)
+def image_quality_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image-quality pipeline
+    (operators/multimodal.image_quality_features): synthesize a uniform
+    PPM per document.  A uniform image has ZERO contrast (gray std),
+    ZERO Laplacian-variance sharpness, and ZERO Hasler-Süsstrunk
+    colorfulness by construction, and brightness equals the fill value
+    exactly — so the quality metrics are arithmetic literals the oracle
+    states directly.  The non-trivial closed forms (checkerboard
+    Laplacian, colorfulness on random photos vs a numpy re-derivation)
+    live in tests/test_image_quality.py.  Scale shape: one synth map +
+    one Arrow-batched mapInPandas, zero shuffles."""
+    from ..operators.multimodal import image_quality_features
+
+    def synth(batches):
+        import pandas as pd_
+
+        def ppm(w, h, v):
+            return (
+                f"P6\n{w} {h}\n255\n".encode() + bytes([v] * (w * h * 3))
+            )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    (d, ppm(6 + d % 4, 5 + d % 3, d % 256))
+                )
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
+    imgs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return image_quality_features(imgs, strict=True)
+
+
+@query(
     "webp_pipeline_brightness",
     oracle="""
     SELECT doc_id,
@@ -1122,6 +1177,76 @@ def audio_g711_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
     return audio_rms_windows(wavs, n_windows=2, strict=True)
+
+
+@query(
+    "audio_zcr_centroid",
+    oracle="""
+    SELECT doc_id, w AS window_idx, 64::BIGINT AS n_samples,
+           CAST(16000 AS DOUBLE) AS rms,
+           CASE doc_id % 3 WHEN 0 THEN 1.0
+                           WHEN 1 THEN round(31.0 / 63, 6)
+                           ELSE round(15.0 / 63, 6) END AS zcr,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 4000.0
+                                WHEN 1 THEN 2000.0
+                                ELSE 1292.893219 END AS DOUBLE)
+             AS centroid_hz
+    FROM documents, LATERAL (SELECT unnest(range(0, 2)) AS w) x
+    """,
+)
+def audio_zcr_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio-analysis pipeline
+    (operators/multimodal.audio_features_windows): each document
+    becomes a 16-bit PCM WAV square wave with half-period k = 2^(d%3)
+    samples at 8 kHz.  Because the period divides the 64-sample window,
+    the DFT lands on exact bins — zero leakage — so zero-crossing rate
+    (⌊63/k⌋/63), RMS (exactly the amplitude), and spectral centroid
+    (4000 Hz at Nyquist; 2000 Hz; 1000·(4−√2)/(…) ≈ 1292.893219 Hz for
+    k=4, the square wave's odd-harmonic power mean) are closed-form
+    literals the oracle states directly.  Scale shape: one synth map +
+    one Arrow-batched mapInPandas, zero shuffles."""
+    from ..operators.multimodal import audio_features_windows
+
+    def synth(batches):
+        import struct
+
+        import numpy as np_
+        import pandas as pd_
+
+        def wav(k):
+            block = np_.tile(
+                np_.concatenate(
+                    [np_.full(k, 16000, np_.int16),
+                     np_.full(k, -16000, np_.int16)]
+                ),
+                128 // (2 * k),
+            )
+            data = block.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        wavs = {k: wav(k) for k in (1, 2, 4)}
+        for pdf in batches:
+            yield pd_.DataFrame(
+                [(int(d), wavs[1 << (int(d) % 3)]) for d in pdf["doc_id"]],
+                columns=["doc_id", "payload"],
+            )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64 (a null makes
+        # pandas widen to float64 and int(NaN) kills the task)
+        .where(F.col("doc_id").isNotNull())
+    )
+    wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return audio_features_windows(wavs, n_windows=2, strict=True)
 
 
 @query(

@@ -731,3 +731,25 @@ class TestWebpAnimation:
                 buf[int(g.integers(12, len(buf)))] = int(g.integers(0, 256))
             out = webp_frames(bytes(buf))
             assert out is None or isinstance(out, list)
+
+
+def test_distance_map_matches_generative_rule():
+    """The 120-entry 2-D distance map (RFC 9649 §4.2.2) is exactly the
+    codes-by-proximity enumeration: candidate offsets (dx, dy) with
+    dy in 0..7 and dx in -7..8 (dy=0 restricted to dx>=1), sorted by
+    squared distance, ties by |dx| ascending, +dx before -dx.  Deriving
+    the table from the rule and asserting equality verifies the literal
+    against an independent construction."""
+    from fluent_plugin_sql_spark.operators.multimodal import _VP8L_DIST_MAP
+
+    cands = []
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            cands.append((dx, dy))
+    cands.sort(
+        key=lambda p: (p[0] ** 2 + p[1] ** 2, abs(p[0]), 0 if p[0] >= 0 else 1)
+    )
+    assert len(cands) == 120
+    assert tuple(cands) == _VP8L_DIST_MAP
