@@ -132,6 +132,21 @@ def bench_codecs(reps: int) -> dict[str, dict[str, float]]:
         "wav_g711": (wavs, wav_pcm16_samples),
         "wav_adpcm": (adpcm_wavs, wav_pcm16_samples),
     }
+    # system libwebp (when present): the native-codec hook's side of
+    # the same VP8L corpus, plus lossy VP8 — quantifies the documented
+    # "native is ~2 orders of magnitude faster" cluster-sizing claim
+    # with a measured number on this box
+    from fluent_plugin_sql_spark.operators import native_codecs as nc
+
+    if nc.webp_available():
+        corpora["webp_lossless_native"] = (
+            [nc.webp_encode_lossless_rgb(im) for im in imgs],
+            nc.webp_decode_rgb,
+        )
+        corpora["webp_lossy_native"] = (
+            [nc.webp_encode_rgb(im, 80.0) for im in imgs],
+            nc.webp_decode_rgb,
+        )
     out: dict[str, dict[str, float]] = {}
     for fmt, (payloads, decode) in corpora.items():
         total_mb = sum(len(p) for p in payloads) / 1e6

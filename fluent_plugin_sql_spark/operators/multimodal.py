@@ -625,6 +625,7 @@ def sample_video_frames(
     max_frames: int = 8,
     strict: bool = False,
     decode_frame=None,
+    vp8_decode=None,
 ) -> DataFrame:
     """REAL video frame sampling over MJPEG, animated-GIF, and
     animated-lossless-WebP payloads: MJPEG assets split into JPEG
@@ -645,7 +646,11 @@ def sample_video_frames(
 
     ``decode_frame``: optional ``bytes -> (h, w, 3) uint8 | None``
     override for the per-frame JPEG decode — the native-codec hook,
-    same contract as :func:`extract_pixel_features`'s ``decode``."""
+    same contract as :func:`extract_pixel_features`'s ``decode``.
+    ``vp8_decode``: same-contract hook for lossy-VP8 sub-streams inside
+    animated WebP (forwarded to :func:`webp_frames`; e.g.
+    :func:`~.native_codecs.webp_decode_rgb`), extending the WebP path
+    beyond the pure-python lossless boundary."""
     frame_pixels = decode_frame or jpeg_pixels
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -665,7 +670,7 @@ def sample_video_frames(
                     if p is not None and p[:4] == b"GIF8":
                         gframes = gif_frames(p)
                     elif p is not None and p[:4] == b"RIFF":
-                        gframes = webp_frames(p)
+                        gframes = webp_frames(p, vp8_decode=vp8_decode)
                     else:
                         gframes = None
                     if not gframes:
@@ -3282,7 +3287,7 @@ def _vp8l_stream_rgb(stream: bytes):
     return rgb
 
 
-def webp_frames(payload: bytes, max_frames: int = 64):
+def webp_frames(payload: bytes, max_frames: int = 64, vp8_decode=None):
     """Composited RGB frames of an ANIMATED lossless WebP (RFC 9649
     container: VP8X with the animation flag, ANIM background, one ANMF
     chunk per frame wrapping a VP8L sub-stream) — the same compositing
@@ -3290,7 +3295,11 @@ def webp_frames(payload: bytes, max_frames: int = 64):
     offsets as opaque pixels, dispose-to-background resets the painted
     region, and the canvas starts at the ANIM background color.  A
     still VP8L decodes as a single frame.  Returns None when any frame
-    needs the lossy VP8 codec, matching the whole-asset drop contract."""
+    needs the lossy VP8 codec, matching the whole-asset drop contract —
+    UNLESS ``vp8_decode`` (``bytes -> (h, w, 3) uint8 | None``, e.g.
+    :func:`~.native_codecs.webp_decode_rgb`, which accepts the bare
+    VP8 bitstreams ANMF carries) is given, which extends the same
+    compositing walk to lossy-coded frames."""
     import struct
 
     import numpy as np
@@ -3343,7 +3352,10 @@ def webp_frames(payload: bytes, max_frames: int = 64):
                         )
                         break
                     if sc == b"VP8 ":
-                        return None  # lossy frame: codec boundary
+                        if vp8_decode is None:
+                            return None  # lossy frame: codec boundary
+                        rgb = vp8_decode(body[spos + 8 : spos + 8 + ssz])
+                        break
                     spos += 8 + ssz + (ssz % 2)
                 if rgb is None or rgb.shape[0] < fh or rgb.shape[1] < fw:
                     return None
@@ -3362,7 +3374,10 @@ def webp_frames(payload: bytes, max_frames: int = 64):
             elif fourcc == b"VP8L":
                 return [_vp8l_stream_rgb(body)]
             elif fourcc == b"VP8 ":
-                return None
+                if vp8_decode is None:
+                    return None
+                still = vp8_decode(body)
+                return None if still is None else [still]
             pos += 8 + size + (size % 2)
     except _Vp8lError:
         return None

@@ -1127,6 +1127,144 @@ def webp_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_native_lossless_brightness",
+    oracle="""
+    SELECT d.doc_id,
+           7 + (d.doc_id % 4) AS width,
+           4 + (d.doc_id % 3) AS height,
+           (SELECT AVG(CAST((d.doc_id + y.y) % 256 AS DOUBLE))
+              FROM (SELECT unnest(range(0, 4 + d.doc_id % 3)) AS y) y)
+             AS brightness
+    FROM documents d
+    """,
+)
+def webp_native_lossless_brightness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL-ENCODER cross-validation in the gate: per document a
+    row-gradient image (row y filled with (doc_id + y) % 256) is
+    compressed by the system libwebp REFERENCE lossless encoder
+    (operators/native_codecs.webp_encode_lossless_rgb — actual cwebp
+    output, whose transform choices we don't control) and decoded by
+    the FROM-SCRATCH VP8L decoder (multimodal.webp_pixels).  Lossless
+    means brightness is the exact mean of the constructed gradient,
+    which the oracle restates arithmetically — so a divergence between
+    the reference encoder's bitstream and our decoder hash-fails the
+    gate.  On a box with no libwebp the synth step degrades to PPM
+    bytes of the SAME pixels (decoded by the PPM path), keeping the
+    oracle exact.  Scale shape: two Arrow-batched mapInPandas stages,
+    zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        from ..operators.native_codecs import (
+            webp_available,
+            webp_encode_lossless_rgb,
+        )
+
+        use_native = webp_available()
+
+        def img(d):
+            w, h = 7 + d % 4, 4 + d % 3
+            rows = (d + np_.arange(h)) % 256
+            px = np_.repeat(
+                rows.astype(np_.uint8)[:, None, None], w, axis=1
+            ).repeat(3, axis=2)
+            if use_native:
+                return webp_encode_lossless_rgb(px)
+            return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+        for pdf in batches:
+            yield pd_.DataFrame(
+                [(int(d), img(int(d))) for d in pdf["doc_id"]],
+                columns=["doc_id", "payload"],
+            )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+    )
+    webps = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(webps, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
+
+
+@query(
+    "webp_lossy_native_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           10 + (doc_id % 4) AS width,
+           6 + (doc_id % 3) AS height,
+           TRUE AS brightness_close
+    FROM documents
+    """,
+)
+def webp_lossy_native_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOSSY VP8 — the one documented pure-python codec boundary —
+    exercised in the gate through the native-codec hook: uniform-fill
+    images are encoded with libwebp's lossy encoder (q=95) and decoded
+    via operators/native_codecs.native_image_decode.  Dimensions are
+    exact; brightness is a contract boolean (|decoded − fill| ≤ 4.0;
+    measured worst-case deviation over all 256 fills at q=95 is 1.0),
+    the same bounds-in-the-hash style as text_compression_ratio.
+    Without libwebp the synth degrades to PPM of the same pixels
+    (delta exactly 0).  Scale shape: two Arrow-batched mapInPandas
+    stages + one projection, zero shuffles."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        from ..operators.native_codecs import (
+            webp_available,
+            webp_encode_rgb,
+        )
+
+        use_native = webp_available()
+
+        def img(d):
+            w, h, v = 10 + d % 4, 6 + d % 3, d % 256
+            if use_native:
+                return webp_encode_rgb(
+                    np_.full((h, w, 3), v, np_.uint8), 95.0
+                )
+            return f"P6\n{w} {h}\n255\n".encode() + bytes([v] * (w * h * 3))
+
+        for pdf in batches:
+            yield pd_.DataFrame(
+                [(int(d), img(int(d))) for d in pdf["doc_id"]],
+                columns=["doc_id", "payload"],
+            )
+
+    from ..operators.native_codecs import native_image_decode
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+    )
+    webps = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(
+        webps, strict=True, decode=native_image_decode
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        (
+            F.abs(F.col("brightness") - (F.col("doc_id") % 256)) <= F.lit(4.0)
+        ).alias("brightness_close"),
+    )
+
+
+@query(
     "audio_g711_rms",
     oracle="""
     SELECT doc_id, w AS window_idx, 64::BIGINT AS n_samples,
