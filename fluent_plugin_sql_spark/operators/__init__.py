@@ -6,6 +6,7 @@ from .dedup import (  # noqa: F401
     shingle_sets,
     simhash_dup_pairs,
 )
+from .cluster import kmeans_cluster_profile, kmeans_embeddings  # noqa: F401
 from .similarity import brute_force_topk, cosine, hyperplane_buckets, lsh_topk  # noqa: F401
 from .multimodal import (  # noqa: F401
     gif_frames,

@@ -1,0 +1,231 @@
+"""Distributed k-means (Lloyd) over embedding columns — the clustering
+primitive of SemDeDup-style curation (Abbas et al. 2023: cluster the
+corpus by embedding, then dedup/score within clusters) and of mixture
+balancing (per-cluster sampling rates).
+
+Reference parity note: the reference plugin (`/root/reference/lib/
+fluent/plugin/in_sql.rb`) has no vector surface; this operator belongs
+to the training-data-pipeline extension scope, composing with
+`EmbeddingDedupStore` (which already uses one-shot hash-derived
+centroids) by providing PROPER iteratively-refined centroids.
+
+Scale shape — the canonical distributed Lloyd:
+
+- **init**: deterministic, model-free — the ``k`` vectors with the
+  smallest ``portable_id_hash(id)`` (distributed ``TakeOrderedAndProject``,
+  then a window over exactly ``k`` rows).  md5-derived like the IVF/LSH
+  seeds, so any engine can replicate the full run (the gate's DuckDB
+  oracle re-runs every iteration from scratch).
+- **assign** (per iteration): broadcast the k×dim centroid table
+  (a few KB) against the corpus — the corpus NEVER shuffles for the
+  join; squared-L2 is a sequential-fold ``zip_with`` expression
+  (JVM codegen, deterministic addition order); argmin via
+  ``min(struct(dist, cid))`` with map-side partial aggregation, so the
+  only shuffle carries one row per vector.
+- **update** (per iteration): per-cluster element-wise mean as ``dim``
+  ``avg()`` aggregates — partial (map-side) aggregation means the
+  shuffle carries O(partitions × k × dim) partials, never vectors.
+  Empty clusters keep their previous centroid (standard Lloyd fix).
+
+Cross-engine determinism: float addition is order-sensitive, and
+Spark's partial aggregation sums partitions in arbitrary order — so raw
+``avg()`` centroids can differ from any re-computation in the last ulp,
+and a near-tie assignment could then flip.  ``centroid_decimals``
+(default 6) rounds every updated centroid coordinate, collapsing both
+engines onto identical values (the means would have to sit within an
+ulp of a 1e-6 grid boundary to differ — vanishing) while perturbing the
+Lloyd trajectory by ≤5e-7 per coordinate.  Distances computed from
+identical centroids via identical sequential folds are bit-identical,
+which is what lets the k-means gate query carry a full value-hash
+oracle over every assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import portable_id_hash
+
+
+def _sq_l2(a, b):
+    """Squared L2 distance as the repo's order-exact sequential fold
+    (same addition order as similarity.dot/norm, mirrored in DuckDB by
+    the plans' ``_dd_seq_sum``).  Terms are squares, so they are never
+    -0.0 and the 0.0-seeded fold is bit-identical to a seedless one."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_l2_sql(vec_expr: str, literal: list[float]) -> str:
+    """The same fold against a DRIVER-SIDE literal vector, generated as
+    one SQL string: building it from ``F.lit`` Columns costs one py4j
+    round-trip per component (the measured driver stall documented in
+    similarity._hyperplane_bucket_sql); as a string it crosses py4j
+    once and codegens flat."""
+    arr = "array(" + ",".join(f"{float(x)!r}D" for x in literal) + ")"
+    return (
+        f"aggregate(zip_with({vec_expr}, {arr}, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
+    """Greedy farthest-point (k-center) seeds: start from the min-md5
+    vector, then k-1 rounds of "the vector farthest from its nearest
+    chosen seed" (ties by id).  Deterministic and engine-replicable
+    like the hash init, and on separable data it lands one seed per
+    mode — the property plain hash init lacks (two seeds in one blob
+    leave Lloyd unable to split the merged rest).
+
+    Scale: k-1 sequential one-pass jobs (each a codegen scan + top-1
+    reduce; the driver collects exactly one k×dim seed list — a bounded
+    maintenance read).  Right for curation-scale k (tens); for k in the
+    thousands use k-means||-style oversampling instead (not
+    implemented)."""
+    first = (
+        e.orderBy(portable_id_hash(F.col("vec_id")), "vec_id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    seeds = [list(first[0].v)]
+    for _ in range(1, k):
+        mind = ", ".join(_sq_l2_sql("v", s) for s in seeds)
+        if len(seeds) > 1:
+            mind = f"least({mind})"
+        nxt = (
+            e.selectExpr("vec_id", "v", f"{mind} AS mind")
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        seeds.append(list(nxt[0].v))
+    return seeds
+
+
+def kmeans_embeddings(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_decimals: int | None = 6,
+    init: str = "hash",
+) -> DataFrame:
+    """Lloyd's k-means: returns one row per valid input vector —
+    ``(vec_id, cluster, dist)`` where ``cluster`` is the 0-based
+    centroid index after ``iters`` assign/update rounds and ``dist``
+    the squared L2 to its final centroid.
+
+    ``init``: ``"hash"`` (default) seeds from the k smallest-md5
+    vectors — zero extra passes, fully in-plan; ``"farthest"`` runs the
+    greedy k-center sweep of :func:`_farthest_seeds` — k-1 extra scans,
+    but recovers separable modes reliably.  Both are deterministic and
+    engine-replicable.
+
+    Input hygiene (the dirty-data contract): NULL ids, NULL vectors and
+    vectors whose length ≠ ``dim`` are dropped up front — never an
+    error.  NaN/Inf coordinates flow through IEEE semantics (NaN
+    distances rank last in the argmin struct), still never an error.
+
+    ``centroid_decimals=None`` disables update rounding (pure Lloyd)
+    at the cost of cross-engine replicability — see the module
+    docstring.  For large ``iters``, cache/checkpoint ``corpus``
+    upstream: each iteration re-reads it (two scans per round —
+    assign + update share one)."""
+    e = (
+        corpus.where(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+    if init == "farthest":
+        picked = _farthest_seeds(e, k)
+        cents = corpus.sparkSession.createDataFrame(
+            [(i, s) for i, s in enumerate(picked)],
+            "cid int, c array<double>",
+        )
+    else:
+        # deterministic md5-ordered init: distributed top-k, THEN a
+        # window over exactly k rows to number them (single-partition
+        # is fine — it sees k rows, not the corpus)
+        seeds = e.orderBy(
+            portable_id_hash(F.col("vec_id")), "vec_id"
+        ).limit(k)
+        cents = seeds.select(
+            (
+                F.row_number().over(
+                    Window.orderBy(
+                        portable_id_hash(F.col("vec_id")), "vec_id"
+                    )
+                )
+                - 1
+            ).alias("cid"),
+            F.col("v").alias("c"),
+        )
+
+    best = None
+    for it in range(iters):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cid",
+            _sq_l2(F.col("v"), F.col("c")).alias("dist"),
+        )
+        best = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cid")).alias("b"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", F.col("b.cid").alias("cid"),
+                    F.col("b.dist").alias("dist"), "v")
+        )
+        if it < iters - 1:
+            mean_i = [F.avg(F.col("v")[i]) for i in range(dim)]
+            if centroid_decimals is not None:
+                mean_i = [F.round(m, centroid_decimals) for m in mean_i]
+            means = best.groupBy("cid").agg(F.array(*mean_i).alias("m"))
+            # both sides are ≤ k rows; without the hint Catalyst plans
+            # a SortMergeJoin (full exchange) for this k-row join
+            cents = cents.join(F.broadcast(means), "cid", "left").select(
+                "cid", F.coalesce("m", "c").alias("c")
+            )
+    return best.select(
+        "vec_id", F.col("cid").alias("cluster"), "dist"
+    )
+
+
+def kmeans_cluster_profile(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "hash",
+) -> DataFrame:
+    """Per-cluster curation profile over a k-means run: size and
+    within-cluster mean/max squared-L2 — the numbers that drive
+    SemDeDup-style per-cluster dedup thresholds and mixture sampling
+    rates.  One extra single-shuffle aggregation over the assignment."""
+    a = kmeans_embeddings(corpus, k, iters, dim, vec_col, id_col, init=init)
+    return a.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.round(F.avg("dist"), 4).alias("mean_dist"),
+        F.round(F.max("dist"), 4).alias("max_dist"),
+    )

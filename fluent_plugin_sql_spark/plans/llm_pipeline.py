@@ -1034,6 +1034,177 @@ def ann_ivf_candidate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dd_kmeans_ctes(k: int, iters: int, dim: int, init: str = "hash") -> str:
+    """DuckDB CTE chain re-running operators/cluster.kmeans_embeddings
+    from scratch: md5-ordered (or greedy farthest-point) init, then per
+    iteration an order-exact fold squared-L2 argmin (dist, cid) and a
+    1e-6-rounded element-wise mean update (empty clusters keep their
+    centroid).  Distances are bit-identical across engines because
+    every centroid either IS an input vector (iter 1 / all seeds) or is
+    rounded to the shared 1e-6 grid — the same determinism contract the
+    operator documents."""
+    h = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+
+    def dist(c: str) -> str:
+        return _dd_seq_sum(
+            f"list_transform(range(1, {dim + 1}),"
+            f" i -> (v[i] - {c}[i]) * (v[i] - {c}[i]))"
+        )
+
+    mean_list = ", ".join(
+        f"round(avg(v[{i + 1}]), 6)" for i in range(dim)
+    )
+    parts = [
+        f"""e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {dim})"""
+    ]
+    if init == "farthest":
+        # greedy k-center chain: seed_j = argmax of min-dist to chosen
+        # seeds (ties by id), mirroring cluster._farthest_seeds — seeds
+        # are exact input vectors, so the chain is bit-exact.  Each
+        # 1-row seed CTE joins in via CROSS JOIN (DuckDB forbids
+        # subqueries inside lambda expressions)
+        parts.append(
+            f"""seed1 AS (
+      SELECT v AS sv FROM e ORDER BY {h}, vec_id LIMIT 1),
+    d1 AS (
+      SELECT e.vec_id, e.v, {dist('s.sv')} AS mind
+      FROM e CROSS JOIN seed1 s)"""
+        )
+        for j in range(2, k + 1):
+            parts.append(
+                f"""seed{j} AS (
+      SELECT v AS sv FROM d{j - 1} ORDER BY mind DESC, vec_id LIMIT 1)"""
+            )
+            if j < k:
+                parts.append(
+                    f"""d{j} AS (
+      SELECT d.vec_id, d.v, least(d.mind, {dist('s.sv')}) AS mind
+      FROM d{j - 1} d CROSS JOIN seed{j} s)"""
+                )
+        union = " UNION ALL ".join(
+            f"SELECT {j - 1} AS cid, sv AS c FROM seed{j}"
+            for j in range(1, k + 1)
+        )
+        parts.append(f"c0 AS ({union})")
+    else:
+        parts.append(
+            f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cid, v AS c
+      FROM e QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k})"""
+        )
+    for n in range(1, iters + 1):
+        parts.append(
+            f"""s{n} AS (
+      SELECT e.vec_id, e.v, c.cid, {dist('c.c')} AS dist
+      FROM e CROSS JOIN c{n - 1} c),
+    a{n} AS (
+      SELECT vec_id, v, cid, dist FROM s{n}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) = 1)"""
+        )
+        if n < iters:
+            parts.append(
+                f"""m{n} AS (
+      SELECT cid, [{mean_list}] AS m FROM a{n} GROUP BY cid),
+    c{n} AS (
+      SELECT c.cid, COALESCE(m.m, c.c) AS c
+      FROM c{n - 1} c LEFT JOIN m{n} m USING (cid))"""
+            )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM = 8, 2, 64
+
+
+@query(
+    "kmeans_embeddings_assign",
+    # full value-hash oracle: DuckDB re-runs BOTH Lloyd iterations from
+    # scratch (init pick, assign, centroid update, re-assign) — every
+    # cluster label and distance is hash-verified, not bounds-checked
+    oracle=f"""
+    {_dd_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)}
+    SELECT vec_id, cid AS cluster, round(dist, 4) AS dist_r
+    FROM a{_KMEANS_ITERS}
+    """,
+)
+def kmeans_embeddings_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=8, two
+    assign/update rounds) — the SemDeDup-style clustering primitive.
+    Plan shape per iteration: broadcast k×dim centroids (corpus never
+    shuffles for the join), codegen fold distances, one map-side-partial
+    argmin shuffle of one row per vector, one k×dim partial-agg update
+    shuffle.  See operators/cluster.py for the cross-engine determinism
+    contract (md5 init + 1e-6 centroid grid) that makes every assignment
+    hash-verifiable."""
+    from ..operators.cluster import kmeans_embeddings
+
+    emb = _emb(spark, sf_dir)
+    a = kmeans_embeddings(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=_KMEANS_DIM
+    )
+    return a.select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist_r")
+    )
+
+
+@query(
+    "kmeans_cluster_profile",
+    oracle=f"""
+    {_dd_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)}
+    SELECT cid AS cluster, count(*) AS size,
+           round(avg(dist), 4) AS mean_dist,
+           round(max(dist), 4) AS max_dist
+    FROM a{_KMEANS_ITERS} GROUP BY cid
+    """,
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curation profile (size, mean/max within-cluster
+    squared-L2) over the same k-means run — the numbers that set
+    SemDeDup per-cluster dedup thresholds and mixture sampling rates."""
+    from ..operators.cluster import kmeans_cluster_profile as profile
+
+    emb = _emb(spark, sf_dir)
+    return profile(emb, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=_KMEANS_DIM)
+
+
+@query(
+    "kmeans_farthest_init_assign",
+    # the greedy k-center init chain is replicated seed by seed in SQL
+    # (argmax-of-min-dist with id tie-breaks), then the same Lloyd
+    # rounds — assignments hash-verified end to end
+    oracle=f"""
+    {_dd_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM, init="farthest")}
+    SELECT vec_id, cid AS cluster, round(dist, 4) AS dist_r
+    FROM a{_KMEANS_ITERS}
+    """,
+)
+def kmeans_farthest_init_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means with the greedy farthest-point (k-center) init — the
+    mode-recovering variant (hash init can seed two centroids inside
+    one dense mode; the k-center sweep cannot).  Costs k-1 extra
+    one-pass top-1 scans before the same broadcast-Lloyd rounds; the
+    driver collects exactly one k×dim seed list (bounded)."""
+    from ..operators.cluster import kmeans_embeddings
+
+    emb = _emb(spark, sf_dir)
+    a = kmeans_embeddings(
+        emb,
+        k=_KMEANS_K,
+        iters=_KMEANS_ITERS,
+        dim=_KMEANS_DIM,
+        init="farthest",
+    )
+    return a.select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist_r")
+    )
+
+
 def _ngram_strings(text_col: str, n: int):
     """Non-distinct word n-grams as strings (repetition analysis needs
     multiplicity, unlike dedup shingles)."""

@@ -1,0 +1,123 @@
+"""Distributed Lloyd k-means (operators/cluster): ground-truth recovery
+on separated blobs, Lloyd monotonicity, empty-cluster handling, and the
+dirty-data contract.  Cross-engine replication (every assignment and
+distance vs a from-scratch DuckDB re-run) is the gate queries
+`kmeans_embeddings_assign` / `kmeans_cluster_profile`."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_plugin_sql_spark.operators.cluster import (
+    kmeans_cluster_profile,
+    kmeans_embeddings,
+)
+
+DIM = 8
+
+
+def _blobs(spark, centers, per=40, spread=0.05, seed=3):
+    """Well-separated gaussian blobs; returns (df, truth: id -> blob)."""
+    g = np.random.default_rng(seed)
+    rows, truth = [], {}
+    i = 0
+    for b, c in enumerate(centers):
+        for _ in range(per):
+            v = (np.asarray(c, float) + g.normal(0, spread, DIM)).tolist()
+            rows.append((i, [float(x) for x in v]))
+            truth[i] = b
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, truth
+
+
+@pytest.mark.usefixtures("spark")
+class TestKmeans:
+    def test_farthest_init_recovers_separated_blobs(self, spark):
+        # hash init CAN seed two centroids inside one blob (Lloyd then
+        # never splits the merged remainder — classic k-means); the
+        # greedy k-center init lands one seed per mode by construction
+        centers = [np.eye(DIM)[b] * 10 for b in range(3)]
+        df, truth = _blobs(spark, centers)
+        out = kmeans_embeddings(
+            df, k=3, iters=3, dim=DIM, init="farthest"
+        ).collect()
+        assert len(out) == 3 * 40
+        # label purity: every k-means cluster maps to exactly one blob
+        by_cluster: dict[int, set[int]] = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(truth[r.vec_id])
+        assert len(by_cluster) == 3
+        assert all(len(blobs) == 1 for blobs in by_cluster.values())
+        # distances are to a near-blob-center point: tiny for all rows
+        assert max(r.dist for r in out) < 1.0
+
+    def test_hash_init_partitions_without_mixing_within_cluster(self, spark):
+        # hash init gives no mode-recovery guarantee, but the Lloyd
+        # machinery must still produce a full partition with coherent
+        # distances
+        centers = [np.eye(DIM)[b] * 10 for b in range(3)]
+        df, _ = _blobs(spark, centers)
+        out = kmeans_embeddings(df, k=3, iters=3, dim=DIM).collect()
+        assert len(out) == 3 * 40
+        assert 1 <= len({r.cluster for r in out}) <= 3
+
+    def test_lloyd_iterations_do_not_increase_wcss(self, spark):
+        centers = [np.eye(DIM)[b] * 4 for b in range(4)]
+        df, _ = _blobs(spark, centers, per=25, spread=0.8, seed=9)
+        wcss = []
+        for iters in (1, 2, 3):
+            a = kmeans_embeddings(df, k=4, iters=iters, dim=DIM)
+            wcss.append(a.agg(F.sum("dist")).first()[0])
+        # monotone non-increasing modulo the 1e-6 centroid grid
+        assert wcss[1] <= wcss[0] + 1e-3
+        assert wcss[2] <= wcss[1] + 1e-3
+
+    def test_empty_cluster_keeps_centroid_no_crash(self, spark):
+        # two distinct locations, k=3: at least one centroid starves
+        rows = [(i, [0.0] * DIM) for i in range(10)] + [
+            (i, [9.0] * DIM) for i in range(10, 20)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = kmeans_embeddings(df, k=3, iters=3, dim=DIM).collect()
+        assert len(out) == 20
+        assert len({r.cluster for r in out}) <= 3
+        # the two point-masses end in different clusters with dist 0
+        d0 = {r.cluster for r in out if r.vec_id < 10}
+        d1 = {r.cluster for r in out if r.vec_id >= 10}
+        assert d0 != d1 and all(r.dist == 0.0 for r in out)
+
+    def test_dirty_inputs_filtered_never_raise(self, spark):
+        rows = [
+            (0, [1.0] * DIM),
+            (1, [2.0] * DIM),
+            (None, [3.0] * DIM),          # NULL id
+            (3, None),                     # NULL vector
+            (4, [1.0] * (DIM - 1)),        # ragged
+            (5, [float("nan")] * DIM),     # NaN coords: kept, no raise
+            (6, [float("inf")] * DIM),     # Inf coords: kept, no raise
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = kmeans_embeddings(df, k=2, iters=2, dim=DIM).collect()
+        assert {r.vec_id for r in out} == {0, 1, 5, 6}
+
+    def test_profile_partitions_the_corpus(self, spark):
+        centers = [np.eye(DIM)[b] * 6 for b in range(3)]
+        df, _ = _blobs(spark, centers, per=30, seed=5)
+        prof = kmeans_cluster_profile(df, k=3, iters=2, dim=DIM).collect()
+        assert sum(r.size for r in prof) == 90
+        assert all(r.mean_dist <= r.max_dist for r in prof)
+
+    def test_unrounded_centroids_path(self, spark):
+        centers = [np.eye(DIM)[b] * 6 for b in range(2)]
+        df, _ = _blobs(spark, centers, per=15, seed=7)
+        out = kmeans_embeddings(
+            df, k=2, iters=2, dim=DIM, centroid_decimals=None
+        ).collect()
+        assert len(out) == 30
