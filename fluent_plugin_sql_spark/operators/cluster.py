@@ -210,6 +210,71 @@ def kmeans_embeddings(
     )
 
 
+def semdedup_prune(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "hash",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the corpus, then prune
+    within-cluster semantic near-duplicates — returns one row per valid
+    vector as ``(vec_id, cluster, keep)`` where ``keep`` is false iff a
+    LOWER-id vector in the same cluster has cosine ≥ ``tau`` (the
+    deterministic keep-first variant of the paper's per-group
+    representative pick).
+
+    Scale shape: the expensive global O(N²) comparison the paper avoids
+    is avoided here the same way — pairs exist only WITHIN a cluster,
+    so the self-join shuffles once on ``cluster`` and costs
+    Σ|cluster|², controlled by ``k`` (pick k so clusters are ~10³-10⁴
+    docs; a skewed mega-cluster is the known SemDeDup hazard — raise k
+    or pre-split on a coarse hash the way `session_windows_salted`
+    buckets hot keys).  Zero-norm embeddings score NULL cosine (never
+    an error) and are always kept."""
+    from .similarity import cosine
+
+    a = kmeans_embeddings(
+        corpus, k, iters, dim, vec_col, id_col, init=init
+    ).select("vec_id", "cluster")
+    v = corpus.where(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # the assignment feeds three consumers (both prune-join sides and
+    # the final keep join); without pinning, each re-runs the whole
+    # Lloyd lineage — localCheckpoint cuts the re-computation and caps
+    # the plan at one k-means pass (same pattern as the MinHash
+    # candidate pin in dedup.py)
+    av = a.join(v, "vec_id").localCheckpoint(eager=False)
+    x, y = av.alias("x"), av.alias("y")
+    pruned = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .where(cosine(F.col("x.v"), F.col("y.v")) >= tau)
+        .select(F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        av.join(pruned.withColumn("pruned", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def kmeans_cluster_profile(
     corpus: DataFrame,
     k: int = 8,

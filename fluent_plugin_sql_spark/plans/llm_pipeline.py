@@ -1205,6 +1205,38 @@ def kmeans_farthest_init_assign(
     )
 
 
+@query(
+    "semdedup_prune_embeddings",
+    # oracle composes the from-scratch k-means CTEs with the same
+    # within-cluster cosine prune (order-exact folds → bit-identical
+    # cosines → identical keep decisions)
+    oracle=f"""
+    {_dd_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)},
+    av AS (SELECT vec_id, cid, v FROM a{_KMEANS_ITERS}),
+    pruned AS (
+      SELECT DISTINCT y.vec_id
+      FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE {_dd_cosine("x.v", "y.v", _KMEANS_DIM)} >= 0.25)
+    SELECT a.vec_id, a.cid AS cluster,
+           (p.vec_id IS NULL) AS keep
+    FROM av a LEFT JOIN pruned p USING (vec_id)
+    """,
+)
+def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (k=8 Lloyd clusters, then
+    within-cluster cosine ≥ 0.25 keep-first prune) — the
+    cluster-then-curate composition the k-means operator exists for.
+    Pairs exist only within clusters, so the prune join shuffles once
+    on the cluster key; see operators/cluster.semdedup_prune for the
+    skew story."""
+    from ..operators.cluster import semdedup_prune
+
+    emb = _emb(spark, sf_dir)
+    return semdedup_prune(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=_KMEANS_DIM, tau=0.25
+    )
+
+
 def _ngram_strings(text_col: str, n: int):
     """Non-distinct word n-grams as strings (repetition analysis needs
     multiplicity, unlike dedup shingles)."""

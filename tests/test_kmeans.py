@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from fluent_plugin_sql_spark.operators.cluster import (
     kmeans_cluster_profile,
     kmeans_embeddings,
+    semdedup_prune,
 )
 
 DIM = 8
@@ -113,6 +114,43 @@ class TestKmeans:
         prof = kmeans_cluster_profile(df, k=3, iters=2, dim=DIM).collect()
         assert sum(r.size for r in prof) == 90
         assert all(r.mean_dist <= r.max_dist for r in prof)
+
+    def test_semdedup_keep_first_within_cluster(self, spark):
+        # two separated modes; inside mode A, ids 0/1/2 are near-copies
+        # (cos ≈ 1) and id 3 is orthogonal-ish within the mode region
+        base = np.eye(DIM)[0] * 10
+        rows = [
+            (0, list(base)),
+            (1, list(base * 1.01)),          # same direction: cos = 1
+            (2, list(base * 0.97)),
+            (3, list(base + np.eye(DIM)[1] * 10)),  # cos ≈ 0.707
+        ] + [(10 + i, list(np.eye(DIM)[2] * 10)) for i in range(3)]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r.vec_id: r
+            for r in semdedup_prune(
+                df, k=2, iters=2, dim=DIM, tau=0.9, init="farthest"
+            ).collect()
+        }
+        assert len(out) == 7
+        # lowest id of each near-dup group survives, later copies prune
+        assert out[0].keep and not out[1].keep and not out[2].keep
+        assert out[3].keep  # cos ≈ 0.707 < 0.9: not a semantic dup
+        assert out[10].keep and not out[11].keep and not out[12].keep
+
+    def test_semdedup_zero_norm_always_kept(self, spark):
+        rows = [(0, [1.0] * DIM), (1, [1.0] * DIM), (2, [0.0] * DIM)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = {
+            r.vec_id: r.keep
+            for r in semdedup_prune(df, k=1, iters=1, dim=DIM, tau=0.5).collect()
+        }
+        assert out == {0: True, 1: False, 2: True}
 
     def test_unrounded_centroids_path(self, spark):
         centers = [np.eye(DIM)[b] * 6 for b in range(2)]
