@@ -2025,9 +2025,11 @@ def tiff_pixels(payload: bytes):
     document workhorse — pure stdlib: header/IFD walk in either byte
     order, strip OR tile assembly (TIFF 6 §15 tiled layouts with
     edge-tile padding), uncompressed, PackBits-, LZW- (MSB-first
-    early-change variant), or new-style JPEG-compressed data
-    (compression 7 per TIFF TechNote 2, incl. shared tag-347
-    JPEGTables, routed through this module's own jpeg_pixels),
+    early-change variant), Deflate- (compression 8 and legacy Adobe
+    32946, bounded stdlib-zlib inflate) or new-style JPEG-compressed
+    data (compression 7 per TIFF TechNote 2, incl. shared tag-347
+    JPEGTables, routed through this module's own jpeg_pixels), with
+    tag-317 horizontal-differencing prediction undone per row,
     photometric interpretations 0/1 (bilevel
     and gray, incl. 1-bit scans and WhiteIsZero inversion), 2 (RGB),
     3 (palette via the 16-bit ColorMap), and 6 (YCbCr, JPEG-coded).
@@ -2189,11 +2191,18 @@ def tiff_pixels(payload: bytes):
             out = 255 - out
         return np.ascontiguousarray(out)
 
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         return None  # CCITT/old-style-JPEG need more than stdlib
     if any(b != bits[0] for b in bits) or bits[0] not in (1, 8):
         return None
     if bits[0] == 1 and (spp != 1 or photometric not in (0, 1)):
+        return None
+    # tag 317 horizontal differencing (standard companion of LZW and
+    # Deflate TIFFs): decoded bytes are per-row left deltas that must
+    # be prefix-summed back.  Ignoring the tag would decode predictor-2
+    # files to silently wrong pixels — worse than the None contract.
+    predictor = tags.get(317, (1,))[0]
+    if predictor not in (1, 2) or (predictor == 2 and bits[0] != 8):
         return None
 
     def row_bytes(width):
@@ -2207,9 +2216,28 @@ def tiff_pixels(payload: bytes):
             return _packbits_decode(chunk, expected)
         if compression == 5:
             return _tiff_lzw_decode(chunk, expected)
+        if compression in (8, 32946):  # Deflate / legacy AdobeDeflate
+            import zlib
+
+            try:
+                # max_length bounds the inflate at the geometric
+                # expectation — same decompression-bomb guard class as
+                # png_pixels' capped scanline inflate
+                out = zlib.decompressobj().decompress(chunk, expected)
+            except zlib.error:
+                return None
+            return out if len(out) == expected else None
         if len(chunk) < expected:
             return None
         return chunk[:expected]
+
+    def undiff(arr):
+        if predictor != 2:
+            return arr
+        # per-row wraparound prefix sum, per channel (axis 1 = columns)
+        return (np.cumsum(arr, axis=1, dtype=np.uint64) & 0xFF).astype(
+            np.uint8
+        )
 
     def to_samples(chunk, nrows, ncols):
         rows = np.frombuffer(chunk, np.uint8).reshape(nrows, row_bytes(ncols))
@@ -2251,7 +2279,7 @@ def tiff_pixels(payload: bytes):
             ty, tx = divmod(ti, tiles_x)
             canvas[
                 ty * th_ : (ty + 1) * th_, tx * tw : (tx + 1) * tw
-            ] = to_samples(chunk, th_, tw)
+            ] = undiff(to_samples(chunk, th_, tw))
         samples = canvas[:h, :w]
     else:
         raw = bytearray()
@@ -2271,7 +2299,11 @@ def tiff_pixels(payload: bytes):
             )
             samples = np.unpackbits(rows, axis=1)[:, :w].reshape(h, w, 1)
         else:
-            samples = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+            # strip rows are full-width and the predictor resets per
+            # row, so undiffing the assembled image equals per-strip
+            samples = undiff(
+                np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+            )
 
     if bits[0] == 1:
         px = samples[:, :, 0].astype(np.uint8) * 255

@@ -114,13 +114,25 @@ def encode_tiff(
     rows_per_strip=None,
     packbits=False,
     lzw=False,
+    deflate=False,
+    predictor=1,
 ):
     """px: (h, w) gray/palette-index/bilevel or (h, w, 3) RGB."""
+    import zlib
+
     h, w = px.shape[:2]
     spp = 3 if px.ndim == 3 else 1
     if photometric is None:
         photometric = 2 if spp == 3 else 1
     rows_per_strip = rows_per_strip or h
+    if predictor == 2:
+        # horizontal differencing (tag 317): per-row per-channel left
+        # deltas mod 256, computed from the ORIGINAL neighbors
+        assert bits == 8
+        d = px.reshape(h, w, spp).astype(np.int16)
+        out = d.copy()
+        out[:, 1:] = d[:, 1:] - d[:, :-1]
+        px = (out % 256).astype(np.uint8).reshape(px.shape)
     if bits == 1:
         rows = [np.packbits(px[y].astype(np.uint8)).tobytes() for y in range(h)]
     else:
@@ -132,6 +144,8 @@ def encode_tiff(
             strips.append(tiff_lzw_encode(raw))
         elif packbits:
             strips.append(packbits_encode(raw))
+        elif deflate:
+            strips.append(zlib.compress(raw))
         else:
             strips.append(raw)
 
@@ -160,7 +174,13 @@ def encode_tiff(
     entry(256, 4, [w])
     entry(257, 4, [h])
     entry(258, 3, [bits] * spp)
-    entry(259, 3, [5 if lzw else (32773 if packbits else 1)])
+    entry(
+        259,
+        3,
+        [5 if lzw else (32773 if packbits else (8 if deflate else 1))],
+    )
+    if predictor != 1:
+        entry(317, 3, [predictor])
     entry(262, 3, [photometric])
     entry(273, 4, offsets)
     entry(277, 3, [spp])
@@ -337,9 +357,14 @@ class TestTiffLzw:
             assert out is None or out.ndim == 3
 
 
-def encode_tiff_tiled(px, tw, th, endian="<", lzw=False, packbits=False):
+def encode_tiff_tiled(
+    px, tw, th, endian="<", lzw=False, packbits=False, deflate=False,
+    predictor=1,
+):
     """Tiled-layout writer: raster-scanned (th, tw) tiles, edge tiles
     edge-padded to full size."""
+    import zlib
+
     h, w = px.shape[:2]
     spp = 3 if px.ndim == 3 else 1
     tiles_x, tiles_y = -(-w // tw), -(-h // th)
@@ -352,11 +377,19 @@ def encode_tiff_tiled(px, tw, th, endian="<", lzw=False, packbits=False):
     for ty in range(tiles_y):
         for tx in range(tiles_x):
             t = padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            if predictor == 2:
+                # per-tile rows: deltas reset at each tile row
+                d = t.astype(np.int16)
+                o = d.copy()
+                o[:, 1:] = d[:, 1:] - d[:, :-1]
+                t = (o % 256).astype(np.uint8)
             raw = t.astype(np.uint8).tobytes()
             if lzw:
                 raw = tiff_lzw_encode(raw)
             elif packbits:
                 raw = packbits_encode(raw)
+            elif deflate:
+                raw = zlib.compress(raw)
             tiles.append(raw)
 
     header = (b"II" + struct.pack("<H", 42)) if endian == "<" else (
@@ -372,11 +405,13 @@ def encode_tiff_tiled(px, tw, th, endian="<", lzw=False, packbits=False):
 
     entries = [
         (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp),
-        (259, 3, [5 if lzw else (32773 if packbits else 1)]),
+        (259, 3, [5 if lzw else (32773 if packbits else (8 if deflate else 1))]),
         (262, 3, [2 if spp == 3 else 1]), (277, 3, [spp]),
         (322, 4, [tw]), (323, 4, [th]),
         (324, 4, offsets), (325, 4, [len(t) for t in tiles]),
     ]
+    if predictor != 1:
+        entries.append((317, 3, [predictor]))
     entries.sort()
     extra = bytearray()
     extra_base = ifd_off + 2 + 12 * len(entries) + 4
@@ -430,5 +465,99 @@ class TestTiffTiled:
             p = bytearray(payload)
             pos = int(rng.integers(0, len(p)))
             p[pos] = int(rng.integers(0, 256))
+            out = tiff_pixels(bytes(p))
+            assert out is None or out.ndim == 3
+
+
+class TestTiffDeflatePredictor:
+    """Deflate compression (tag 259 = 8 / legacy 32946) and tag-317
+    horizontal differencing — the standard LZW/Deflate companion that,
+    unhandled, silently decodes wrong pixels."""
+
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_deflate_rgb_multistrip(self, endian):
+        img = _rng(40).integers(0, 256, (21, 15, 3)).astype(np.uint8)
+        payload = encode_tiff(
+            img, endian=endian, deflate=True, rows_per_strip=6
+        )
+        assert np.array_equal(tiff_pixels(payload), img)
+
+    def test_deflate_gray(self):
+        img = _rng(41).integers(0, 256, (12, 30)).astype(np.uint8)
+        arr = tiff_pixels(encode_tiff(img, deflate=True))
+        assert np.array_equal(arr[:, :, 0], img)
+
+    def test_legacy_adobe_deflate_tag_32946(self):
+        img = _rng(42).integers(0, 256, (9, 11, 3)).astype(np.uint8)
+        payload = encode_tiff(img, deflate=True)
+        patched = payload.replace(
+            struct.pack("<HHIHH", 259, 3, 1, 8, 0),
+            struct.pack("<HHIHH", 259, 3, 1, 32946, 0),
+        )
+        assert patched != payload  # the entry was found and rewritten
+        assert np.array_equal(tiff_pixels(patched), img)
+
+    @pytest.mark.parametrize("codec", ["lzw", "deflate"])
+    def test_predictor2_rgb(self, codec):
+        img = _rng(43).integers(0, 256, (18, 25, 3)).astype(np.uint8)
+        payload = encode_tiff(
+            img, predictor=2, rows_per_strip=5, **{codec: True}
+        )
+        assert np.array_equal(tiff_pixels(payload), img)
+
+    def test_predictor2_gray_deflate(self):
+        img = _rng(44).integers(0, 256, (14, 23)).astype(np.uint8)
+        payload = encode_tiff(img, deflate=True, predictor=2)
+        assert np.array_equal(tiff_pixels(payload)[:, :, 0], img)
+
+    def test_predictor2_tiled_deflate_edge_tiles(self):
+        img = _rng(45).integers(0, 256, (17, 19, 3)).astype(np.uint8)
+        payload = encode_tiff_tiled(img, 16, 16, deflate=True, predictor=2)
+        assert np.array_equal(tiff_pixels(payload), img)
+
+    def test_predictor2_actually_required(self):
+        # the same bytes WITHOUT the 317 entry must NOT decode to the
+        # image (guards against the predictor being silently ignored)
+        img = _rng(46).integers(0, 256, (10, 12, 3)).astype(np.uint8)
+        with_pred = encode_tiff(img, deflate=True, predictor=2)
+        stripped = with_pred.replace(
+            struct.pack("<HHIHH", 317, 3, 1, 2, 0),
+            struct.pack("<HHIHH", 317, 3, 1, 1, 0),
+        )
+        assert stripped != with_pred
+        out = tiff_pixels(stripped)
+        assert out is not None and not np.array_equal(out, img)
+
+    def test_unknown_predictor_and_bilevel_predictor_rejected(self):
+        img = _rng(47).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+        p3 = encode_tiff(img, deflate=True, predictor=2).replace(
+            struct.pack("<HHIHH", 317, 3, 1, 2, 0),
+            struct.pack("<HHIHH", 317, 3, 1, 3, 0),
+        )
+        assert tiff_pixels(p3) is None
+        bil = (_rng(48).integers(0, 2, (16, 16))).astype(np.uint8)
+        pb = bytearray(encode_tiff(bil, bits=1, photometric=1))
+        pb = bytes(pb)  # bilevel baseline decodes
+        assert tiff_pixels(pb) is not None
+
+    def test_deflate_corrupt_and_bomb_guard(self):
+        import zlib
+
+        img = _rng(49).integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        payload = bytearray(encode_tiff(img, deflate=True))
+        # truncated stream
+        assert tiff_pixels(bytes(payload[: len(payload) - 40])) is None
+        # a strip inflating far PAST the geometric expectation must be
+        # rejected by the bounded inflate, not ballooned
+        big = zlib.compress(b"\x00" * (1 << 22))
+        assert len(big) < 1 << 16
+        fake = encode_tiff(
+            np.zeros((4, 4, 3), np.uint8), deflate=True
+        ).replace(zlib.compress(b"\x00" * 48), big)
+        assert tiff_pixels(fake) is None
+        rng = np.random.default_rng(50)
+        for _ in range(150):
+            p = bytearray(payload)
+            p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
             out = tiff_pixels(bytes(p))
             assert out is None or out.ndim == 3
