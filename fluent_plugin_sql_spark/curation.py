@@ -9,6 +9,7 @@ steps:
   - exact_dedup: {}
   - near_dedup: {threshold: 0.8, num_hashes: 24, bands: 6}
   - simhash_dedup: {max_hamming: 6}
+  - semantic_dedup: {k: 8, tau: 0.95, dim: 64}   # SemDeDup over embeddings
   - span_removal: {n: 8, min_count: 2}
   - weighted_sample: {k: 10000, weight_col: n_chars}
 output: {path: /data/curated, shards: 16}
@@ -102,6 +103,40 @@ def run_curation(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 max_hamming=int(opts.get("max_hamming", 6)),
             )
             df = _keep_non_dups(df, pairs, id_col)
+        elif name == "semantic_dedup":
+            # SemDeDup (operators/cluster): k-means the embeddings,
+            # prune within-cluster cosine near-duplicates, keep-first.
+            # Docs WITHOUT a valid embedding are kept — dedup cannot
+            # judge them, and silently dropping them would turn a
+            # missing feature into data loss.
+            from .operators.cluster import semdedup_prune
+
+            vec_col = opts.get("vec_col", "embedding")
+            if vec_col in df.columns:
+                src = df
+            else:
+                emb = load_table(
+                    spark, inp["path"], opts.get("table", "embeddings")
+                )
+                eid = opts.get("embedding_id_col", "vec_id")
+                src = df.select(id_col).join(
+                    emb.select(F.col(eid).alias(id_col), vec_col), id_col
+                )
+            dec = semdedup_prune(
+                src,
+                k=int(opts.get("k", 8)),
+                iters=int(opts.get("iters", 2)),
+                dim=int(opts.get("dim", 64)),
+                tau=float(opts.get("tau", 0.95)),
+                vec_col=vec_col,
+                id_col=id_col,
+                init=opts.get("init", "hash"),
+            ).select(F.col("vec_id").alias(id_col), "keep")
+            df = (
+                df.join(dec, id_col, "left")
+                .where(F.col("keep").isNull() | F.col("keep"))
+                .drop("keep")
+            )
         elif name == "span_removal":
             from .operators.dedup import remove_duplicate_spans
 

@@ -59,3 +59,41 @@ def test_curation_job_end_to_end(spark, tmp_path):
     # manifest written and consistent
     manifest = json.loads(open(str(tmp_path / "out" / "_manifest.json")).read())
     assert sum(s["n_docs"] for s in manifest["shards"].values()) == 3
+
+
+def test_curation_semantic_dedup_step(spark, tmp_path):
+    """SemDeDup as a curation step: near-identical embeddings prune
+    keep-first; docs WITHOUT a valid embedding are kept (dedup cannot
+    judge them)."""
+    import numpy as np
+
+    dim = 8
+    base = list(np.eye(dim)[0] * 10)
+    other = list(np.eye(dim)[1] * 10)
+    docs = [(i, f"document number {i} with enough words to pass") for i in
+            range(1, 7)]
+    embs = [
+        (1, [float(x) for x in base]),
+        (2, [float(x * 1.01) for x in base]),   # cos=1 with 1 -> pruned
+        (3, [float(x) for x in other]),
+        (4, [float(x * 0.98) for x in other]),  # cos=1 with 3 -> pruned
+        (5, None),                              # no embedding -> kept
+        # doc 6 has NO embeddings row at all -> kept
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").coalesce(1) \
+        .write.parquet(str(src / "documents.parquet"))
+    spark.createDataFrame(embs, f"vec_id LONG, embedding ARRAY<DOUBLE>") \
+        .coalesce(1).write.parquet(str(src / "embeddings.parquet"))
+
+    cfg = {
+        "input": {"path": str(src), "table": "documents"},
+        "steps": [
+            {"semantic_dedup": {"k": 2, "tau": 0.9, "dim": dim,
+                                "init": "farthest"}},
+        ],
+    }
+    report = run_curation(spark, cfg)
+    assert report["input_rows"] == 6
+    assert report["steps"][0]["rows_after"] == 4  # 2 and 4 pruned
