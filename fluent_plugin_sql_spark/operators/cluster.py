@@ -110,6 +110,45 @@ def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
     return seeds
 
 
+
+def _valid_vectors(corpus, vec_col, id_col, dim):
+    """(vec_id, v) with the dirty-data filter: NULL ids/vectors and
+    wrong-length vectors dropped, elements cast to double."""
+    return (
+        corpus.where(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+
+def _init_cents(corpus, e, k, init):
+    """Deterministic initial centroid table (cid, c): md5-ordered
+    top-k (in-plan; the numbering window sees exactly k rows) or the
+    greedy k-center sweep."""
+    if init == "farthest":
+        picked = _farthest_seeds(e, k)
+        return corpus.sparkSession.createDataFrame(
+            [(i, s) for i, s in enumerate(picked)],
+            "cid int, c array<double>",
+        )
+    seeds = e.orderBy(portable_id_hash(F.col("vec_id")), "vec_id").limit(k)
+    return seeds.select(
+        (
+            F.row_number().over(
+                Window.orderBy(portable_id_hash(F.col("vec_id")), "vec_id")
+            )
+            - 1
+        ).alias("cid"),
+        F.col("v").alias("c"),
+    )
+
+
 def kmeans_embeddings(
     corpus: DataFrame,
     k: int = 8,
@@ -141,73 +180,79 @@ def kmeans_embeddings(
     docstring.  For large ``iters``, cache/checkpoint ``corpus``
     upstream: each iteration re-reads it (two scans per round —
     assign + update share one)."""
-    e = (
-        corpus.where(
-            F.col(id_col).isNotNull()
-            & F.col(vec_col).isNotNull()
-            & (F.size(F.col(vec_col)) == dim)
-        )
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
-    )
+    e = _valid_vectors(corpus, vec_col, id_col, dim)
 
-    if init == "farthest":
-        picked = _farthest_seeds(e, k)
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, s) for i, s in enumerate(picked)],
-            "cid int, c array<double>",
-        )
-    else:
-        # deterministic md5-ordered init: distributed top-k, THEN a
-        # window over exactly k rows to number them (single-partition
-        # is fine — it sees k rows, not the corpus)
-        seeds = e.orderBy(
-            portable_id_hash(F.col("vec_id")), "vec_id"
-        ).limit(k)
-        cents = seeds.select(
-            (
-                F.row_number().over(
-                    Window.orderBy(
-                        portable_id_hash(F.col("vec_id")), "vec_id"
-                    )
-                )
-                - 1
-            ).alias("cid"),
-            F.col("v").alias("c"),
-        )
+    cents = _init_cents(corpus, e, k, init)
 
     best = None
     for it in range(iters):
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "v",
-            "cid",
-            _sq_l2(F.col("v"), F.col("c")).alias("dist"),
-        )
-        best = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cid")).alias("b"),
-                F.first("v").alias("v"),
-            )
-            .select("vec_id", F.col("b.cid").alias("cid"),
-                    F.col("b.dist").alias("dist"), "v")
-        )
+        best = _assign(e, cents)
         if it < iters - 1:
-            mean_i = [F.avg(F.col("v")[i]) for i in range(dim)]
-            if centroid_decimals is not None:
-                mean_i = [F.round(m, centroid_decimals) for m in mean_i]
-            means = best.groupBy("cid").agg(F.array(*mean_i).alias("m"))
-            # both sides are ≤ k rows; without the hint Catalyst plans
-            # a SortMergeJoin (full exchange) for this k-row join
-            cents = cents.join(F.broadcast(means), "cid", "left").select(
-                "cid", F.coalesce("m", "c").alias("c")
-            )
+            cents = _update(best, cents, dim, centroid_decimals)
     return best.select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment: broadcast centroids, fold distances,
+    argmin via min(struct) with map-side partials."""
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        _sq_l2(F.col("v"), F.col("c")).alias("dist"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("b.cid").alias("cid"),
+                F.col("b.dist").alias("dist"), "v")
+    )
+
+
+def _update(
+    best: DataFrame, cents: DataFrame, dim: int, centroid_decimals
+) -> DataFrame:
+    """One Lloyd update: per-cluster element-wise mean (dim partial-agg
+    avg()s), rounded to the cross-engine grid; empty clusters keep
+    their previous centroid."""
+    mean_i = [F.avg(F.col("v")[i]) for i in range(dim)]
+    if centroid_decimals is not None:
+        mean_i = [F.round(m, centroid_decimals) for m in mean_i]
+    means = best.groupBy("cid").agg(F.array(*mean_i).alias("m"))
+    # both sides are ≤ k rows; without the hint Catalyst plans a
+    # SortMergeJoin (full exchange) for this k-row join
+    return cents.join(F.broadcast(means), "cid", "left").select(
+        "cid", F.coalesce("m", "c").alias("c")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_decimals: int | None = 6,
+    init: str = "hash",
+) -> DataFrame:
+    """The TRAINED centroid table ``(cid, c)`` after ``iters`` full
+    assign+update rounds (note: one more update than
+    :func:`kmeans_embeddings` runs before its final assignment) — the
+    input to centroid-consuming builds like
+    ``similarity.build_ivf_index(centroid_mode="kmeans")``, where
+    refined centroids balance posting lists far better than the k
+    arbitrary corpus vectors the hash pick yields."""
+    e = _valid_vectors(corpus, vec_col, id_col, dim)
+    cents = _init_cents(corpus, e, k, init)
+    for _ in range(iters):
+        cents = _update(_assign(e, cents), cents, dim, centroid_decimals)
+    return cents
 
 
 def semdedup_prune(

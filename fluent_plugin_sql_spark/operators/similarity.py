@@ -429,11 +429,24 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     num_centroids: int = 16,
+    centroid_mode: str = "hash",
+    kmeans_iters: int = 2,
+    dim: int | None = None,
 ) -> None:
     """Persist an IVF index (centroids + posting lists) to parquet so the
     build cost amortizes across query batches — at corpus scale the
     assignment pass is the expensive part, and a nightly index serves
     every search until the next rebuild.
+
+    ``centroid_mode``: ``"hash"`` (default) picks ``num_centroids``
+    arbitrary corpus vectors by portable md5 — zero extra passes,
+    engine-replicable, but posting-list sizes follow the corpus density
+    around accidental picks; ``"kmeans"`` trains centroids with
+    ``kmeans_iters`` Lloyd rounds (``operators.cluster.kmeans_centroids``;
+    requires ``dim``) — costlier by those rounds, but centroids move to
+    density modes, balancing posting lists and raising recall at the
+    same ``nprobe`` (measured in tests/test_kmeans.py).  Both are
+    deterministic, so either index is oracle-replicable.
 
     Layout: ``{path}/centroids`` (centroid_id, centvec) and
     ``{path}/postings`` (bucket, match_id, cvec) — postings are
@@ -442,12 +455,32 @@ def build_ivf_index(
     from pyspark.sql import Window
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
-    centroids = (
-        c.withColumn("_h", portable_id_hash(F.col("match_id")))
-        .orderBy("_h")
-        .limit(num_centroids)
-        .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
-    )
+    if centroid_mode == "kmeans":
+        if dim is None:
+            raise ValueError("centroid_mode='kmeans' requires dim=")
+        from .cluster import kmeans_centroids
+
+        centroids = kmeans_centroids(
+            corpus,
+            k=num_centroids,
+            iters=kmeans_iters,
+            dim=dim,
+            vec_col=vec_col,
+            id_col=id_col,
+        ).select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("c").alias("centvec"),
+        )
+    else:
+        centroids = (
+            c.withColumn("_h", portable_id_hash(F.col("match_id")))
+            .orderBy("_h")
+            .limit(num_centroids)
+            .select(
+                F.col("match_id").alias("centroid_id"),
+                F.col("cvec").alias("centvec"),
+            )
+        )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     cent = F.broadcast(
         centroids.withColumnRenamed("centvec", "centvec_b")

@@ -159,3 +159,75 @@ class TestKmeans:
             df, k=2, iters=2, dim=DIM, centroid_decimals=None
         ).collect()
         assert len(out) == 30
+
+
+@pytest.mark.usefixtures("spark")
+class TestKmeansIvf:
+    """Trained-centroid IVF (build_ivf_index(centroid_mode='kmeans')):
+    recall lift over the hash pick at identical nprobe, plus layout
+    compatibility with the untouched search path."""
+
+    def _corpus(self, spark, modes=12, per=40, dim=16, seed=2, noise=1.5):
+        g = np.random.default_rng(seed)
+        centers = g.normal(0, 6, (modes, dim))
+        rows = []
+        i = 0
+        for m in range(modes):
+            for _ in range(per):
+                v = centers[m] + g.normal(0, noise, dim)
+                rows.append((i, [float(x) for x in v]))
+                i += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    @staticmethod
+    def _recall(approx, exact):
+        a = {}
+        for r in approx:
+            a.setdefault(r.query_id, set()).add(r.match_id)
+        e = {}
+        for r in exact:
+            e.setdefault(r.query_id, set()).add(r.match_id)
+        hits = sum(len(a.get(q, set()) & m) for q, m in e.items())
+        return hits / sum(len(m) for m in e.values())
+
+    def test_trained_centroids_lift_recall(self, spark, tmp_path):
+        from fluent_plugin_sql_spark.operators.similarity import (
+            brute_force_topk,
+            build_ivf_index,
+            ivf_topk_from_index,
+        )
+
+        # moderately overlapping modes + nprobe=1: the regime where the
+        # arbitrary hash pick visibly loses (two picks land in one
+        # mode, splitting it across buckets a 1-probe query can't
+        # cover).  Measured at this seed: hash 0.895, kmeans 0.962.
+        corpus = self._corpus(spark).localCheckpoint(eager=True)
+        queries = corpus.where("vec_id % 23 = 0")  # 21 spread queries
+        exact = brute_force_topk(corpus, queries, k=5).collect()
+        rec = {}
+        for mode in ("hash", "kmeans"):
+            path = str(tmp_path / f"ivf_{mode}")
+            build_ivf_index(
+                corpus, path, num_centroids=12,
+                centroid_mode=mode, dim=16, kmeans_iters=4,
+            )
+            got = ivf_topk_from_index(
+                spark, path, queries, k=5, nprobe=1
+            ).collect()
+            rec[mode] = self._recall(got, exact)
+        assert rec["kmeans"] >= rec["hash"] + 0.03
+        assert rec["kmeans"] >= 0.93
+
+    def test_kmeans_mode_requires_dim(self, spark, tmp_path):
+        from fluent_plugin_sql_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        with pytest.raises(ValueError, match="dim"):
+            build_ivf_index(
+                self._corpus(spark, modes=2, per=5),
+                str(tmp_path / "x"),
+                centroid_mode="kmeans",
+            )
