@@ -400,3 +400,37 @@ def test_ann_candidate_fraction_sublinear_at_200k(spark):
     # LSH 8/2^8 = 3.1%, IVF 4/64 = 6.25%
     assert f200[0] < 0.10, f200
     assert f200[1] < 0.20, f200
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_RUN_SLOW") != "1",
+    reason="200k-vector k-means measurement takes minutes; set SPARK_GRAFT_RUN_SLOW=1",
+)
+def test_kmeans_assign_scales_linearly_at_200k(spark):
+    """Grow the corpus 4x (50k -> 200k, dim 64, k=64): Lloyd k-means
+    cost is O(N*k*dim) codegen flops + an O(N) argmin shuffle per
+    round — wall time must grow roughly with N, never quadratically
+    (the broadcast join means the corpus itself never shuffles).
+    Output invariants: one row per vector, cluster ids < k, profile
+    sizes sum to N.  Walls logged for ROUND8.md, asserted loosely
+    (shared box)."""
+    from fluent_plugin_sql_spark.operators.cluster import (
+        kmeans_cluster_profile,
+        kmeans_embeddings,
+    )
+
+    walls = {}
+    for n in (50_000, 200_000):
+        corpus = _synth_embeddings(spark, n).localCheckpoint(eager=True)
+        t0 = time.time()
+        a = kmeans_embeddings(corpus, k=64, iters=2, dim=64)
+        n_rows = a.count()
+        walls[n] = time.time() - t0
+        assert n_rows == n
+        prof = kmeans_cluster_profile(corpus, k=64, iters=2, dim=64).collect()
+        assert sum(r.size for r in prof) == n
+        assert all(0 <= r.cluster < 64 for r in prof)
+        print(f"\n[kmeans-scale] n={n}: wall={walls[n]:.2f}s")
+    # 4x the data: allow up to 8x wall (fixed stage overhead + box
+    # noise) — a quadratic blowup would be ~16x
+    assert walls[200_000] <= walls[50_000] * 8, walls
