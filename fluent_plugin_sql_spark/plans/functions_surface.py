@@ -719,6 +719,131 @@ def gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_lossy_anim_frame_sample",
+    oracle="""
+    SELECT doc_id, f AS frame_idx, 3 AS n_frames,
+           12 AS width, 6 AS height,
+           TRUE AS brightness_close
+    FROM documents, LATERAL (SELECT unnest([0, 1, 2]) AS f) x
+    """,
+)
+def webp_lossy_anim_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANIMATED LOSSY WebP through the native-codec hook: each document
+    becomes a 3-frame animation whose ANMF sub-chunks are real VP8
+    streams (libwebp lossy encode of uniform fills, q=95), sampled via
+    ``sample_video_frames(vp8_decode=native_codecs.webp_decode_rgb)`` —
+    the per-frame raw-stream decode path the pure-python matrix cannot
+    serve.  Frame geometry is exact; brightness is the same |Δ| ≤ 4
+    contract boolean as `webp_lossy_native_roundtrip` (measured worst
+    case 1.0 at q=95).  Without libwebp the synth degrades to VP8L
+    uniform frames of the SAME fills (Δ exactly 0, hook unused), so the
+    oracle holds everywhere.  Scale shape: one synth map + one
+    Arrow-batched mapInPandas, zero shuffles; ``max_frames`` bounds
+    decode cost per asset."""
+    from ..operators.multimodal import sample_video_frames
+    from ..operators.native_codecs import webp_decode_rgb
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd_
+
+        from ..operators.native_codecs import (
+            webp_available,
+            webp_encode_rgb,
+        )
+
+        use_native = webp_available()
+
+        def frame_chunk(w, h, v):
+            if use_native:
+                import numpy as np_
+
+                full = webp_encode_rgb(
+                    np_.full((h, w, 3), v, np_.uint8), 95.0
+                )
+                pos = 12
+                while pos + 8 <= len(full):
+                    fc = full[pos : pos + 4]
+                    (sz,) = struct.unpack_from("<I", full, pos + 4)
+                    if fc == b"VP8 ":
+                        return fc, full[pos + 8 : pos + 8 + sz]
+                    pos += 8 + sz + (sz % 2)
+                raise AssertionError("no VP8 chunk in lossy encode")
+            return b"VP8L", _vp8l_uniform_stream(w, h, v)
+
+        def anim_webp(w, h, fills):
+            chunks = []
+            vp8x = bytes([0x02, 0, 0, 0]) + (w - 1).to_bytes(
+                3, "little"
+            ) + (h - 1).to_bytes(3, "little")
+            chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+            anim = bytes([0, 0, 0, 255]) + struct.pack("<H", 0)
+            chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+            for v in fills:
+                fourcc, stream = frame_chunk(w, h, v)
+                sub = fourcc + struct.pack("<I", len(stream)) + stream
+                if len(stream) % 2:
+                    sub += b"\x00"
+                body = (
+                    (0).to_bytes(3, "little") * 2
+                    + (w - 1).to_bytes(3, "little")
+                    + (h - 1).to_bytes(3, "little")
+                    + (40).to_bytes(3, "little")
+                    + bytes([0])
+                    + sub
+                )
+                chunks.append(
+                    b"ANMF" + struct.pack("<I", len(body)) + body
+                )
+                if len(body) % 2:
+                    chunks.append(b"\x00")
+            payload = b"WEBP" + b"".join(chunks)
+            return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    (d, anim_webp(12, 6, [(d + 40 * f) % 256
+                                          for f in range(3)]))
+                )
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # NULL ids cannot parameterize a synthetic payload; filtering
+        # JVM-side also keeps the Arrow batch int64
+        .where(F.col("doc_id").isNotNull())
+    )
+    clips = docs.mapInPandas(synth, "doc_id long, payload binary")
+    frames = sample_video_frames(
+        clips, every_k=1, max_frames=8, strict=True,
+        vp8_decode=webp_decode_rgb,
+    )
+    # pmod FIRST: doc_id + 40 would ANSI-overflow at LONG_MAX ids (the
+    # dirty sweep caught exactly this), and pmod matches the synth's
+    # python `%` (non-negative) for negative ids where Spark's `%`
+    # would not
+    expected = F.pmod(F.pmod(F.col("doc_id"), 256)
+                      + 40 * F.col("frame_idx"), 256)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        (F.abs(F.col("brightness") - expected) <= F.lit(4.0)).alias(
+            "brightness_close"
+        ),
+    )
+
+
+@query(
     "webp_frame_sample",
     oracle="""
     SELECT doc_id, f AS frame_idx, 3 AS n_frames,
