@@ -2447,13 +2447,18 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
 
 def wav_pcm16_samples(payload: bytes):
     """Sample matrix (n_samples, channels) as int16 from a WAV payload:
-    uncompressed 16-bit PCM (fmt 1), G.711 A-law / µ-law telephony
-    audio (fmt 6 / 7, 8-bit codes expanded through the standard segment
-    tables), or IMA/DVI ADPCM (fmt 17, 4-bit codes through the standard
-    step tables per block).  None if the payload is not a decodable
-    WAV.  Same stdlib RIFF chunk walk as :func:`parse_wav_header`,
-    extended to return the data chunk's bytes instead of just its
-    size."""
+    uncompressed PCM (fmt 1) at 8-bit unsigned / 16-bit / 24-bit /
+    32-bit depths (wider depths keep their top 16 bits — the analysis
+    ops downstream are int16-normalized), IEEE float32 (fmt 3, clipped
+    to [-1, 1] then scaled), G.711 A-law / µ-law telephony audio
+    (fmt 6 / 7, 8-bit codes expanded through the standard segment
+    tables), IMA/DVI ADPCM (fmt 17, 4-bit codes through the standard
+    step tables per block), and any of those wrapped in
+    WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE: the real format is the
+    SubFormat GUID's leading code).  None if the payload is not a
+    decodable WAV.  Same stdlib RIFF chunk walk as
+    :func:`parse_wav_header`, extended to return the data chunk's
+    bytes instead of just its size."""
     import struct
 
     import numpy as np
@@ -2475,6 +2480,15 @@ def wav_pcm16_samples(payload: bytes):
             fmt_tag, channels = struct.unpack_from("<HH", payload, pos + 8)
             block_align = struct.unpack_from("<H", payload, pos + 20)[0]
             bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if fmt_tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the payload format is the
+                # leading 2 bytes of the SubFormat GUID (chunk offset
+                # 24: tag/ch/rate/byterate/align/bits/cbSize/
+                # validBits/channelMask precede it)
+                if size >= 40 and pos + 8 + 26 <= n:
+                    fmt_tag = struct.unpack_from("<H", payload, pos + 32)[0]
+                else:
+                    return None
         elif cid == b"data":
             data = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)
@@ -2494,6 +2508,28 @@ def wav_pcm16_samples(payload: bytes):
         # to whole samples instead of letting frombuffer raise (the
         # corrupt payload then flows through the strict/drop contract)
         arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif fmt_tag == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED (RIFF convention); recenter and widen
+        arr = (
+            (np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8
+        )
+    elif fmt_tag == 1 and bits == 24:
+        raw = np.frombuffer(data[: len(data) // 3 * 3], np.uint8)
+        raw = raw.reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24 bits
+        arr = (v >> 8).astype(np.int16)
+    elif fmt_tag == 1 and bits == 32:
+        arr = (
+            np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4") >> 16
+        ).astype(np.int16)
+    elif fmt_tag == 3 and bits == 32:
+        f = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        # NaN/Inf in a corrupt float stream must not blow the int cast
+        f = np.nan_to_num(
+            np.clip(f.astype(np.float64), -1.0, 1.0), nan=0.0
+        )
+        arr = np.round(f * 32767.0).astype(np.int16)
     else:
         return None
     usable = (len(arr) // channels) * channels
