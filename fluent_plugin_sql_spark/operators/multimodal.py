@@ -2193,10 +2193,12 @@ def tiff_pixels(payload: bytes):
 
     if compression not in (1, 5, 8, 32773, 32946):
         return None  # CCITT/old-style-JPEG need more than stdlib
-    if any(b != bits[0] for b in bits) or bits[0] not in (1, 8):
+    if any(b != bits[0] for b in bits) or bits[0] not in (1, 8, 16):
         return None
     if bits[0] == 1 and (spp != 1 or photometric not in (0, 1)):
         return None
+    if bits[0] == 16 and photometric not in (0, 1, 2):
+        return None  # 16-bit palette indexes are out of scope
     # tag 317 horizontal differencing (standard companion of LZW and
     # Deflate TIFFs): decoded bytes are per-row left deltas that must
     # be prefix-summed back.  Ignoring the tag would decode predictor-2
@@ -2245,6 +2247,16 @@ def tiff_pixels(payload: bytes):
             return np.unpackbits(rows, axis=1)[:, :ncols].reshape(
                 nrows, ncols, 1
             )
+        if bits[0] == 16:
+            # sample endianness follows the file byte order; keep the
+            # high byte (same 16→8 convention as the PNG decoder)
+            wide = (
+                rows[:, : ncols * spp * 2]
+                .reshape(nrows, ncols * spp, 2)
+                .astype(np.uint16)
+            )
+            hi = wide[:, :, 0] if e == ">" else wide[:, :, 1]
+            return hi.astype(np.uint8).reshape(nrows, ncols, spp)
         return rows[:, : ncols * spp].reshape(nrows, ncols, spp)
 
     if 322 in tags or 324 in tags:
@@ -2293,17 +2305,11 @@ def tiff_pixels(payload: bytes):
             raw += chunk
         if remaining > 0:
             return None
-        if bits[0] == 1:
-            rows = np.frombuffer(bytes(raw), np.uint8).reshape(
-                h, row_bytes(w)
-            )
-            samples = np.unpackbits(rows, axis=1)[:, :w].reshape(h, w, 1)
-        else:
-            # strip rows are full-width and the predictor resets per
-            # row, so undiffing the assembled image equals per-strip
-            samples = undiff(
-                np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-            )
+        # strip rows are full-width and the predictor resets per row,
+        # so undiffing the assembled image equals per-strip (undiff is
+        # the identity for non-8-bit samples: predictor≠1 is rejected
+        # there up front)
+        samples = undiff(to_samples(bytes(raw), h, w))
 
     if bits[0] == 1:
         px = samples[:, :, 0].astype(np.uint8) * 255

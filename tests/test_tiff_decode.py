@@ -135,6 +135,9 @@ def encode_tiff(
         px = (out % 256).astype(np.uint8).reshape(px.shape)
     if bits == 1:
         rows = [np.packbits(px[y].astype(np.uint8)).tobytes() for y in range(h)]
+    elif bits == 16:
+        dt = np.dtype(np.uint16).newbyteorder(endian)
+        rows = [px[y].astype(dt).tobytes() for y in range(h)]
     else:
         rows = [px[y].astype(np.uint8).tobytes() for y in range(h)]
     strips = []
@@ -557,6 +560,59 @@ class TestTiffDeflatePredictor:
         assert tiff_pixels(fake) is None
         rng = np.random.default_rng(50)
         for _ in range(150):
+            p = bytearray(payload)
+            p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
+            out = tiff_pixels(bytes(p))
+            assert out is None or out.ndim == 3
+
+
+class TestTiff16Bit:
+    """16-bit samples (scientific/scanned TIFFs): high byte kept, same
+    16→8 convention as the PNG decoder; both byte orders; gray + RGB;
+    all stdlib codecs."""
+
+    @pytest.mark.parametrize("endian", ["<", ">"])
+    def test_rgb16_both_endians(self, endian):
+        img16 = _rng(60).integers(0, 65536, (11, 14, 3)).astype(np.uint16)
+        arr = tiff_pixels(encode_tiff(img16, bits=16, endian=endian))
+        np.testing.assert_array_equal(arr, (img16 >> 8).astype(np.uint8))
+
+    @pytest.mark.parametrize("codec", ["lzw", "packbits", "deflate"])
+    def test_gray16_compressed(self, codec):
+        img16 = _rng(61).integers(0, 65536, (9, 21)).astype(np.uint16)
+        payload = encode_tiff(
+            img16, bits=16, photometric=1, rows_per_strip=4,
+            **{codec: True},
+        )
+        arr = tiff_pixels(payload)
+        np.testing.assert_array_equal(
+            arr[:, :, 0], (img16 >> 8).astype(np.uint8)
+        )
+
+    def test_white_is_zero16_inverts(self):
+        img16 = _rng(62).integers(0, 65536, (6, 7)).astype(np.uint16)
+        arr = tiff_pixels(encode_tiff(img16, bits=16, photometric=0))
+        np.testing.assert_array_equal(
+            arr[:, :, 0], 255 - (img16 >> 8).astype(np.uint8)
+        )
+
+    def test_predictor_on_16bit_rejected(self):
+        # tag-317 differencing on 16-bit samples is out of scope: a
+        # predictor-2 file whose BitsPerSample entry is rewritten to 16
+        # must return None, never silently-wrong bytes
+        img = _rng(63).integers(0, 256, (5, 5)).astype(np.uint8)
+        p2 = encode_tiff(img, deflate=True, predictor=2).replace(
+            struct.pack("<HHIHH", 258, 3, 1, 8, 0),
+            struct.pack("<HHIHH", 258, 3, 1, 16, 0),
+        )
+        assert tiff_pixels(p2) is None
+
+    def test_truncated16_and_fuzz(self):
+        img16 = _rng(64).integers(0, 65536, (8, 8, 3)).astype(np.uint16)
+        payload = bytearray(encode_tiff(img16, bits=16, lzw=True))
+        assert tiff_pixels(bytes(payload[: len(payload) // 2])) is None
+        rng = np.random.default_rng(65)
+        for _ in range(120):
             p = bytearray(payload)
             p[int(rng.integers(0, len(p)))] = int(rng.integers(0, 256))
             out = tiff_pixels(bytes(p))
