@@ -182,28 +182,44 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
             # dims always come from the actual image chunk
             pos += 8 + size + (size % 2)
         return None
-    if payload[:2] == b"P6":
-        # PPM: ASCII "P6 <w> <h> <maxval>", '#' comments allowed
-        fields: list[int] = []
-        i, n = 2, len(payload)
-        while i < n and len(fields) < 3:
-            c = payload[i : i + 1]
-            if c == b"#":
-                while i < n and payload[i : i + 1] != b"\n":
-                    i += 1
-            elif c.isspace():
-                i += 1
-            elif c.isdigit():
-                j = i
-                while j < n and payload[j : j + 1].isdigit():
-                    j += 1
-                fields.append(int(payload[i:j]))
-                i = j
-            else:
-                return None
-        if len(fields) == 3:
-            return ("ppm", fields[0], fields[1], 3)
+    if payload[:2] in (b"P6", b"P5", b"P4"):
+        # binary PNM family: "P6 <w> <h> <maxval>" (RGB), "P5 …"
+        # (graymap), "P4 <w> <h>" (bitmap, no maxval); '#' comments
+        parsed = _pnm_header(payload)
+        if parsed is None:
+            return None
+        fields, _ = parsed
+        kind = {b"P6": "ppm", b"P5": "pgm", b"P4": "pbm"}[payload[:2]]
+        return (kind, fields[0], fields[1], 3 if kind == "ppm" else 1)
     return None
+
+
+def _pnm_header(payload: bytes):
+    """(header_fields, data_offset) for a binary PNM payload — the
+    ASCII field scan shared by header parsing and pixel decode.  P4
+    carries 2 fields (w, h), P5/P6 carry 3 (w, h, maxval); exactly ONE
+    whitespace byte separates the last field from the sample data."""
+    want = 2 if payload[:2] == b"P4" else 3
+    fields: list[int] = []
+    i, n = 2, len(payload)
+    while i < n and len(fields) < want:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) != want:
+        return None
+    return fields, i + 1
 
 
 def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -1687,7 +1703,8 @@ def jpeg_pixels(payload: bytes):
 
 
 def _read_pixels(payload: bytes):
-    """REAL pixel array (h, w, 3) uint8 — PPM P6 and 24-bit BMP via
+    """REAL pixel array (h, w, 3) uint8 — binary PNM (P6/P5/P4 incl.
+    16-bit and non-255 maxval scaling) and 24-bit BMP via
     offset math, PNG via :func:`png_pixels` (stdlib zlib + unfilter,
     full fixed-layout matrix), baseline + progressive JPEG via
     :func:`jpeg_pixels` (Huffman + batched IDCT).  Returns None only
@@ -1701,29 +1718,47 @@ def _read_pixels(payload: bytes):
     if parsed is None:
         return None
     fmt, w, h, _c = parsed
-    if fmt == "ppm":
-        # scan past the 3 ASCII header fields; pixel data starts after
-        # exactly ONE whitespace byte following maxval
-        fields = 0
-        i, n = 2, len(payload)
-        while i < n and fields < 3:
-            c = payload[i : i + 1]
-            if c == b"#":
-                while i < n and payload[i : i + 1] != b"\n":
-                    i += 1
-            elif c.isspace():
-                i += 1
-            elif c.isdigit():
-                while i < n and payload[i : i + 1].isdigit():
-                    i += 1
-                fields += 1
-            else:
-                return None
-        i += 1  # the single whitespace after maxval
-        need = w * h * 3
-        if i + need > n:
+    if fmt in ("ppm", "pgm", "pbm"):
+        parsed = _pnm_header(payload)
+        if parsed is None:
             return None
-        return np.frombuffer(payload, np.uint8, need, i).reshape(h, w, 3)
+        fields, i = parsed
+        n = len(payload)
+        if w <= 0 or h <= 0 or w * h > (1 << 24):
+            return None  # same header-cap class as BMP/PNG
+        if fmt == "pbm":
+            row_b = (w + 7) // 8
+            if i + row_b * h > n:
+                return None
+            rows = np.frombuffer(payload, np.uint8, row_b * h, i)
+            bits_arr = np.unpackbits(rows.reshape(h, row_b), axis=1)[:, :w]
+            g = ((1 - bits_arr) * 255).astype(np.uint8)  # PBM: 1 = black
+            return np.repeat(g[:, :, None], 3, axis=2)
+        maxval = fields[2]
+        if not 1 <= maxval <= 65535:
+            return None
+        ch = 3 if fmt == "ppm" else 1
+        # maxval > 255 means 2-byte BIG-endian samples — assuming 1
+        # byte would silently decode wrong pixels, the worst failure
+        # class (half the data reinterpreted as full rows)
+        if maxval > 255:
+            if i + w * h * ch * 2 > n:
+                return None
+            vals = np.frombuffer(payload, ">u2", w * h * ch, i)
+        else:
+            if i + w * h * ch > n:
+                return None
+            vals = np.frombuffer(payload, np.uint8, w * h * ch, i)
+        if maxval == 255:
+            out = vals.reshape(h, w, ch)
+        else:
+            # netpbm semantics: samples span 0..maxval; scale to 0..255
+            out = np.round(
+                vals.reshape(h, w, ch).astype(np.float64) * (255.0 / maxval)
+            ).astype(np.uint8)
+        return np.ascontiguousarray(
+            np.repeat(out, 3, axis=2) if ch == 1 else out
+        )
     if fmt == "bmp":
         if len(payload) < 54:
             return None
