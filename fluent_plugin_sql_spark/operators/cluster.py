@@ -60,13 +60,28 @@ def _sq_l2(a, b):
     )
 
 
+def _sql_double(x: float) -> str:
+    """A double literal that parses for EVERY IEEE value: repr() of
+    NaN/±Inf ('nan', 'inf') is not SQL — emitting it turned a NaN seed
+    coordinate into an unresolved-column AnalysisException, a
+    never-raise-contract violation caught by direct test."""
+    x = float(x)
+    if x != x:
+        return "double('NaN')"
+    if x == float("inf"):
+        return "double('Infinity')"
+    if x == float("-inf"):
+        return "double('-Infinity')"
+    return f"{x!r}D"
+
+
 def _sq_l2_sql(vec_expr: str, literal: list[float]) -> str:
     """The same fold against a DRIVER-SIDE literal vector, generated as
     one SQL string: building it from ``F.lit`` Columns costs one py4j
     round-trip per component (the measured driver stall documented in
     similarity._hyperplane_bucket_sql); as a string it crosses py4j
     once and codegens flat."""
-    arr = "array(" + ",".join(f"{float(x)!r}D" for x in literal) + ")"
+    arr = "array(" + ",".join(_sql_double(x) for x in literal) + ")"
     return (
         f"aggregate(zip_with({vec_expr}, {arr}, "
         "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
@@ -85,9 +100,22 @@ def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
     reduce; the driver collects exactly one k×dim seed list — a bounded
     maintenance read).  Right for curation-scale k (tens); for k in the
     thousands use k-means||-style oversampling instead (not
-    implemented)."""
+    implemented).
+
+    Seed candidates are restricted to FINITE vectors: a NaN coordinate
+    makes every distance NaN (which Spark sorts as LARGEST, so the
+    desc-mind argmax would pick nothing but NaN vectors), and an Inf
+    one monopolizes the argmax — both would waste every seed on
+    garbage rows.  NaN/Inf vectors still get ASSIGNED at Lloyd time
+    under IEEE semantics, like the hash init."""
+    finite = e.where(
+        F.forall(
+            "v",
+            lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
+        )
+    )
     first = (
-        e.orderBy(portable_id_hash(F.col("vec_id")), "vec_id")
+        finite.orderBy(portable_id_hash(F.col("vec_id")), "vec_id")
         .limit(1)
         .collect()
     )
@@ -99,7 +127,7 @@ def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
         if len(seeds) > 1:
             mind = f"least({mind})"
         nxt = (
-            e.selectExpr("vec_id", "v", f"{mind} AS mind")
+            finite.selectExpr("vec_id", "v", f"{mind} AS mind")
             .orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
             .collect()

@@ -152,6 +152,44 @@ class TestKmeans:
         }
         assert out == {0: True, 1: False, 2: True}
 
+    def test_farthest_init_survives_nan_inf_vectors(self, spark):
+        # NaN sorts LARGEST in Spark, so without the finite-candidate
+        # filter the k-center argmax picked NaN vectors as seeds and
+        # repr(nan) broke the generated SQL (AnalysisException) — a
+        # never-raise-contract violation found by direct test
+        rows = [
+            (0, [1.0] * DIM),
+            (1, [2.0] * DIM),
+            (2, [float("nan")] * DIM),
+            (3, [3.0] * DIM),
+            (4, [float("inf")] * DIM),
+            (5, [9.0] * DIM),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = kmeans_embeddings(
+            df, k=3, iters=2, dim=DIM, init="farthest"
+        ).collect()
+        # everyone assigned (NaN/Inf rows flow IEEE), nobody raises
+        assert {r.vec_id for r in out} == {0, 1, 2, 3, 4, 5}
+        dec = semdedup_prune(
+            df, k=2, iters=1, dim=DIM, tau=0.9, init="farthest"
+        ).collect()
+        assert {r.vec_id for r in dec} == {0, 1, 2, 3, 4, 5}
+
+    def test_all_nonfinite_corpus_returns_empty_farthest(self, spark):
+        df = spark.createDataFrame(
+            [(0, [float("nan")] * DIM), (1, [float("inf")] * DIM)],
+            "vec_id long, embedding array<double>",
+        )
+        out = kmeans_embeddings(
+            df, k=2, iters=1, dim=DIM, init="farthest"
+        ).collect()
+        # no finite seed candidates -> no centroids -> empty result,
+        # never an error
+        assert out == []
+
     def test_unrounded_centroids_path(self, spark):
         centers = [np.eye(DIM)[b] * 6 for b in range(2)]
         df, _ = _blobs(spark, centers, per=15, seed=7)
