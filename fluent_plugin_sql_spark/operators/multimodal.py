@@ -80,7 +80,10 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
     decompression involved."""
     import struct
 
-    if payload is None or len(payload) < 10:
+    # 8 = the smallest decodable payload of any supported format
+    # (a 1×1 P4 bitmap: b"P4\n1 1\n" + one packed byte); every format
+    # branch enforces its own stricter minimum
+    if payload is None or len(payload) < 8:
         return None
     if payload[:2] == b"BM" and len(payload) >= 30:
         # BITMAPINFOHEADER: int32 width @18, int32 height @22 (may be
