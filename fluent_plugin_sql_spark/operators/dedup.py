@@ -1823,20 +1823,27 @@ class EmbeddingDedupStore:
                 .localCheckpoint(eager=True)  # feeds seeding + every Lloyd pass
             )
             cents = self._pick_centroids(vecs, n)
+            # the store's vectors share one dimension (absorb validates
+            # against the batch's dominant dim) — one bounded read pins
+            # it so the Lloyd mean can be `dim` partial-agg avg()s: the
+            # update shuffle then carries O(partitions × k × dim)
+            # partials instead of the posexplode form's N × dim rows
+            # (the same plan shape as operators/cluster._update)
+            dim_row = vecs.select(F.size("vec").alias("_d")).first()
+            dim = int(dim_row["_d"]) if dim_row is not None else 0
             for _ in range(max(0, lloyd_iters)):
-                # one Lloyd step, all DataFrame ops: assign each vector to
-                # its nearest centroid, then take the element-wise mean per
-                # cluster (posexplode → avg per position → re-assemble).
+                # one Lloyd step, all DataFrame ops: assign each vector
+                # to its nearest centroid, then element-wise mean per
+                # cluster
                 assigned = self._assign(vecs, cents, 1).select("doc", "vec", "bucket")
                 cents = (
-                    assigned.select("bucket", F.posexplode("vec").alias("pos", "v"))
-                    .groupBy("bucket", "pos")
-                    .agg(F.avg("v").alias("m"))
-                    .groupBy("bucket")
+                    assigned.groupBy("bucket")
                     .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                            lambda s: s["m"].cast("double"),
+                        F.array(
+                            *[
+                                F.avg(F.col("vec")[i]).cast("double")
+                                for i in range(dim)
+                            ]
                         ).alias("centvec")
                     )
                     .select(F.col("bucket").alias("centroid_id"), "centvec")
