@@ -292,6 +292,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     init: str = "hash",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the corpus, then prune
     within-cluster semantic near-duplicates — returns one row per valid
@@ -302,13 +303,19 @@ def semdedup_prune(
 
     Scale shape: the expensive global O(N²) comparison the paper avoids
     is avoided here the same way — pairs exist only WITHIN a cluster,
-    so the self-join shuffles once on ``cluster`` and costs
+    so the self-join shuffles once on the cluster key and costs
     Σ|cluster|², controlled by ``k`` (pick k so clusters are ~10³-10⁴
-    docs; a skewed mega-cluster is the known SemDeDup hazard — raise k
-    or pre-split on a coarse hash the way `session_windows_salted`
-    buckets hot keys).  Zero-norm embeddings score NULL cosine (never
+    docs).  The skewed-mega-cluster hazard has a shipped remedy:
+    ``max_cluster_size`` deterministically salt-splits any cluster
+    above it (md5 of the id, ⌈size/cap⌉ shards — the same hot-key
+    treatment as ``session_windows_salted``), bounding the pair cost at
+    Σ shards·cap² per cluster.  The trade is the standard salting one:
+    near-dups landing in different shards of the SAME cluster are
+    missed (keep becomes a superset — strictly fewer prunes, never a
+    wrong prune); clusters at or under the cap are bit-identical to
+    the unguarded run.  Zero-norm embeddings score NULL cosine (never
     an error) and are always kept."""
-    from .similarity import cosine
+    from .similarity import cosine, portable_id_hash
 
     a = kmeans_embeddings(
         corpus, k, iters, dim, vec_col, id_col, init=init
@@ -327,17 +334,39 @@ def semdedup_prune(
     # the plan at one k-means pass (same pattern as the MinHash
     # candidate pin in dedup.py)
     av = a.join(v, "vec_id").localCheckpoint(eager=False)
+    if max_cluster_size:
+        sizes = av.groupBy("cluster").agg(F.count("*").alias("_n"))
+        shards = F.ceil(F.col("_n") / max_cluster_size).cast("long")
+        pair_key = F.concat_ws(
+            "#",
+            F.col("cluster").cast("string"),
+            F.when(
+                F.col("_n") > max_cluster_size,
+                F.pmod(portable_id_hash(F.col("vec_id")), shards).cast(
+                    "string"
+                ),
+            ).otherwise(F.lit("")),
+        )
+        # sizes is ≤ k rows — broadcast, no extra shuffle of av
+        av = (
+            av.join(F.broadcast(sizes), "cluster")
+            .withColumn("_pk", pair_key)
+            .drop("_n")
+        )
+    else:
+        av = av.withColumn("_pk", F.col("cluster").cast("string"))
     x, y = av.alias("x"), av.alias("y")
     pruned = (
         x.join(
             y,
-            (F.col("x.cluster") == F.col("y.cluster"))
+            (F.col("x._pk") == F.col("y._pk"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .where(cosine(F.col("x.v"), F.col("y.v")) >= tau)
         .select(F.col("y.vec_id").alias("vec_id"))
         .distinct()
     )
+    av = av.drop("_pk")
     return (
         av.join(pruned.withColumn("pruned", F.lit(True)), "vec_id", "left")
         .select(

@@ -141,6 +141,51 @@ class TestKmeans:
         assert out[3].keep  # cos ≈ 0.707 < 0.9: not a semantic dup
         assert out[10].keep and not out[11].keep and not out[12].keep
 
+    def test_semdedup_salt_cap_identity_under_cap(self, spark):
+        # every cluster at or under the cap: bit-identical decisions
+        centers = [np.eye(DIM)[b] * 10 for b in range(2)]
+        df, _ = _blobs(spark, centers, per=12, spread=0.3, seed=11)
+        base = {
+            r.vec_id: (r.cluster, r.keep)
+            for r in semdedup_prune(
+                df, k=2, iters=2, dim=DIM, tau=0.98, init="farthest"
+            ).collect()
+        }
+        capped = {
+            r.vec_id: (r.cluster, r.keep)
+            for r in semdedup_prune(
+                df, k=2, iters=2, dim=DIM, tau=0.98, init="farthest",
+                max_cluster_size=50,
+            ).collect()
+        }
+        assert base == capped
+
+    def test_semdedup_salt_cap_bounds_mega_cluster(self, spark):
+        # 60 identical vectors: unguarded keeps exactly 1; the cap
+        # splits into shards, each keeping its own min id — strictly
+        # fewer prunes (keep superset), never a wrong prune, global
+        # min id always kept
+        rows = [(i, [5.0] * DIM) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        unguarded = {
+            r.vec_id: r.keep
+            for r in semdedup_prune(df, k=1, iters=1, dim=DIM, tau=0.9).collect()
+        }
+        assert sum(unguarded.values()) == 1 and unguarded[0]
+        capped = {
+            r.vec_id: r.keep
+            for r in semdedup_prune(
+                df, k=1, iters=1, dim=DIM, tau=0.9, max_cluster_size=10
+            ).collect()
+        }
+        n_keep = sum(capped.values())
+        assert capped[0]  # global min survives in its shard
+        assert 1 <= n_keep <= 6  # at most one per shard
+        # superset property: everything the unguarded run kept is kept
+        assert all(capped[i] for i, kp in unguarded.items() if kp)
+
     def test_semdedup_zero_norm_always_kept(self, spark):
         rows = [(0, [1.0] * DIM), (1, [1.0] * DIM), (2, [0.0] * DIM)]
         df = spark.createDataFrame(
