@@ -354,7 +354,9 @@ def semdedup_prune(
             .drop("_n")
         )
     else:
-        av = av.withColumn("_pk", F.col("cluster").cast("string"))
+        # unguarded: join on the int cluster id directly (a string
+        # pair key would cost a cast+concat per row for nothing)
+        av = av.withColumn("_pk", F.col("cluster"))
     x, y = av.alias("x"), av.alias("y")
     pruned = (
         x.join(
