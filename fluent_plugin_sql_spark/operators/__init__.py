@@ -6,7 +6,13 @@ from .dedup import (  # noqa: F401
     shingle_sets,
     simhash_dup_pairs,
 )
-from .cluster import kmeans_cluster_profile, kmeans_embeddings  # noqa: F401
+from .cluster import (  # noqa: F401
+    kmeans_centroids,
+    kmeans_cluster_profile,
+    kmeans_embeddings,
+    semdedup_prune,
+)
+from .native_codecs import native_image_decode, webp_available  # noqa: F401
 from .similarity import brute_force_topk, cosine, hyperplane_buckets, lsh_topk  # noqa: F401
 from .multimodal import (  # noqa: F401
     gif_frames,
