@@ -34,11 +34,14 @@ interval-bounded.  Nothing in the chain is quadratic or driver-bound.
 from __future__ import annotations
 
 import json
+import logging
 import sys
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def _keep_non_dups(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
@@ -122,6 +125,7 @@ def run_curation(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 src = df.select(id_col).join(
                     emb.select(F.col(eid).alias(id_col), vec_col), id_col
                 )
+            mcs = opts.get("max_cluster_size", "auto")
             dec = semdedup_prune(
                 src,
                 k=int(opts.get("k", 8)),
@@ -131,7 +135,30 @@ def run_curation(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 vec_col=vec_col,
                 id_col=id_col,
                 init=opts.get("init", "hash"),
+                max_cluster_size=mcs,
             ).select(F.col("vec_id").alias(id_col), "keep")
+            if opts.get("log_cap_stats") and mcs is not None:
+                # the execution-time engagement notice (≤k rows; one
+                # extra k-means pass — opt-in for that reason)
+                from .operators.cluster import semdedup_cap_stats
+
+                for r in semdedup_cap_stats(
+                    src,
+                    k=int(opts.get("k", 8)),
+                    iters=int(opts.get("iters", 2)),
+                    dim=int(opts.get("dim", 64)),
+                    vec_col=vec_col,
+                    id_col=id_col,
+                    init=opts.get("init", "hash"),
+                    max_cluster_size=mcs,
+                ).collect():
+                    if r.capped:
+                        _LOG.warning(
+                            "semantic_dedup: cluster %s size %d exceeds "
+                            "cap %d — salt-sharded into %d shards "
+                            "(within-cluster keep is a superset)",
+                            r.cluster, r.size, r.cap, r.shards,
+                        )
             df = (
                 df.join(dec, id_col, "left")
                 .where(F.col("keep").isNull() | F.col("keep"))

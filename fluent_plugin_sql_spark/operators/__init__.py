@@ -10,6 +10,7 @@ from .cluster import (  # noqa: F401
     kmeans_centroids,
     kmeans_cluster_profile,
     kmeans_embeddings,
+    semdedup_cap_stats,
     semdedup_prune,
 )
 from .native_codecs import native_image_decode, webp_available  # noqa: F401

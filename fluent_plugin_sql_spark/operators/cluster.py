@@ -42,10 +42,14 @@ oracle over every assignment.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import portable_id_hash
+
+_LOG = logging.getLogger(__name__)
 
 
 def _sq_l2(a, b):
@@ -115,7 +119,7 @@ def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
         )
     )
     first = (
-        finite.orderBy(portable_id_hash(F.col("vec_id")), "vec_id")
+        finite.orderBy(portable_id_hash(F.col("vec_id")), "vec_id", "v")
         .limit(1)
         .collect()
     )
@@ -128,7 +132,7 @@ def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
             mind = f"least({mind})"
         nxt = (
             finite.selectExpr("vec_id", "v", f"{mind} AS mind")
-            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"), F.asc("v"))
             .limit(1)
             .collect()
         )
@@ -165,11 +169,18 @@ def _init_cents(corpus, e, k, init):
             [(i, s) for i, s in enumerate(picked)],
             "cid int, c array<double>",
         )
-    seeds = e.orderBy(portable_id_hash(F.col("vec_id")), "vec_id").limit(k)
+    # the trailing "v" sort key breaks duplicate-id ties
+    # deterministically (dup vec_ids share the md5 hash, so without it
+    # both the limit and the window pick an arbitrary dup's vector)
+    seeds = e.orderBy(
+        portable_id_hash(F.col("vec_id")), "vec_id", "v"
+    ).limit(k)
     return seeds.select(
         (
             F.row_number().over(
-                Window.orderBy(portable_id_hash(F.col("vec_id")), "vec_id")
+                Window.orderBy(
+                    portable_id_hash(F.col("vec_id")), "vec_id", "v"
+                )
             )
             - 1
         ).alias("cid"),
@@ -208,6 +219,11 @@ def kmeans_embeddings(
     docstring.  For large ``iters``, cache/checkpoint ``corpus``
     upstream: each iteration re-reads it (two scans per round —
     assign + update share one)."""
+    if iters < 1:
+        # iters=0 would leave the assignment undefined (best=None →
+        # AttributeError deep in the plan build); fail loud at entry
+        # like sample_frames' every_n_bytes guard
+        raise ValueError(f"iters must be >= 1, got {iters}")
     e = _valid_vectors(corpus, vec_col, id_col, dim)
 
     cents = _init_cents(corpus, e, k, init)
@@ -224,7 +240,14 @@ def kmeans_embeddings(
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment: broadcast centroids, fold distances,
-    argmin via min(struct) with map-side partials."""
+    argmin via min(struct) with map-side partials.
+
+    Duplicate-id contract: ``F.min("v")`` (arrays compare
+    lexicographically in Spark, same as DuckDB list comparison) makes
+    the vector retained for a duplicated ``vec_id`` deterministic —
+    ``F.first`` here was partition-order dependent, so dup-id corpora
+    could diverge from the value-hash oracles.  The argmin struct is
+    already a deterministic min over all dup rows' (dist, cid)."""
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
@@ -235,7 +258,7 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
         scored.groupBy("vec_id")
         .agg(
             F.min(F.struct("dist", "cid")).alias("b"),
-            F.first("v").alias("v"),
+            F.min("v").alias("v"),
         )
         .select("vec_id", F.col("b.cid").alias("cid"),
                 F.col("b.dist").alias("dist"), "v")
@@ -283,6 +306,76 @@ def kmeans_centroids(
     return cents
 
 
+#: Flat floor for the ``"auto"`` SemDeDup cluster cap: below this a
+#: cluster's pair join is at most ~5×10⁵ comparisons — cheap on any
+#: executor — so salting it would only cost recall for nothing.
+SEMDEDUP_AUTO_CAP_FLOOR = 1000
+
+#: ``"auto"`` cap multiple of the mean cluster size ⌈N/k⌉.  A cluster
+#: engages the salt only when it holds >10× its fair share of the
+#: corpus — true mega-skew (for k ≤ 10 that exceeds N itself, so small-k
+#: runs are mathematically bit-identical to the unguarded plan).
+SEMDEDUP_AUTO_CAP_MULTIPLE = 10
+
+
+def _sizes_with_cap(
+    sizes: DataFrame, max_cluster_size: int | str, k: int
+) -> DataFrame:
+    """Attach the effective per-run ``_cap`` column to the ≤k-row
+    cluster-size aggregate.  ``"auto"`` derives it from the TOTAL valid
+    count N (a window sum over the size rows — no corpus action):
+    ``max(SEMDEDUP_AUTO_CAP_FLOOR, SEMDEDUP_AUTO_CAP_MULTIPLE×⌈N/k⌉)``."""
+    if max_cluster_size == "auto":
+        total = F.sum("_n").over(Window.partitionBy(F.lit(1)))
+        cap = F.greatest(
+            F.lit(SEMDEDUP_AUTO_CAP_FLOOR).cast("long"),
+            (
+                SEMDEDUP_AUTO_CAP_MULTIPLE
+                * F.ceil(total / F.lit(k))
+            ).cast("long"),
+        )
+    else:
+        cap = F.lit(int(max_cluster_size)).cast("long")
+    return sizes.withColumn("_cap", cap)
+
+
+def semdedup_cap_stats(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init: str = "hash",
+    max_cluster_size: int | str = "auto",
+) -> DataFrame:
+    """Per-cluster cap diagnostics for :func:`semdedup_prune`'s salt
+    guard: ``(cluster, size, cap, shards, capped)`` — ``capped`` true
+    where the mega-cluster salt engages.  The execution-time engagement
+    notice the lazy builder can't emit itself: the curation runner (and
+    any caller that wants a log line) collects these ≤k rows — a free
+    read once the k-means assignment materializes — and logs which
+    clusters were sharded."""
+    a = kmeans_embeddings(corpus, k, iters, dim, vec_col, id_col, init=init)
+    sizes = _sizes_with_cap(
+        a.groupBy("cluster").agg(F.count("*").alias("_n")),
+        max_cluster_size,
+        k,
+    )
+    return sizes.select(
+        "cluster",
+        F.col("_n").alias("size"),
+        F.col("_cap").alias("cap"),
+        F.when(
+            F.col("_n") > F.col("_cap"),
+            F.ceil(F.col("_n") / F.col("_cap")).cast("long"),
+        )
+        .otherwise(F.lit(1).cast("long"))
+        .alias("shards"),
+        (F.col("_n") > F.col("_cap")).alias("capped"),
+    )
+
+
 def semdedup_prune(
     corpus: DataFrame,
     k: int = 8,
@@ -292,7 +385,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     init: str = "hash",
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None | str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the corpus, then prune
     within-cluster semantic near-duplicates — returns one row per valid
@@ -305,28 +398,56 @@ def semdedup_prune(
     is avoided here the same way — pairs exist only WITHIN a cluster,
     so the self-join shuffles once on the cluster key and costs
     Σ|cluster|², controlled by ``k`` (pick k so clusters are ~10³-10⁴
-    docs).  The skewed-mega-cluster hazard has a shipped remedy:
+    docs).  The skewed-mega-cluster hazard is guarded BY DEFAULT:
     ``max_cluster_size`` deterministically salt-splits any cluster
     above it (md5 of the id, ⌈size/cap⌉ shards — the same hot-key
     treatment as ``session_windows_salted``), bounding the pair cost at
-    Σ shards·cap² per cluster.  The trade is the standard salting one:
-    near-dups landing in different shards of the SAME cluster are
-    missed (keep becomes a superset — strictly fewer prunes, never a
-    wrong prune); clusters at or under the cap are bit-identical to
-    the unguarded run.  Zero-norm embeddings score NULL cosine (never
-    an error) and are always kept."""
+    Σ shards·cap² per cluster.
+
+    ``max_cluster_size``:
+
+    - ``"auto"`` (the default): the cap is computed IN-PLAN from the
+      assignment sizes as
+      ``max(SEMDEDUP_AUTO_CAP_FLOOR, 10 × ⌈N/k⌉)`` — no extra corpus
+      scan or eager action (the size aggregate is ≤ k rows).  Only a
+      cluster holding >10× the mean corpus share is sharded — the
+      boilerplate-mega-cluster scenario that turns the pair join into a
+      dead stage at 100× — so ordinary runs are bit-identical to the
+      unguarded plan.
+    - an ``int``: a flat cap.
+    - ``None``: EXPLICIT opt-out — the unguarded quadratic join.
+
+    The trade when a cap engages is the standard salting one: near-dups
+    landing in different shards of the SAME cluster are missed (keep
+    becomes a superset — strictly fewer prunes, never a wrong prune);
+    clusters at or under the cap are bit-identical to the unguarded
+    run.  Engagement is data-dependent and this builder is lazy, so the
+    notice at execution time comes from :func:`semdedup_cap_stats`
+    (the curation runner logs it); the policy itself is logged here at
+    build.  Zero-norm embeddings score NULL cosine (never an error) and
+    are always kept."""
     from .similarity import cosine, portable_id_hash
 
     a = kmeans_embeddings(
         corpus, k, iters, dim, vec_col, id_col, init=init
     ).select("vec_id", "cluster")
-    v = corpus.where(
-        F.col(id_col).isNotNull()
-        & F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) == dim)
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    # deterministic dup-id pick (min array) mirrors _assign's contract;
+    # the groupBy and the following join share the vec_id key, so the
+    # aggregate's exchange is reused — no extra corpus shuffle
+    v = (
+        corpus.where(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double")
+            ).alias("v"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("v").alias("v"))
     )
     # the assignment feeds three consumers (both prune-join sides and
     # the final keep join); without pinning, each re-runs the whole
@@ -334,14 +455,30 @@ def semdedup_prune(
     # the plan at one k-means pass (same pattern as the MinHash
     # candidate pin in dedup.py)
     av = a.join(v, "vec_id").localCheckpoint(eager=False)
-    if max_cluster_size:
-        sizes = av.groupBy("cluster").agg(F.count("*").alias("_n"))
-        shards = F.ceil(F.col("_n") / max_cluster_size).cast("long")
+    if max_cluster_size is not None:
+        # the cap column is computed ON the ≤k-row size aggregate
+        # (window-summing N there is free); joined rows then carry
+        # their cluster's (_n, _cap) pair
+        sizes = _sizes_with_cap(
+            av.groupBy("cluster").agg(F.count("*").alias("_n")),
+            max_cluster_size,
+            k,
+        )
+        _LOG.info(
+            "semdedup_prune: mega-cluster salt cap ON (%s); clusters "
+            "above the cap are md5-salt-sharded — keep is a superset "
+            "within those clusters only",
+            "auto: max(%d, %d*ceil(N/%d))"
+            % (SEMDEDUP_AUTO_CAP_FLOOR, SEMDEDUP_AUTO_CAP_MULTIPLE, k)
+            if max_cluster_size == "auto"
+            else f"flat cap {max_cluster_size}",
+        )
+        shards = F.ceil(F.col("_n") / F.col("_cap")).cast("long")
         pair_key = F.concat_ws(
             "#",
             F.col("cluster").cast("string"),
             F.when(
-                F.col("_n") > max_cluster_size,
+                F.col("_n") > F.col("_cap"),
                 F.pmod(portable_id_hash(F.col("vec_id")), shards).cast(
                     "string"
                 ),
@@ -351,11 +488,12 @@ def semdedup_prune(
         av = (
             av.join(F.broadcast(sizes), "cluster")
             .withColumn("_pk", pair_key)
-            .drop("_n")
+            .drop("_n", "_cap")
         )
     else:
-        # unguarded: join on the int cluster id directly (a string
-        # pair key would cost a cast+concat per row for nothing)
+        # unguarded (explicit opt-out): join on the int cluster id
+        # directly (a string pair key would cost a cast+concat per row
+        # for nothing)
         av = av.withColumn("_pk", F.col("cluster"))
     x, y = av.alias("x"), av.alias("y")
     pruned = (

@@ -3546,7 +3546,23 @@ def audio_features_windows(
                             "natively"
                         )
                     continue
-                rate = parse_wav_header(payload)[1]
+                # the two RIFF walks diverge on dirty fmt chunks:
+                # parse_wav_header rejects rate==0 (returns None) while
+                # wav_pcm16_samples never reads the rate — an
+                # unconditional subscript here is an executor
+                # TypeError on a rate-0 WAV (a drop-contract
+                # violation); route header failure through the same
+                # strict/drop path as a failed decode
+                hdr = parse_wav_header(payload)
+                if hdr is None:
+                    if strict:
+                        raise NotImplementedError(
+                            "WAV header unusable (e.g. zero sample "
+                            "rate) — cannot place spectral features "
+                            "on a Hz axis"
+                        )
+                    continue
+                rate = hdr[1]
                 mono = sm.astype(np.float64).mean(axis=1)
                 wlen = len(mono) // n_windows
                 for wi in range(n_windows):
