@@ -206,10 +206,15 @@ def main() -> None:
             "max": round(max(samples), 3),
         }
     total = round(sum(timings.values()), 3)
+    # full blob first (spread + codec axes for the record), then the
+    # short headline line LAST: the driver records a bounded TAIL of
+    # stdout, and round 8's artifact was unparseable because the codec
+    # table grew past the window and cut the FRONT of the single line —
+    # any tail capture now always ends with a complete headline JSON
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_time",
+                "metric": "headline_queries_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -220,6 +225,17 @@ def main() -> None:
                 # not part of `value` (keeps the headline comparable to
                 # BASELINE.md across rounds)
                 "codecs": bench_codecs(reps),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
             }
         )
     )

@@ -1364,9 +1364,14 @@ def test_dup_clusters_star_keeps_self_paired_docs(spark):
     assert (7, 7) in b
 
 
-def test_brute_force_topk_pruned_equals_unpruned_with_null_query(spark):
-    """partition-local top-k pruning must be result-transparent, including
-    the degenerate NULL-query-id case (both plans drop it at the join)."""
+def test_brute_force_topk_partial_window_group_limit(spark):
+    """The scale guarantee of brute_force_topk: Catalyst's
+    WindowGroupLimit rewrite must prune per-partition to <= k rows per
+    query BEFORE the rank exchange (Partial mode under the shuffle), so
+    the exchange is O(tasks x queries x k) — the JVM-native replacement
+    for the removed mapInPandas partition-top-k stage.  Also covers the
+    degenerate NULL-query-id row (dropped at the join, never an
+    error)."""
     import numpy as np
 
     from fluent_plugin_sql_spark.operators.similarity import brute_force_topk
@@ -1378,8 +1383,17 @@ def test_brute_force_topk_pruned_equals_unpruned_with_null_query(spark):
     rows.append((None, [1.0] * 8))  # null-keyed query vector
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     queries = df.limit(6)
-    a = brute_force_topk(df, queries, k=3, partition_topk=True).collect()
-    b = brute_force_topk(df, queries, k=3, partition_topk=False).collect()
-    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
-    assert sorted(a, key=key) == sorted(b, key=key)
-    assert len(a) > 0
+    out = brute_force_topk(df, queries, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pos_partial = plan.find("Partial")
+    assert "WindowGroupLimit" in plan and pos_partial != -1
+    # the Partial group-limit sits BELOW the exchange (later in the
+    # printed tree = earlier in execution)
+    assert pos_partial > plan.find("Exchange hashpartitioning(query_id")
+    rows_out = out.collect()
+    assert len(rows_out) > 0
+    per_q: dict = {}
+    for r in rows_out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 3 for v in per_q.values())
