@@ -7,9 +7,12 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .cluster import (  # noqa: F401
+    assign_two_level,
     kmeans_centroids,
     kmeans_cluster_profile,
     kmeans_embeddings,
+    kmeans_large_embeddings,
+    kmeans_parallel_centroids,
     semdedup_cap_stats,
     semdedup_prune,
 )

@@ -43,6 +43,7 @@ oracle over every assignment.
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -514,6 +515,444 @@ def semdedup_prune(
             "cluster",
             F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def _finite_vectors(e: DataFrame) -> DataFrame:
+    """Rows whose vector is fully finite — the seed/candidate universe
+    for every init scheme (NaN distances poison argmax/priority math;
+    non-finite rows still get ASSIGNED under IEEE semantics later)."""
+    return e.where(
+        F.forall(
+            "v",
+            lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
+        )
+    )
+
+
+def _cand_sq_dmin(v, cands):
+    """min squared-L2 from ``v`` to a (possibly empty) array-of-vectors
+    column — an expression fold (no join, no shuffle): least() is
+    order-insensitive over the finite distances this is used on, so the
+    collect_list order feeding ``cands`` cannot affect the result."""
+    return F.aggregate(
+        cands,
+        F.lit(float("inf")),
+        lambda acc, c: F.least(acc, _sq_l2(v, c)),
+    )
+
+
+def _round_priority(rnd: int):
+    """The deterministic k-means|| sampling priority: ``uh / dmin``
+    ascending, where ``uh`` is a 40-bit md5 draw from (vec_id, round).
+
+    This replaces the paper's coin-flip ``min(1, l·d²/φ)`` with
+    EXACTLY-s weighted priority sampling (smallest ``u/w`` wins — the
+    division-only cousin of exponential-race sampling): selection
+    probability still grows with d², but there is NO global cost φ to
+    sum — which removes both a per-round driver action AND the
+    cross-engine hazard of comparing against an order-sensitive
+    distributed float sum.  Every operand is engine-exact: dmin is a
+    fold between two exact input vectors, uh is an integer < 2^40
+    (exact in a double), and one IEEE division is bit-identical
+    everywhere — so the sampled candidate SET is replicable, which is
+    what lets the gate query carry a full value-hash oracle.
+    dmin == 0 (already a candidate, or co-located with one) yields
+    NULL via try_divide → NULLS LAST → never reselected."""
+    uh = (
+        F.pmod(
+            portable_id_hash(
+                F.concat_ws(
+                    ":", F.col("vec_id").cast("string"), F.lit(str(rnd))
+                )
+            ),
+            F.lit(1 << 40),
+        )
+        + 1
+    ).cast("double")
+    return F.try_divide(uh, F.col("dmin"))
+
+
+def kmeans_parallel_centroids(
+    corpus: DataFrame,
+    k: int,
+    dim: int = 64,
+    l: int | None = None,
+    rounds: int = 2,
+    refine_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_decimals: int | None = 6,
+) -> DataFrame:
+    """Large-k centroid training via k-means|| (Bahmani et al., VLDB
+    2012): oversample ~``rounds × l`` spread-out candidates in a few
+    passes, weight each by the corpus mass nearest to it, then run
+    WEIGHTED Lloyd on the small candidate set down to ``k`` centroids.
+    Returns ``(cid, c)`` like :func:`kmeans_centroids`.
+
+    This is the init for k in the 10⁴-10⁵ range (production IVF posting
+    lists), where the greedy ``init="farthest"`` k-center sweep — k−1
+    sequential driver-round-trip scans (cluster.py:99) — is
+    structurally infeasible.  Scale shape, per round: one TakeOrdered
+    top-s selection (partition-local top-s, then an s-row exchange) and
+    one expression-level dmin update against the ≤l new candidates
+    broadcast as ONE array literal row — the corpus is never shuffled
+    and the driver never collects a vector during sampling; the whole
+    init is a single lazy plan.  The weighting pass reduces to
+    map-side partial counts (argmin over the candidate array is a
+    per-row expression), and the weighted refine runs on the
+    O(rounds × l)-row candidate table only.
+
+    Determinism contract (mirrored by the gate oracle): md5-derived
+    priorities (see :func:`_round_priority`), exact-input-vector
+    distances during sampling, (dist, id) struct argmin ties, and the
+    1e-6 centroid grid on weighted means.  Duplicate candidate ids
+    (dirty dup-id corpora) collapse to their min vector.  An empty or
+    all-non-finite corpus yields an empty centroid table — never an
+    error."""
+    if rounds < 1 or refine_iters < 1:
+        raise ValueError("rounds and refine_iters must be >= 1")
+    if l is None:
+        l = 2 * k
+    e = _valid_vectors(corpus, vec_col, id_col, dim)
+    finite = _finite_vectors(e)
+
+    c0 = (
+        finite.orderBy(portable_id_hash(F.col("vec_id")), "vec_id", "v")
+        .limit(1)
+    )
+    cand_dfs = [c0.select("vec_id", "v")]
+    arr0 = c0.agg(F.collect_list("v").alias("_cands"))
+    state = finite.crossJoin(F.broadcast(arr0)).select(
+        "vec_id",
+        "v",
+        _cand_sq_dmin(F.col("v"), F.col("_cands")).alias("dmin"),
+    )
+    for r in range(1, rounds + 1):
+        pri = _round_priority(r)
+        sel = (
+            state.select("vec_id", "v", pri.alias("_pri"))
+            .where(F.col("_pri").isNotNull())
+            .orderBy(F.asc("_pri"), F.asc("vec_id"))
+            .limit(l)
+            .select("vec_id", "v")
+        )
+        cand_dfs.append(sel)
+        if r < rounds:
+            arr = sel.agg(F.collect_list("v").alias("_cands"))
+            state = state.crossJoin(F.broadcast(arr)).select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("dmin"),
+                    _cand_sq_dmin(F.col("v"), F.col("_cands")),
+                ).alias("dmin"),
+            )
+    cands = cand_dfs[0]
+    for d in cand_dfs[1:]:
+        cands = cands.unionByName(d)
+    # dup-id hygiene (min vector per id) + pin: the candidate table
+    # feeds the weighting argmin, the refine corpus, and the refine
+    # init — without the checkpoint each consumer re-runs the whole
+    # sampling cascade
+    cands = (
+        cands.groupBy("vec_id")
+        .agg(F.min("v").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+
+    # weight(c) = |{x : argmin over candidates = c}| — argmin is a
+    # per-row expression over the one-row candidate array (broadcast),
+    # so the only shuffle carries map-side partial counts
+    cs = cands.agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("_cs")
+    )
+    nearest = (
+        finite.crossJoin(F.broadcast(cs))
+        .select(
+            F.array_min(
+                F.transform(
+                    F.col("_cs"),
+                    lambda s: F.struct(
+                        _sq_l2(F.col("v"), s["v"]).alias("d"),
+                        s["vec_id"].alias("cand_id"),
+                    ),
+                )
+            )["cand_id"].alias("cand_id")
+        )
+        .groupBy("cand_id")
+        .agg(F.count("*").alias("w"))
+    )
+    candw = cands.join(
+        nearest, cands.vec_id == nearest.cand_id, "left"
+    ).select(
+        "vec_id", "v", F.coalesce("w", F.lit(0)).cast("double").alias("w")
+    )
+
+    # deterministic weighted k-means++ seeding on the COLLECTED
+    # candidate set (a bounded O(rounds×l×dim) maintenance read — the
+    # same driver-side refine MLlib's k-means|| uses), then distributed
+    # weighted Lloyd.  Plain hash init here merges modes: two seeds in
+    # one dense mode leave weighted Lloyd stuck (observed directly).
+    rows = sorted(
+        ((r.vec_id, list(r.v), r.w) for r in candw.collect()),
+        key=lambda t: t[0],
+    )
+    seeds = _pp_seeds(rows, k)
+    if not seeds:
+        return corpus.sparkSession.createDataFrame(
+            [], "cid int, c array<double>"
+        )
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)], "cid int, c array<double>"
+    )
+    for _ in range(refine_iters):
+        a = _wassign(candw, cents)
+        cents = _wupdate(a, cents, dim, centroid_decimals)
+    return cents
+
+
+def _pp_seeds(
+    rows: list[tuple], k: int, grid_decimals: int = 6
+) -> list[list[float]]:
+    """Deterministic weighted k-means++ seeding over the collected
+    candidate list ``[(vec_id, vector, weight), …]`` (sorted by id).
+
+    Selection rule per step j: the candidate minimizing
+    ``u(id, j) / (w · d²)`` — md5-priority sampling like the
+    oversampling rounds (:func:`_round_priority`), now weighted by the
+    candidate's corpus mass, which is D²-weighted k-means++ sampling
+    with deterministic pseudo-randomness.  The per-step draw is ONE
+    md5 per candidate folded through exact integer arithmetic,
+    ``u(id, j) = (h₄₀(id)·(2j+1) + j) mod 2⁴⁰ + 1`` — k per-candidate
+    hashes total instead of k×|C| (at k=4096 over 16k candidates the
+    per-step-md5 variant is ~67M driver hash calls), with every
+    intermediate < 2⁵³ so the arithmetic is exact in BIGINT, int64 and
+    doubles alike.  Engine-exactness: ``u`` and ``w`` are integers
+    exact in doubles, and ``d²`` is rounded to the module's 1e-6 grid
+    before the division — so the DuckDB oracle's own fold, rounded to
+    the same grid, reproduces the identical seed chain (ties on the
+    grid break by id; a true value within an ulp of a grid boundary is
+    the same vanishing-collision class the centroid grid documents).
+    Zero-weight candidates carry no corpus mass and co-located (d²=0)
+    ones add nothing — both are unselectable, so fewer than ``k``
+    seeds may return (like hash init on a small corpus)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = [t for t in rows if t[2] > 0]
+    if not rows or k < 1:
+        return []
+    ids = [t[0] for t in rows]
+    vs = np.array([t[1] for t in rows], dtype=np.float64)
+    ws = np.array([t[2] for t in rows], dtype=np.float64)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    h40 = np.array(
+        [h60(str(i)) % (1 << 40) for i in ids], dtype=np.int64
+    )
+    first = min(range(len(ids)), key=lambda i: (h60(str(ids[i])), ids[i]))
+    seeds = [vs[first]]
+    d2 = np.round(((vs - vs[first]) ** 2).sum(axis=1), grid_decimals)
+    for j in range(1, k):
+        u = ((h40 * (2 * j + 1) + j) % (1 << 40) + 1).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = u / (ws * d2)
+        pickable = np.isfinite(pri)
+        if not pickable.any():
+            break
+        # np.argmin returns the FIRST minimum; rows are sorted by id,
+        # so equal priorities break to the smallest id — matching the
+        # oracle's ORDER BY pri, vec_id
+        best = int(np.argmin(np.where(pickable, pri, np.inf)))
+        seeds.append(vs[best])
+        d2 = np.minimum(
+            d2, np.round(((vs - vs[best]) ** 2).sum(axis=1), grid_decimals)
+        )
+    return [[float(x) for x in s] for s in seeds]
+
+
+def _wassign(candw: DataFrame, cents: DataFrame) -> DataFrame:
+    """Weighted Lloyd assignment over the candidate table — the
+    :func:`_assign` shape plus the carried weight."""
+    scored = candw.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "w",
+        "cid",
+        _sq_l2(F.col("v"), F.col("c")).alias("dist"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("b"),
+            F.min("v").alias("v"),
+            F.min("w").alias("w"),
+        )
+        .select("vec_id", F.col("b.cid").alias("cid"), "v", "w")
+    )
+
+
+def _wupdate(
+    best: DataFrame, cents: DataFrame, dim: int, centroid_decimals
+) -> DataFrame:
+    """Weighted Lloyd update: per-cluster Σw·vᵢ / Σw on the 1e-6 grid;
+    zero-total-weight clusters (all members weight 0) and empty
+    clusters keep their previous centroid (try_divide → NULL →
+    coalesce — never a divide error)."""
+    mean_i = [
+        F.try_divide(
+            F.sum(F.col("w") * F.col("v")[i]), F.sum("w")
+        )
+        for i in range(dim)
+    ]
+    if centroid_decimals is not None:
+        mean_i = [F.round(m, centroid_decimals) for m in mean_i]
+    means = best.groupBy("cid").agg(F.array(*mean_i).alias("m"))
+    return cents.join(F.broadcast(means), "cid", "left").select(
+        "cid",
+        F.coalesce(
+            F.when(~F.exists("m", lambda x: x.isNull()), F.col("m")),
+            F.col("c"),
+        ).alias("c"),
+    )
+
+
+def assign_two_level(
+    corpus: DataFrame,
+    cents: DataFrame,
+    dim: int = 64,
+    coarse_k: int | None = None,
+    nprobe: int = 1,
+    coarse_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_decimals: int | None = 6,
+) -> DataFrame:
+    """Two-level (coarse→fine) assignment: route each vector through
+    ``m ≈ √k`` coarse super-centroids to a ``nprobe``-cell subset of
+    the fine centroids, then argmin only within that subset — O(m +
+    nprobe·k/m) distance folds per vector instead of O(k), the
+    assignment shape that makes k ≈ 10⁴-10⁵ IVF training tractable
+    (flat ``_assign`` generates N×k fold rows per pass).  Returns
+    ``(vec_id, cluster, dist)`` where ``cluster`` is the input table's
+    ``cid`` and ``dist`` the squared L2.
+
+    APPROXIMATE by construction: the true nearest fine centroid may
+    live in an unprobed cell (raise ``nprobe`` to trade cost for
+    exactness; cells are probed nearest-coarse-first).  Deterministic
+    and engine-replicable: the coarse table is itself a grid-rounded
+    k-means over the ≤k-row centroid table, probe order ties break on
+    coarse id, the final argmin on (dist, cid) — so even the
+    approximate assignment carries a full value-hash oracle.
+
+    Plan shape: coarse training and the fine→cell map run on k-row
+    inputs (cheap); the collected m×dim coarse table is embedded as ONE
+    literal array so coarse routing is a per-row expression — the
+    corpus's only shuffle is the final per-vector argmin, same as flat
+    assignment.  Cells that received no fine centroid are excluded
+    from probing (probing them would silently drop vectors).  Empty
+    centroid input returns an empty assignment — never an error."""
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    cents = cents.localCheckpoint(eager=False)
+    k = cents.count()
+    e = _valid_vectors(corpus, vec_col, id_col, dim)
+    spark = corpus.sparkSession
+    if k == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, dist double"
+        )
+    if coarse_k is None:
+        coarse_k = max(1, int(math.isqrt(k - 1)) + 1)
+    coarse = kmeans_centroids(
+        cents,
+        k=min(coarse_k, k),
+        iters=coarse_iters,
+        dim=dim,
+        vec_col="c",
+        id_col="cid",
+        centroid_decimals=centroid_decimals,
+    ).select(F.col("cid").alias("gid"), F.col("c").alias("g"))
+    # fine -> cell on the k-row centroid table
+    f2c = _assign(
+        cents.select(F.col("cid").alias("vec_id"), F.col("c").alias("v")),
+        coarse.select(F.col("gid").alias("cid"), F.col("g").alias("c")),
+    ).select(F.col("vec_id").alias("fcid"), F.col("cid").alias("gid"))
+    fine = cents.join(
+        F.broadcast(f2c), cents.cid == f2c.fcid
+    ).select("gid", "cid", "c")
+    # only cells that actually hold fine centroids are probe targets
+    occupied = {r.gid for r in f2c.select("gid").distinct().collect()}
+    coarse_rows = [
+        (r.gid, list(r.g)) for r in coarse.collect() if r.gid in occupied
+    ]
+    coarse_rows.sort()
+    if not coarse_rows:
+        return spark.createDataFrame(
+            [], "vec_id long, cluster int, dist double"
+        )
+    # m×dim literal + nested fold: coarse routing never joins/shuffles
+    glit = "array(" + ",".join(
+        "array(" + ",".join(_sql_double(x) for x in g) + ")"
+        for _, g in coarse_rows
+    ) + ")"
+    gids = "array(" + ",".join(str(gid) for gid, _ in coarse_rows) + ")"
+    probe = (
+        f"transform(slice(array_sort(zip_with({glit}, {gids}, "
+        f"(c, i) -> struct(aggregate(zip_with(v, c, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x) AS d, "
+        f"i AS g))), 1, {min(nprobe, len(coarse_rows))}), s -> s.g)"
+    )
+    probed = e.select(
+        "vec_id", "v", F.explode(F.expr(probe)).alias("gid")
+    )
+    scored = probed.join(F.broadcast(fine), "gid").select(
+        "vec_id",
+        "cid",
+        _sq_l2(F.col("v"), F.col("c")).alias("dist"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cluster"),
+            F.col("b.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_large_embeddings(
+    corpus: DataFrame,
+    k: int,
+    dim: int = 64,
+    l: int | None = None,
+    rounds: int = 2,
+    refine_iters: int = 2,
+    coarse_k: int | None = None,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_decimals: int | None = 6,
+) -> DataFrame:
+    """The composed large-k path: k-means|| trained centroids
+    (:func:`kmeans_parallel_centroids`) + two-level assignment
+    (:func:`assign_two_level`) — what a production IVF build over
+    10⁹-10¹¹ vectors runs, end to end, with every stage bounded:
+    sampling never shuffles the corpus, refine runs on O(rounds×l)
+    candidates, assignment costs O(m + nprobe·k/m) folds per vector."""
+    cents = kmeans_parallel_centroids(
+        corpus, k, dim, l, rounds, refine_iters,
+        vec_col, id_col, centroid_decimals,
+    )
+    return assign_two_level(
+        corpus, cents, dim, coarse_k, nprobe,
+        vec_col=vec_col, id_col=id_col,
+        centroid_decimals=centroid_decimals,
     )
 
 

@@ -428,8 +428,14 @@ def build_ivf_index(
     ``kmeans_iters`` Lloyd rounds (``operators.cluster.kmeans_centroids``;
     requires ``dim``) — costlier by those rounds, but centroids move to
     density modes, balancing posting lists and raising recall at the
-    same ``nprobe`` (measured in tests/test_kmeans.py).  Both are
-    deterministic, so either index is oracle-replicable.
+    same ``nprobe`` (measured in tests/test_kmeans.py);
+    ``"kmeans_parallel"`` trains via k-means||
+    (``operators.cluster.kmeans_parallel_centroids``; requires ``dim``)
+    — the path for ``num_centroids`` in the 10⁴-10⁵ range, where flat
+    Lloyd's N×k assignment folds and the greedy inits stop scaling
+    (oversampled candidates + weighted refine; for the assignment-side
+    analogue see ``cluster.assign_two_level``).  All modes are
+    deterministic, so every index is oracle-replicable.
 
     Layout: ``{path}/centroids`` (centroid_id, centvec) and
     ``{path}/postings`` (bucket, match_id, cvec) — postings are
@@ -438,19 +444,32 @@ def build_ivf_index(
     from pyspark.sql import Window
 
     c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
-    if centroid_mode == "kmeans":
+    if centroid_mode in ("kmeans", "kmeans_parallel"):
         if dim is None:
-            raise ValueError("centroid_mode='kmeans' requires dim=")
-        from .cluster import kmeans_centroids
+            raise ValueError(f"centroid_mode={centroid_mode!r} requires dim=")
+        if centroid_mode == "kmeans":
+            from .cluster import kmeans_centroids
 
-        centroids = kmeans_centroids(
-            corpus,
-            k=num_centroids,
-            iters=kmeans_iters,
-            dim=dim,
-            vec_col=vec_col,
-            id_col=id_col,
-        ).select(
+            trained = kmeans_centroids(
+                corpus,
+                k=num_centroids,
+                iters=kmeans_iters,
+                dim=dim,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+        else:
+            from .cluster import kmeans_parallel_centroids
+
+            trained = kmeans_parallel_centroids(
+                corpus,
+                k=num_centroids,
+                dim=dim,
+                refine_iters=kmeans_iters,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+        centroids = trained.select(
             F.col("cid").cast("long").alias("centroid_id"),
             F.col("c").alias("centvec"),
         )

@@ -1123,6 +1123,204 @@ def _dd_kmeans_ctes(
     return "WITH " + ",\n    ".join(parts)
 
 
+def _dd_kmeans_parallel_ctes(
+    k: int, dim: int, l: int, rounds: int, refine_iters: int
+) -> tuple[str, str]:
+    """DuckDB CTE chain re-running operators/cluster.
+    kmeans_parallel_centroids from scratch — the k-means|| pipeline:
+    md5-priority oversampling rounds (exactly-l weighted priority
+    sampling, no global cost φ), candidate weighting by nearest-corpus
+    mass, the deterministic weighted k-means++ seed chain (distances on
+    the 1e-6 grid so the driver-side numpy walk and this SQL agree),
+    and the weighted Lloyd refine on the 1e-6 centroid grid.  Returns
+    ``(cte_sql, final_centroid_cte)`` where the final CTE is
+    ``(cid, c)``."""
+    hid = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT"
+
+    def h(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    def dist(a: str, b: str) -> str:
+        return _dd_seq_sum(
+            f"list_transform(range(1, {dim + 1}),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+        )
+
+    two40 = 1 << 40
+    parts = [
+        f"""e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = {dim})""",
+        """fin AS MATERIALIZED (
+      SELECT * FROM e WHERE len(list_filter(v, x -> NOT isfinite(x))) = 0)""",
+        f"""pc0 AS MATERIALIZED (
+      SELECT vec_id, v FROM fin ORDER BY {hid}, vec_id LIMIT 1),
+    pd0 AS MATERIALIZED (
+      SELECT f.vec_id, f.v, min({dist('f.v', 's.v')}) AS dmin
+      FROM fin f CROSS JOIN pc0 s GROUP BY f.vec_id, f.v)""",
+    ]
+    sel_names = ["pc0"]
+    for r in range(1, rounds + 1):
+        uh = (
+            f"(({h('CAST(vec_id AS VARCHAR) || ' + repr(':' + str(r)))})"
+            f" % {two40} + 1)::DOUBLE"
+        )
+        parts.append(
+            f"""ps{r} AS MATERIALIZED (
+      SELECT vec_id, v FROM pd{r - 1} WHERE dmin != 0
+      ORDER BY {uh} / dmin, vec_id LIMIT {l})"""
+        )
+        sel_names.append(f"ps{r}")
+        if r < rounds:
+            parts.append(
+                f"""px{r} AS MATERIALIZED (
+      SELECT d.vec_id, min({dist('d.v', 's.v')}) AS md
+      FROM pd{r - 1} d CROSS JOIN ps{r} s GROUP BY d.vec_id),
+    pd{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.v,
+             least(d.dmin, COALESCE(x.md, 'Infinity'::DOUBLE)) AS dmin
+      FROM pd{r - 1} d LEFT JOIN px{r} x USING (vec_id))"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, v FROM {n}" for n in sel_names
+    )
+    parts.append(
+        f"""pcand AS MATERIALIZED (
+      SELECT vec_id, min(v) AS v FROM ({union}) GROUP BY vec_id),
+    pnear AS MATERIALIZED (
+      SELECT f.vec_id AS pid, c.vec_id AS cand_id,
+             {dist('f.v', 'c.v')} AS d
+      FROM fin f CROSS JOIN pcand c),
+    pnr AS MATERIALIZED (
+      SELECT pid, cand_id FROM pnear
+      QUALIFY row_number() OVER (PARTITION BY pid
+                                 ORDER BY d, cand_id) = 1),
+    pwt AS MATERIALIZED (SELECT cand_id, count(*)::DOUBLE AS w FROM pnr GROUP BY cand_id),
+    pcw AS MATERIALIZED (
+      SELECT c.vec_id, c.v, COALESCE(w.w, 0.0) AS w
+      FROM pcand c LEFT JOIN pwt w ON c.vec_id = w.cand_id),
+    pk AS MATERIALIZED (SELECT vec_id, v, w FROM pcw WHERE w > 0),
+    sp1 AS MATERIALIZED (SELECT vec_id, v FROM pk ORDER BY {hid}, vec_id LIMIT 1),
+    pe1 AS MATERIALIZED (
+      SELECT p.vec_id, p.v, p.w, round(min({dist('p.v', 's.v')}), 6) AS d2
+      FROM pk p CROSS JOIN sp1 s GROUP BY p.vec_id, p.v, p.w)"""
+    )
+    for j in range(2, k + 1):
+        # u(id, j) = (h40(id)*(2j+1) + j) mod 2^40 + 1 — the seeding
+        # draw _pp_seeds vectorizes (one md5 per candidate, exact
+        # integer arithmetic per step; every intermediate < 2^53)
+        uh = (
+            f"((({hid} % {two40}) * {2 * (j - 1) + 1} + {j - 1})"
+            f" % {two40} + 1)::DOUBLE"
+        )
+        parts.append(
+            f"""sp{j} AS MATERIALIZED (
+      SELECT vec_id, v FROM pe{j - 1} WHERE w * d2 > 0
+      ORDER BY {uh} / (w * d2), vec_id LIMIT 1)"""
+        )
+        if j < k:
+            parts.append(
+                f"""pe{j} AS MATERIALIZED (
+      SELECT e.vec_id, e.v, e.w,
+             least(e.d2, COALESCE(round({dist('e.v', 's.v')}, 6),
+                                  'Infinity'::DOUBLE)) AS d2
+      FROM pe{j - 1} e LEFT JOIN sp{j} s ON TRUE)"""
+            )
+    seed_union = " UNION ALL ".join(
+        f"SELECT {j - 1} AS cid, v AS c FROM sp{j}" for j in range(1, k + 1)
+    )
+    parts.append(f"prc0 AS MATERIALIZED ({seed_union})")
+    wmean = ", ".join(
+        f"round(CASE WHEN sum(w) = 0 THEN NULL"
+        f" ELSE sum(w * v[{i + 1}]) / sum(w) END, 6)"
+        for i in range(dim)
+    )
+    for n in range(1, refine_iters + 1):
+        parts.append(
+            f"""pws{n} AS MATERIALIZED (
+      SELECT c.vec_id, c.v, c.w, r.cid, {dist('c.v', 'r.c')} AS dist
+      FROM pcw c CROSS JOIN prc{n - 1} r),
+    pwa{n} AS MATERIALIZED (
+      SELECT vec_id, v, w, cid FROM pws{n}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) = 1),
+    pwm{n} AS MATERIALIZED (
+      SELECT cid, [{wmean}] AS m FROM pwa{n} GROUP BY cid),
+    prc{n} AS MATERIALIZED (
+      SELECT r.cid,
+             CASE WHEN m.m IS NULL
+                    OR len(list_filter(m.m, x -> x IS NULL)) > 0
+                  THEN r.c ELSE m.m END AS c
+      FROM prc{n - 1} r LEFT JOIN pwm{n} m USING (cid))"""
+        )
+    return "WITH " + ",\n    ".join(parts), f"prc{refine_iters}"
+
+
+def _dd_two_level_tail(
+    cents: str, dim: int, coarse_k: int, coarse_iters: int, nprobe: int
+) -> str:
+    """Further CTEs replicating operators/cluster.assign_two_level on
+    top of a ``(cid, c)`` centroid CTE: grid-rounded coarse k-means
+    over the centroid table, fine→cell map, nearest-coarse probing
+    restricted to occupied cells, and the within-probe argmin.  Ends
+    with ``tl AS (vec_id, cluster, dist)``."""
+    hcid = "('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 15))::BIGINT"
+
+    def dist(a: str, b: str) -> str:
+        return _dd_seq_sum(
+            f"list_transform(range(1, {dim + 1}),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))"
+        )
+
+    mean_list = ", ".join(f"round(avg(cv[{i + 1}]), 6)" for i in range(dim))
+    parts = [
+        f"""gtab AS MATERIALIZED (
+      SELECT cid, c FROM {cents}
+      WHERE cid IS NOT NULL AND c IS NOT NULL AND len(c) = {dim}),
+    gc0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {hcid}, cid) - 1 AS gid, c AS g
+      FROM gtab QUALIFY row_number() OVER (ORDER BY {hcid}, cid)
+                <= {coarse_k})"""
+    ]
+    for n in range(1, coarse_iters + 1):
+        parts.append(
+            f"""gs{n} AS MATERIALIZED (
+      SELECT t.cid, t.c AS cv, g.gid, {dist('t.c', 'g.g')} AS d
+      FROM gtab t CROSS JOIN gc{n - 1} g),
+    ga{n} AS MATERIALIZED (
+      SELECT cid, cv, gid FROM gs{n}
+      QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d, gid) = 1),
+    gm{n} AS MATERIALIZED (SELECT gid, [{mean_list}] AS m FROM ga{n} GROUP BY gid),
+    gc{n} AS MATERIALIZED (
+      SELECT g.gid, COALESCE(m.m, g.g) AS g
+      FROM gc{n - 1} g LEFT JOIN gm{n} m USING (gid))"""
+        )
+    parts.append(
+        f"""f2s AS MATERIALIZED (
+      SELECT t.cid AS fcid, t.c AS fc, g.gid, {dist('t.c', 'g.g')} AS d
+      FROM gtab t CROSS JOIN gc{coarse_iters} g),
+    f2c AS MATERIALIZED (
+      SELECT fcid, fc, gid FROM f2s
+      QUALIFY row_number() OVER (PARTITION BY fcid ORDER BY d, gid) = 1),
+    occ AS MATERIALIZED (SELECT DISTINCT gid FROM f2c),
+    tlprobe AS MATERIALIZED (
+      SELECT e.vec_id, e.v, g.gid
+      FROM e CROSS JOIN (SELECT c.gid, c.g FROM gc{coarse_iters} c
+                         JOIN occ USING (gid)) g
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {dist('e.v', 'g.g')}, g.gid) <= {nprobe}),
+    tl AS MATERIALIZED (
+      SELECT vec_id, fcid AS cluster, d AS dist FROM (
+        SELECT p.vec_id, f.fcid, {dist('p.v', 'f.fc')} AS d
+        FROM tlprobe p JOIN f2c f USING (gid))
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d, fcid) = 1)"""
+    )
+    return ",\n    ".join(parts)
+
+
 _KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM = 8, 2, 64
 
 
@@ -1205,6 +1403,83 @@ def kmeans_farthest_init_assign(
         iters=_KMEANS_ITERS,
         dim=_KMEANS_DIM,
         init="farthest",
+    )
+    return a.select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist_r")
+    )
+
+
+_KMPAR_CTES, _KMPAR_FINAL = _dd_kmeans_parallel_ctes(
+    k=8, dim=64, l=12, rounds=2, refine_iters=2
+)
+
+
+@query(
+    "kmeans_parallel_centroids",
+    # full value-hash oracle: DuckDB re-runs the ENTIRE k-means||
+    # pipeline from scratch — oversampling rounds (md5-priority
+    # exactly-l sampling), candidate weighting, the weighted k-means++
+    # seed chain, and both weighted Lloyd refine rounds — so every
+    # trained centroid coordinate is hash-verified
+    oracle=f"""
+    {_KMPAR_CTES}
+    SELECT cid, c FROM {_KMPAR_FINAL}
+    """,
+)
+def kmeans_parallel_centroids_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-means|| centroid training (Bahmani et al. 2012) — the
+    large-k init path: the greedy farthest init is k−1 sequential
+    driver scans, structurally infeasible at the k ≈ 10⁴-10⁵ a
+    production IVF wants; k-means|| oversamples spread candidates in
+    ``rounds`` passes (no corpus shuffle, no per-round driver action —
+    deterministic md5 priorities replace the paper's coin flips and
+    its global-cost φ), weights them by nearest-corpus mass, and
+    refines with weighted k-means++ + weighted Lloyd on the small
+    candidate table.  See operators/cluster.py for the engine-exactness
+    argument that makes the whole pipeline hash-verifiable."""
+    from ..operators.cluster import kmeans_parallel_centroids
+
+    emb = _emb(spark, sf_dir)
+    return kmeans_parallel_centroids(
+        emb, k=8, dim=64, l=12, rounds=2, refine_iters=2
+    )
+
+
+@query(
+    "kmeans_two_level_assign",
+    # composed oracle: the k-means|| chain above, then the two-level
+    # assignment replicated exactly — grid-rounded coarse k-means over
+    # the trained centroids, fine->cell map, occupied-cell probing,
+    # within-probe argmin.  The assignment is APPROXIMATE by design,
+    # but deterministic — so the approximate result itself is
+    # hash-verified, not recall-bounded
+    oracle=f"""
+    {_KMPAR_CTES},
+    {_dd_two_level_tail(_KMPAR_FINAL, dim=64, coarse_k=3,
+                        coarse_iters=2, nprobe=2)}
+    SELECT vec_id, cluster, round(dist, 4) AS dist_r FROM tl
+    """,
+)
+def kmeans_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse→fine) assignment over k-means||-trained
+    centroids — the large-k assignment shape: route through ≈√k coarse
+    cells (a per-row literal-fold expression, zero joins), then argmin
+    only among the fine centroids of the ``nprobe`` nearest occupied
+    cells — O(m + nprobe·k/m) distance folds per vector instead of the
+    flat O(k), with the corpus's only shuffle being the final argmin."""
+    from ..operators.cluster import (
+        assign_two_level,
+        kmeans_parallel_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_parallel_centroids(
+        emb, k=8, dim=64, l=12, rounds=2, refine_iters=2
+    )
+    a = assign_two_level(
+        emb, cents, dim=64, coarse_k=3, nprobe=2, coarse_iters=2
     )
     return a.select(
         "vec_id", "cluster", F.round("dist", 4).alias("dist_r")
