@@ -125,6 +125,11 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
                 ncomp = payload[pos + 9]
                 if not width or not height:
                     return None
+                # EXIF orientations 5-8 transpose the displayed image —
+                # reporting the CODED dims for a sideways phone JPEG
+                # silently swaps every aspect/dimension feature
+                if jpeg_exif_orientation(payload) >= 5:
+                    width, height = height, width
                 return ("jpeg", width, height, ncomp)
             if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF = corrupt
                 return None
@@ -223,6 +228,107 @@ def _pnm_header(payload: bytes):
     if len(fields) != want:
         return None
     return fields, i + 1
+
+
+def _tiff_ifd_orientation(data: bytes) -> int:
+    """Orientation (tag 274, SHORT) from a TIFF blob's IFD0 — the IFD
+    walk shared by whole-TIFF files and the EXIF APP1 body (EXIF IS a
+    TIFF structure).  Returns 1 (upright) for anything missing,
+    truncated or out of range — corrupt metadata must never raise or
+    rotate."""
+    import struct
+
+    if data is None or len(data) < 8:
+        return 1
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        return 1
+    try:
+        if struct.unpack_from(e + "H", data, 2)[0] != 42:
+            return 1
+        (ifd,) = struct.unpack_from(e + "I", data, 4)
+        if ifd + 2 > len(data):
+            return 1
+        (cnt,) = struct.unpack_from(e + "H", data, ifd)
+        for i in range(cnt):
+            pos = ifd + 2 + 12 * i
+            if pos + 12 > len(data):
+                return 1
+            tag, typ, n_vals = struct.unpack_from(e + "HHI", data, pos)
+            if tag == 274 and typ == 3 and n_vals == 1:
+                (o,) = struct.unpack_from(e + "H", data, pos + 8)
+                return o if 1 <= o <= 8 else 1
+    except struct.error:
+        return 1
+    return 1
+
+
+def jpeg_exif_orientation(payload: bytes) -> int:
+    """EXIF Orientation (tag 274) of a JPEG via its APP1 segment —
+    1..8, with 1 (upright) for missing/corrupt EXIF.  A phone-camera
+    JPEG with Orientation=6 stores the sensor's unrotated array;
+    ignoring the tag makes resizes, aspect features and crop-local
+    stats silently describe the sideways image."""
+    import struct
+
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return 1
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            return 1
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EXIF must precede the scan
+            return 1
+        if pos + 4 > n:
+            return 1
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            return 1
+        if (
+            marker == 0xE1
+            and seg_len >= 8
+            and payload[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        ):
+            return _tiff_ifd_orientation(
+                payload[pos + 10 : pos + 2 + seg_len]
+            )
+        pos += 2 + seg_len
+    return 1
+
+
+def _apply_orientation(arr, orientation: int):
+    """Apply a TIFF/EXIF orientation (1..8) to an (h, w, c) array so
+    downstream consumers always see the upright image.  The slices are
+    the standard display transforms: 2 mirror, 3 rotate-180, 4 vertical
+    mirror, 5 main-diagonal transpose, 6 rotate-90-CW, 7 anti-diagonal
+    transpose, 8 rotate-90-CCW."""
+    import numpy as np
+
+    if orientation == 2:
+        arr = arr[:, ::-1]
+    elif orientation == 3:
+        arr = arr[::-1, ::-1]
+    elif orientation == 4:
+        arr = arr[::-1, :]
+    elif orientation == 5:
+        arr = arr.swapaxes(0, 1)
+    elif orientation == 6:
+        arr = arr[::-1, :].swapaxes(0, 1)
+    elif orientation == 7:
+        arr = arr[::-1, ::-1].swapaxes(0, 1)
+    elif orientation == 8:
+        arr = arr[:, ::-1].swapaxes(0, 1)
+    return np.ascontiguousarray(arr)
 
 
 def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -1842,11 +1948,18 @@ def _read_pixels(payload: bytes):
     if fmt == "png":
         return png_pixels(payload)
     if fmt == "jpeg":
-        return jpeg_pixels(payload)
+        arr = jpeg_pixels(payload)
+        if arr is None:
+            return None
+        return _apply_orientation(arr, jpeg_exif_orientation(payload))
     if fmt == "gif":
         return gif_pixels(payload)
     if fmt == "tiff":
-        return tiff_pixels(payload)
+        arr = tiff_pixels(payload)
+        if arr is None:
+            return None
+        # whole-TIFF files carry the same tag 274 in IFD0
+        return _apply_orientation(arr, _tiff_ifd_orientation(payload))
     if fmt == "webp":
         # lossless (VP8L) decodes natively; lossy VP8 returns None —
         # the documented codec-library boundary

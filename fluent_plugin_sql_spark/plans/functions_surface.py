@@ -584,6 +584,68 @@ def jpeg_pipeline_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "width", "height", "brightness")
 
 
+def _exif_app1(orientation: int) -> bytes:
+    """Minimal EXIF APP1 segment: TIFF header + a one-entry IFD0 whose
+    only tag is Orientation (274, SHORT)."""
+    import struct
+
+    tiff = (
+        b"II"
+        + struct.pack("<H", 42)
+        + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 274, 3, 1)
+        + struct.pack("<H", orientation)
+        + b"\x00\x00"
+        + struct.pack("<I", 0)
+    )
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+@query(
+    "exif_orientation_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 8 >= 4 THEN 8 ELSE 16 END AS width,
+           CASE WHEN doc_id % 8 >= 4 THEN 16 ELSE 8 END AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS brightness
+    FROM documents
+    """,
+)
+def exif_orientation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-orientation-aware image features: each document becomes a
+    16×8 DC-only JPEG carrying an APP1 Orientation tag of
+    1 + doc_id % 8; the decoder (multimodal.jpeg_exif_orientation +
+    _apply_orientation) must rotate to the DISPLAY frame, so the
+    transposing orientations (5-8) swap the reported dimensions while
+    brightness — rotation-invariant on a uniform fill — stays exactly
+    the fill value.  The oracle predicts every row with closed-form
+    arithmetic, the same exact-DC argument as jpeg_pipeline_brightness."""
+    from ..operators.multimodal import extract_pixel_features
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                j = _dc_only_gray_jpeg(16, 8, d % 256)
+                seg = _exif_app1(1 + d % 8)
+                rows.append((d, j[:2] + seg + j[2:]))
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+    )
+    jpegs = docs.mapInPandas(synth, "doc_id long, payload binary")
+    feats = extract_pixel_features(jpegs, strict=True)
+    return feats.select("doc_id", "width", "height", "brightness")
+
+
 @query(
     "mjpeg_frame_sample",
     oracle="""
