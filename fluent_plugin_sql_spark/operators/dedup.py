@@ -1618,13 +1618,28 @@ class EmbeddingDedupStore:
         num_centroids: int = 16,
         nprobe: int = 2,
         store_replicas: int = 2,
+        centroid_mode: str = "hash",
     ):
+        if centroid_mode not in ("hash", "kmeans", "kmeans_parallel"):
+            raise ValueError(
+                f"centroid_mode must be 'hash', 'kmeans' or "
+                f"'kmeans_parallel', got {centroid_mode!r}"
+            )
         self.spark = spark
         self.path = path.rstrip("/")
         self.threshold = threshold
         self.num_centroids = num_centroids
         self.nprobe = nprobe
         self.store_replicas = store_replicas
+        #: how the FIRST absorbed batch's frozen centroids are chosen:
+        #: "hash" = the historical uniform md-hash pick (zero extra
+        #: passes); "kmeans" = Lloyd-trained on the first batch —
+        #: centroids land on semantic modes, so a SemDeDup-style
+        #: same-cluster probe (nprobe=1) compares against the right
+        #: neighborhood; "kmeans_parallel" = k-means|| for large
+        #: num_centroids.  Mode only matters at creation (and at
+        #: recluster, which has its own Lloyd path).
+        self.centroid_mode = centroid_mode
         self._store_fs = _StoreFS(spark, self.path)
         if not self._store_fs.exists(_StoreFS.LOCK):
             # healing mutates; skip it when another session's writer is
@@ -1688,13 +1703,40 @@ class EmbeddingDedupStore:
             return None
         return self.spark.read.parquet(f"{self.path}/centroids")
 
+    def _train_centroids(self, vecs: DataFrame, n: int) -> DataFrame:
+        """Trained first-batch centroids (``centroid_mode != 'hash'``):
+        Lloyd or k-means|| over the batch vectors — same determinism
+        contract as operators/cluster (md5 seeds, 1e-6 grid).  Falls
+        back to the hash pick on an empty/degenerate batch."""
+        dim_row = vecs.select(F.size("vec").alias("_d")).first()
+        if dim_row is None or dim_row["_d"] is None:
+            return self._pick_centroids(vecs, n)
+        dim = int(dim_row["_d"])
+        from .cluster import kmeans_centroids, kmeans_parallel_centroids
+
+        if self.centroid_mode == "kmeans_parallel":
+            cents = kmeans_parallel_centroids(
+                vecs, k=n, dim=dim, vec_col="vec", id_col="doc"
+            )
+        else:
+            cents = kmeans_centroids(
+                vecs, k=n, iters=2, dim=dim, vec_col="vec", id_col="doc"
+            )
+        return cents.select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("c").alias("centvec"),
+        )
+
     def _ensure_centroids(self, batch_vecs: DataFrame) -> DataFrame:
         """Load the frozen centroid set, creating it from this batch on
         first ABSORB (never from a probe)."""
         if not self._exists("centroids"):
-            self._pick_centroids(batch_vecs, self.num_centroids).write.mode(
-                "overwrite"
-            ).parquet(f"{self.path}/centroids")
+            pick = (
+                self._train_centroids(batch_vecs, self.num_centroids)
+                if self.centroid_mode != "hash"
+                else self._pick_centroids(batch_vecs, self.num_centroids)
+            )
+            pick.write.mode("overwrite").parquet(f"{self.path}/centroids")
         return self.spark.read.parquet(f"{self.path}/centroids")
 
     def _assign(self, vecs: DataFrame, centroids: DataFrame, top_n: int) -> DataFrame:

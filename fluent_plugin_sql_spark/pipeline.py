@@ -363,6 +363,20 @@ class Pipeline:
         cheapest stage runs first, so junk never costs a store lookup
         or state append.  Pure codegen; omit any threshold to skip it.
 
+        Optional ``source.semantic_dedup: {path, vec_col, id_col, tau,
+        k, nprobe}`` interposes the SemDeDup-style streaming stage: an
+        :class:`~.operators.dedup.EmbeddingDedupStore` whose frozen
+        centroids are k-means-TRAINED on the first absorbed batch
+        (``centroid_mode`` "kmeans", or "kmeans_parallel" for large
+        ``k``) so buckets are semantic clusters, probed same-cluster
+        (``nprobe`` defaults to 1 — the paper's within-cluster prune)
+        with cosine ≥ ``tau``.  Same at-least-once split as the other
+        stores (read-only probe → sink → absorb) and the same
+        replay-convergence contract as ``source.ivf_index``: a replayed
+        batch probes as dups of itself, so state is exactly-once by id.
+        This is the streaming twin of the batch curation runner's
+        ``semantic_dedup`` step.
+
         Optional ``source.ivf_index: {path, vec_col, id_col,
         num_centroids}`` maintains a persisted, searchable IVF
         similarity index over the rows that reach the sink: the first
@@ -434,6 +448,24 @@ class Pipeline:
                     store_replicas=int(ed_cfg.get("store_replicas", 2)),
                 )
 
+        smd_cfg = src.get("semantic_dedup")
+        smstores: dict[str, Any] = {}
+        if smd_cfg:
+            from .operators.dedup import EmbeddingDedupStore
+
+            for t in self.in_cfg.tables:
+                smstores[t.table] = EmbeddingDedupStore(
+                    self.spark,
+                    f"{smd_cfg['path']}/{t.table}",
+                    threshold=float(smd_cfg.get("tau", 0.95)),
+                    num_centroids=int(
+                        smd_cfg.get("k", smd_cfg.get("num_centroids", 16))
+                    ),
+                    nprobe=int(smd_cfg.get("nprobe", 1)),
+                    store_replicas=int(smd_cfg.get("store_replicas", 2)),
+                    centroid_mode=smd_cfg.get("centroid_mode", "kmeans"),
+                )
+
         iv_cfg = src.get("ivf_index")
 
         ru_cfg = src.get("rollup")
@@ -485,6 +517,7 @@ class Pipeline:
                 _xstore: Any = xstores.get(t.table),
                 _sstore: Any = sstores.get(t.table),
                 _estore: Any = estores.get(t.table),
+                _smstore: Any = smstores.get(t.table),
                 _rstore: Any = rstores.get(t.table),
                 _ivcfg: Any = iv_cfg,
                 _table: str = t.table,
@@ -532,6 +565,14 @@ class Pipeline:
                     _id = ed_cfg.get("id_col", "vec_id")
                     dups = _estore.probe_dups(
                         survivors, ed_cfg.get("vec_col", "embedding"), _id
+                    )
+                    survivors = survivors.join(
+                        dups.withColumnRenamed("dup", _id), _id, "left_anti"
+                    )
+                if _smstore is not None:
+                    _id = smd_cfg.get("id_col", "vec_id")
+                    dups = _smstore.probe_dups(
+                        survivors, smd_cfg.get("vec_col", "embedding"), _id
                     )
                     survivors = survivors.join(
                         dups.withColumnRenamed("dup", _id), _id, "left_anti"
@@ -616,12 +657,22 @@ class Pipeline:
                         ed_cfg.get("vec_col", "embedding"),
                         ed_cfg.get("id_col", "vec_id"),
                     )
+                if _smstore is not None:
+                    # first absorb trains + freezes the k-means
+                    # centroids from this survivor set
+                    _smstore.absorb(
+                        survivors,
+                        smd_cfg.get("vec_col", "embedding"),
+                        smd_cfg.get("id_col", "vec_id"),
+                    )
                 # every micro-batch appends one small file per touched
                 # store bucket; periodic compaction keeps probe latency
                 # from decaying into file-open overhead on long streams
                 _n["n"] += 1
                 if _every and _n["n"] % _every == 0:
-                    for st_ in (_store, _xstore, _sstore, _estore, _rstore):
+                    for st_ in (
+                        _store, _xstore, _sstore, _estore, _smstore, _rstore
+                    ):
                         if st_ is not None:
                             st_.compact()
                     if _ivcfg is not None:

@@ -795,3 +795,108 @@ def test_run_streaming_quality_filter_config(spark, tmp_path):
     # rejected rows never entered store state
     hashes = spark.read.parquet(str(tmp_path / "xd" / "documents" / "hashes"))
     assert hashes.count() == 2
+
+
+def test_run_streaming_semantic_dedup_config(spark, tmp_path):
+    """source.semantic_dedup interposes the SemDeDup-style store:
+    centroids are k-means-TRAINED on the first absorbed micro-batch
+    (semantic clusters, not arbitrary hash picks), later batches probe
+    same-cluster (nprobe=1) and near-parallel embeddings never reach
+    the sink; replayed state converges exactly-once by id."""
+    import time
+
+    from fluent_plugin_sql_spark.pipeline import Pipeline
+
+    rows = [
+        # first micro-batch: three well-separated semantic modes
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        # second micro-batch: near-copy of 0 (same cluster -> pruned),
+        # novel direction (kept)
+        (3, [0.995, 0.005, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    ).coalesce(1).write.parquet(str(src_dir / "embeddings.parquet"))
+    out = tmp_path / "out"
+    store_path = tmp_path / "smstore"
+    cfg = {
+        "source": {
+            "path": str(src_dir),
+            "select_limit": 3,
+            "tables": [{"table": "embeddings", "update_column": "vec_id"}],
+            "semantic_dedup": {
+                "path": str(store_path),
+                "vec_col": "embedding",
+                "id_col": "vec_id",
+                "tau": 0.95,
+                "k": 3,
+            },
+        },
+        "sink": {"path": str(out), "tables": [{"table": "clean_vecs"}]},
+    }
+    pipe = Pipeline(spark, cfg)
+    queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+    try:
+        def done():
+            try:
+                return spark.read.parquet(str(out / "clean_vecs")).count()
+            except Exception:
+                return 0
+        t0 = time.time()
+        while time.time() - t0 < 90 and done() < 4:
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+            q.awaitTermination(30)
+    got = {r["vec_id"] for r in spark.read.parquet(str(out / "clean_vecs")).collect()}
+    assert got == {0, 1, 2, 4}  # 3 = same-cluster near-dup of 0, pruned
+    # the frozen centroids are k-means OUTPUT ids (0..k-1 from the
+    # trained table), not first-batch doc ids by hash — and there are k
+    cents = spark.read.parquet(str(store_path / "embeddings" / "centroids"))
+    ids = sorted(r.centroid_id for r in cents.collect())
+    assert ids == [0, 1, 2]
+
+
+def test_semantic_store_kmeans_mode_replay_converges(spark, tmp_path):
+    """centroid_mode='kmeans' store: double-absorb of the same batch is
+    a no-op for probes (replay converges — the exactly-once-by-id
+    contract), and trained centroids drive same-cluster pruning."""
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    st = EmbeddingDedupStore(
+        spark, str(tmp_path / "sm"), threshold=0.95,
+        num_centroids=2, nprobe=1, centroid_mode="kmeans",
+    )
+    b1 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    assert st.probe_dups(b1, "embedding", "vec_id").count() == 0
+    st.absorb(b1, "embedding", "vec_id")
+    st.absorb(b1, "embedding", "vec_id")  # replay: same state semantics
+    b2 = spark.createDataFrame(
+        [(2, [0.999, 0.001, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    dups = {r.dup for r in st.probe_dups(b2, "embedding", "vec_id").collect()}
+    assert dups == {2}
+    # replayed batch probes as dups of itself -> empty survivors
+    rep = {r.dup for r in st.probe_dups(b1, "embedding", "vec_id").collect()}
+    assert rep == {0, 1}
+
+
+def test_semantic_store_rejects_unknown_mode(spark, tmp_path):
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroid_mode"):
+        EmbeddingDedupStore(
+            spark, str(tmp_path / "x"), centroid_mode="typo"
+        )
