@@ -1259,7 +1259,12 @@ def _dd_kmeans_parallel_ctes(
 
 
 def _dd_two_level_tail(
-    cents: str, dim: int, coarse_k: int, coarse_iters: int, nprobe: int
+    cents: str,
+    dim: int,
+    coarse_k: int,
+    coarse_iters: int,
+    nprobe: int,
+    fine_replicas: int = 2,
 ) -> str:
     """Further CTEs replicating operators/cluster.assign_two_level on
     top of a ``(cid, c)`` centroid CTE: grid-rounded coarse k-means
@@ -1303,7 +1308,8 @@ def _dd_two_level_tail(
       FROM gtab t CROSS JOIN gc{coarse_iters} g),
     f2c AS MATERIALIZED (
       SELECT fcid, fc, gid FROM f2s
-      QUALIFY row_number() OVER (PARTITION BY fcid ORDER BY d, gid) = 1),
+      QUALIFY row_number() OVER (PARTITION BY fcid ORDER BY d, gid)
+              <= {max(1, fine_replicas)}),
     occ AS MATERIALIZED (SELECT DISTINCT gid FROM f2c),
     tlprobe AS MATERIALIZED (
       SELECT e.vec_id, e.v, g.gid
