@@ -1415,6 +1415,39 @@ def kmeans_farthest_init_assign(
     )
 
 
+@query(
+    "semdedup_cap_stats",
+    # oracle recomputes the auto-cap policy from the same k-means
+    # sizes: cap = max(1000, 10*ceil(N/k)), shards = ceil(size/cap)
+    # where engaged — the in-plan guard the SemDeDup default ships with
+    oracle=f"""
+    {_dd_kmeans_ctes(12, 2, 64)},
+    sz AS (SELECT cid AS cluster, count(*) AS size FROM a2 GROUP BY cid),
+    tot AS (SELECT sum(size) AS n FROM sz)
+    SELECT s.cluster, s.size,
+           greatest(1000, 10 * CAST(ceil(t.n / 12.0) AS BIGINT)) AS cap,
+           CASE WHEN s.size > greatest(1000,
+                    10 * CAST(ceil(t.n / 12.0) AS BIGINT))
+                THEN CAST(ceil(s.size * 1.0 / greatest(1000,
+                    10 * CAST(ceil(t.n / 12.0) AS BIGINT))) AS BIGINT)
+                ELSE 1 END AS shards,
+           s.size > greatest(1000,
+                    10 * CAST(ceil(t.n / 12.0) AS BIGINT)) AS capped
+    FROM sz s CROSS JOIN tot t
+    """,
+)
+def semdedup_cap_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster diagnostics of semdedup_prune's default mega-cluster
+    salt cap (cluster, size, cap, shards, capped) — the execution-time
+    engagement report the curation runner logs; hash-oracled so the
+    auto-cap arithmetic itself is cross-engine verified, not just the
+    prune output it guards."""
+    from ..operators.cluster import semdedup_cap_stats
+
+    emb = _emb(spark, sf_dir)
+    return semdedup_cap_stats(emb, k=12, iters=2, dim=64)
+
+
 _KMPAR_CTES, _KMPAR_FINAL = _dd_kmeans_parallel_ctes(
     k=8, dim=64, l=12, rounds=2, refine_iters=2
 )
