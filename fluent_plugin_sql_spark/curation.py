@@ -10,6 +10,8 @@ steps:
   - near_dedup: {threshold: 0.8, num_hashes: 24, bands: 6}
   - simhash_dedup: {max_hamming: 6}
   - semantic_dedup: {k: 8, tau: 0.95, dim: 64}   # SemDeDup over embeddings
+    # optional: max_cluster_size ("auto" default / int / null=opt-out),
+    #           log_cap_stats: true  (logs salt-sharded mega-clusters)
   - span_removal: {n: 8, min_count: 2}
   - weighted_sample: {k: 10000, weight_col: n_chars}
 output: {path: /data/curated, shards: 16}
