@@ -141,6 +141,60 @@ class TestKmeansParallel:
             kmeans_parallel_centroids(df, k=2, dim=DIM, rounds=0)
         with pytest.raises(ValueError, match="rounds"):
             kmeans_parallel_centroids(df, k=2, dim=DIM, refine_iters=0)
+        with pytest.raises(ValueError, match="weight_mode"):
+            kmeans_parallel_centroids(df, k=2, dim=DIM, weight_mode="typo")
+
+    def test_two_level_weighting_matches_flat_on_separable(self, spark):
+        # on well-separated blobs no mass straddles a cell boundary, so
+        # the O(sqrt|C|) router must produce EXACTLY the flat weights
+        # and therefore bit-identical trained centroids
+        df, _ = _blobs(spark)
+        flat = sorted(
+            (r.cid, tuple(r.c))
+            for r in kmeans_parallel_centroids(
+                df, k=6, dim=DIM, l=12, weight_mode="flat"
+            ).collect()
+        )
+        two = sorted(
+            (r.cid, tuple(r.c))
+            for r in kmeans_parallel_centroids(
+                df, k=6, dim=DIM, l=12, weight_mode="two_level"
+            ).collect()
+        )
+        assert flat == two and len(flat) == 6
+
+    def test_two_level_weighting_deterministic(self, spark):
+        df, _ = _blobs(spark, modes=4, per=30)
+        outs = []
+        for parts in (3, 13):
+            outs.append(
+                sorted(
+                    (r.cid, tuple(r.c))
+                    for r in kmeans_parallel_centroids(
+                        df.repartition(parts), k=4, dim=DIM, l=8,
+                        weight_mode="two_level",
+                    ).collect()
+                )
+            )
+        assert outs[0] == outs[1]
+
+    def test_auto_uses_flat_below_threshold(self, spark):
+        # gate-scale candidate sets must take the flat path (the DuckDB
+        # oracles model it unconditionally): auto == flat bit-identical
+        df, _ = _blobs(spark, modes=3, per=20)
+        auto = sorted(
+            (r.cid, tuple(r.c))
+            for r in kmeans_parallel_centroids(
+                df, k=3, dim=DIM, l=8, weight_mode="auto"
+            ).collect()
+        )
+        flat = sorted(
+            (r.cid, tuple(r.c))
+            for r in kmeans_parallel_centroids(
+                df, k=3, dim=DIM, l=8, weight_mode="flat"
+            ).collect()
+        )
+        assert auto == flat
 
 
 @pytest.mark.usefixtures("spark")
