@@ -1584,6 +1584,70 @@ def ann_ivf_kmeans_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMPAR16_CTES, _KMPAR16_FINAL = _dd_kmeans_parallel_ctes(
+    k=8, dim=64, l=16, rounds=2, refine_iters=2
+)
+
+
+@query(
+    "ann_ivf_parallel_top5",
+    # composed oracle: the k-means|| chain (build_ivf_index's default
+    # l=2k, rounds=2) trains the centroids from scratch, then the same
+    # IVF assign/probe/rank as ann_ivf_kmeans_top5 — the large-k
+    # trainer's IVF integration is hash-verified end to end
+    oracle=f"""
+    {_KMPAR16_CTES},
+    cent AS MATERIALIZED (
+      SELECT cid AS centroid_id, c AS centvec FROM {_KMPAR16_FINAL}),
+    call AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    passign AS (
+      SELECT match_id, cv, centroid_id AS bucket FROM (
+        SELECT c.match_id, c.cv, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.match_id
+                    ORDER BY {_dd_cosine("cv", "centvec", 64)} DESC NULLS LAST,
+                             cent.centroid_id ASC) AS rn
+        FROM call c, cent) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, centroid_id AS bucket FROM (
+        SELECT q.query_id, q.qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY {_dd_cosine("qv", "centvec", 64)} DESC NULLS LAST,
+                             cent.centroid_id ASC) AS rn
+        FROM q, cent) WHERE rn <= 3),
+    scored AS (SELECT query_id, match_id, round(cc, 4) AS cos FROM (
+        SELECT p.query_id, a.match_id, {_dd_cosine("qv", "cv", 64)} AS cc
+        FROM passign a JOIN probes p
+          ON a.bucket = p.bucket AND p.query_id != a.match_id)
+      WHERE cc IS NOT NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, match_id ASC) AS rank FROM scored)
+    SELECT query_id, match_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_ivf_parallel_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over an index whose centroids come from the k-means||
+    trainer (build_ivf_index(centroid_mode="kmeans_parallel")) — the
+    build that still works when num_centroids reaches the 10⁴-10⁵
+    production range.  Same self-contained scratch-dir build as the
+    Lloyd-trained variant; the whole pipeline (oversampling, weighting,
+    weighted refine, posting assignment, probe, rank) is deterministic,
+    so the composed result is value-hash verified."""
+    import tempfile
+
+    from ..operators.similarity import build_ivf_index, ivf_topk_from_index
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_par_")
+    build_ivf_index(
+        emb, path, num_centroids=8, centroid_mode="kmeans_parallel", dim=64
+    )
+    return ivf_topk_from_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=3
+    )
+
+
 @query(
     "semdedup_prune_embeddings",
     # oracle composes the from-scratch k-means CTEs with the same
