@@ -243,12 +243,16 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment: broadcast centroids, fold distances,
     argmin via min(struct) with map-side partials.
 
-    Duplicate-id contract: ``F.min("v")`` (arrays compare
-    lexicographically in Spark, same as DuckDB list comparison) makes
-    the vector retained for a duplicated ``vec_id`` deterministic —
-    ``F.first`` here was partition-order dependent, so dup-id corpora
-    could diverge from the value-hash oracles.  The argmin struct is
-    already a deterministic min over all dup rows' (dist, cid)."""
+    Duplicate-id contract: ``v`` rides INSIDE the argmin struct, so the
+    vector retained for a duplicated ``vec_id`` is the argmin ROW's own
+    vector — exactly the row the oracle's
+    ``row_number() OVER (... ORDER BY dist, cid, v) = 1`` keeps (a
+    previous ``F.min("v")`` side-aggregate could retain the
+    lexicographic-min vector while the argmin came from a DIFFERENT dup
+    row, so multi-iteration runs on dup-id corpora diverged from the
+    value-hash oracles — the r9 advice finding).  Struct comparison is
+    field-by-field (arrays lexicographic, same as DuckDB), so ``v`` also
+    breaks exact (dist, cid) ties deterministically."""
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
@@ -257,12 +261,9 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return (
         scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("b"),
-            F.min("v").alias("v"),
-        )
+        .agg(F.min(F.struct("dist", "cid", "v")).alias("b"))
         .select("vec_id", F.col("b.cid").alias("cid"),
-                F.col("b.dist").alias("dist"), "v")
+                F.col("b.dist").alias("dist"), F.col("b.v").alias("v"))
     )
 
 
@@ -319,6 +320,22 @@ SEMDEDUP_AUTO_CAP_FLOOR = 1000
 SEMDEDUP_AUTO_CAP_MULTIPLE = 10
 
 
+def _validate_cap(max_cluster_size) -> None:
+    """Entry validation for the SemDeDup salt cap: a flat int cap must
+    be >= 1 — 0 used to fall through the falsy ``if max_cluster_size:``
+    to the unguarded path, and after the ``is not None`` fix it would
+    instead reach ``F.ceil(_n / _cap)`` and raise DIVIDE_BY_ZERO at
+    runtime under the repo's ANSI default.  Fail loud at build, like
+    the iters guard."""
+    if max_cluster_size is None or max_cluster_size == "auto":
+        return
+    if not isinstance(max_cluster_size, int) or max_cluster_size < 1:
+        raise ValueError(
+            "max_cluster_size must be 'auto', None, or an int >= 1, "
+            f"got {max_cluster_size!r}"
+        )
+
+
 def _sizes_with_cap(
     sizes: DataFrame, max_cluster_size: int | str, k: int
 ) -> DataFrame:
@@ -357,6 +374,7 @@ def semdedup_cap_stats(
     any caller that wants a log line) collects these ≤k rows — a free
     read once the k-means assignment materializes — and logs which
     clusters were sharded."""
+    _validate_cap(max_cluster_size)
     a = kmeans_embeddings(corpus, k, iters, dim, vec_col, id_col, init=init)
     sizes = _sizes_with_cap(
         a.groupBy("cluster").agg(F.count("*").alias("_n")),
@@ -427,6 +445,7 @@ def semdedup_prune(
     (the curation runner logs it); the policy itself is logged here at
     build.  Zero-norm embeddings score NULL cosine (never an error) and
     are always kept."""
+    _validate_cap(max_cluster_size)
     from .similarity import cosine, portable_id_hash
 
     a = kmeans_embeddings(
@@ -573,6 +592,17 @@ def _round_priority(rnd: int):
     return F.try_divide(uh, F.col("dmin"))
 
 
+#: Default driver budget (array elements ≈ float64s) for the k-means||
+#: weighted-k-means++ refine, whose candidate set IS collected to the
+#: driver (the same bounded maintenance read MLlib's k-means|| does).
+#: The collect is O((1 + rounds×l) × dim) elements; 5×10⁷ ≈ 400 MiB of
+#: raw float64 — beyond that the "bounded" read starts threatening
+#: driver heap, so the builder fails loud instead (override or disable
+#: via ``driver_budget_elems``).  Default parameters stay far under it
+#: (k=10⁵, l=2k, rounds=2, dim=64 → 2.56×10⁷).
+PARALLEL_REFINE_DRIVER_BUDGET = 50_000_000
+
+
 def kmeans_parallel_centroids(
     corpus: DataFrame,
     k: int,
@@ -584,6 +614,7 @@ def kmeans_parallel_centroids(
     id_col: str = "vec_id",
     centroid_decimals: int | None = 6,
     weight_mode: str = "auto",
+    driver_budget_elems: int | None = PARALLEL_REFINE_DRIVER_BUDGET,
 ) -> DataFrame:
     """Large-k centroid training via k-means|| (Bahmani et al., VLDB
     2012): oversample ~``rounds × l`` spread-out candidates in a few
@@ -613,10 +644,18 @@ def kmeans_parallel_centroids(
     Determinism contract (mirrored by the gate oracle): md5-derived
     priorities (see :func:`_round_priority`), exact-input-vector
     distances during sampling, (dist, id) struct argmin ties, and the
-    1e-6 centroid grid on weighted means.  Duplicate candidate ids
-    (dirty dup-id corpora) collapse to their min vector.  An empty or
-    all-non-finite corpus yields an empty centroid table — never an
-    error."""
+    1e-6 centroid grid on weighted means.  Duplicate ids (dirty dup-id
+    corpora) are collapsed to their min vector BEFORE sampling and
+    weighting, on both engines — one vote and one selection slot per
+    distinct id.  An empty or all-non-finite corpus yields an empty
+    centroid table — never an error.
+
+    ``driver_budget_elems``: the refine collects the O((1+rounds×l)×dim)
+    candidate set to the driver for the weighted k-means++ seeding;
+    above this element budget (default
+    :data:`PARALLEL_REFINE_DRIVER_BUDGET`, ≈400 MiB of float64) the
+    builder raises at entry instead of risking the driver heap — pass a
+    larger value or ``None`` to override."""
     if rounds < 1 or refine_iters < 1:
         raise ValueError("rounds and refine_iters must be >= 1")
     if weight_mode not in ("auto", "flat", "two_level"):
@@ -626,8 +665,29 @@ def kmeans_parallel_centroids(
         )
     if l is None:
         l = 2 * k
+    budget = driver_budget_elems
+    if budget is not None and (1 + rounds * l) * dim > budget:
+        raise ValueError(
+            f"k-means|| refine would collect ~{(1 + rounds * l) * dim:,}"
+            f" candidate elements (> driver_budget_elems={budget:,},"
+            f" ~{budget * 8 // 2**20} MiB of float64) to the driver for"
+            " the weighted k-means++ seeding — reduce l/rounds, or"
+            " raise/disable driver_budget_elems=None if the driver has"
+            " the headroom"
+        )
     e = _valid_vectors(corpus, vec_col, id_col, dim)
-    finite = _finite_vectors(e)
+    # ONE dedup of the sampling universe (min vector per id) fixes every
+    # dup-id divergence at the source: without it, duplicated ids
+    # consume multiple of the l selection slots per round on the Spark
+    # side while the oracle's GROUP BY collapses them, and the flat
+    # weighting counts one vote per corpus ROW while the oracle's
+    # argmin partitions by id — both r9 advice findings.  The oracle's
+    # fin CTE applies the same GROUP BY vec_id, min(v).  Cost: one
+    # (vec_id, v) shuffle before training, reused by every round's
+    # lineage via Spark's shuffle-stage reuse.
+    finite = (
+        _finite_vectors(e).groupBy("vec_id").agg(F.min("v").alias("v"))
+    )
 
     c0 = (
         finite.orderBy(portable_id_hash(F.col("vec_id")), "vec_id", "v")
@@ -778,10 +838,20 @@ def _weights_two_level(
     if n_cands <= 0:
         return _weights_flat(finite, cands)
     mc = max(2, math.isqrt(n_cands))
+    # cells are addressed by a DENSE INT INDEX (row_number over the
+    # hash-ordered pick), never by the candidate's own id: embedding a
+    # raw id into the routing literal assumed integer ids — a string-id
+    # corpus reaching this path generated unparseable SQL and raised,
+    # violating the never-raise posture (r9 advice).  The index is
+    # id-type-agnostic and the probe literal stays pure ints.
+    wi = Window.orderBy(portable_id_hash(F.col("vec_id")), "vec_id", "v")
     coarse = (
         cands.orderBy(portable_id_hash(F.col("vec_id")), "vec_id", "v")
         .limit(mc)
-        .select(F.col("vec_id").alias("gid"), F.col("v").alias("g"))
+        .select(
+            (F.row_number().over(wi) - 1).alias("gid"),
+            F.col("v").alias("g"),
+        )
         .localCheckpoint(eager=False)
     )
     scored = cands.crossJoin(F.broadcast(coarse)).select(
@@ -801,7 +871,7 @@ def _weights_two_level(
         "array(" + ",".join(_sql_double(x) for x in g) + ")"
         for _, g in crows
     ) + ")"
-    gids = "array(" + ",".join(str(g) + "L" for g, _ in crows) + ")"
+    gids = "array(" + ",".join(str(g) for g, _ in crows) + ")"
     probe = (
         f"transform(slice(array_sort(zip_with({glit}, {gids}, "
         f"(c, i) -> struct(aggregate(zip_with(v, c, "
@@ -992,10 +1062,32 @@ def assign_two_level(
     k = cents.count()
     e = _valid_vectors(corpus, vec_col, id_col, dim)
     spark = corpus.sparkSession
-    if k == 0:
-        return spark.createDataFrame(
-            [], "vec_id long, cluster int, dist double"
+
+    def _empty():
+        # the empty-result id type FOLLOWS the input schema — a
+        # hardcoded `vec_id long` handed string-id callers a frame
+        # their downstream joins could not union/join against (r9
+        # advice)
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
         )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("vec_id", e.schema["vec_id"].dataType),
+                    StructField("cluster", IntegerType()),
+                    StructField("dist", DoubleType()),
+                ]
+            ),
+        )
+
+    if k == 0:
+        return _empty()
     if coarse_k is None:
         coarse_k = max(1, int(math.isqrt(k - 1)) + 1)
     coarse = kmeans_centroids(
@@ -1031,9 +1123,7 @@ def assign_two_level(
     ]
     coarse_rows.sort()
     if not coarse_rows:
-        return spark.createDataFrame(
-            [], "vec_id long, cluster int, dist double"
-        )
+        return _empty()
     # m×dim literal + nested fold: coarse routing never joins/shuffles
     glit = "array(" + ",".join(
         "array(" + ",".join(_sql_double(x) for x in g) + ")"

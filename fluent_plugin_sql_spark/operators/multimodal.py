@@ -167,6 +167,12 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
                 spp = v
         if not width or not height:
             return None
+        # same display-frame contract as the JPEG branch: orientations
+        # 5-8 (tag 274) transpose the image, and _read_pixels applies
+        # the transform — reporting coded dims here would contradict
+        # the decoded array's shape for the SAME payload
+        if _tiff_ifd_orientation(payload) >= 5:
+            width, height = height, width
         return ("tiff", width, height, spp)
     if payload[:4] == b"RIFF" and len(payload) >= 30 and payload[8:12] == b"WEBP":
         # WebP: dims live inside the first image chunk (RFC 9649 §2)

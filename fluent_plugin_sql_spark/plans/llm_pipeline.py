@@ -1075,7 +1075,7 @@ def _dd_kmeans_ctes(
         # subqueries inside lambda expressions)
         parts.append(
             f"""seed1 AS (
-      SELECT v AS sv FROM e ORDER BY {h}, vec_id LIMIT 1),
+      SELECT v AS sv FROM e ORDER BY {h}, vec_id, v LIMIT 1),
     d1 AS (
       SELECT e.vec_id, e.v, {dist('s.sv')} AS mind
       FROM e CROSS JOIN seed1 s)"""
@@ -1083,7 +1083,7 @@ def _dd_kmeans_ctes(
         for j in range(2, k + 1):
             parts.append(
                 f"""seed{j} AS (
-      SELECT v AS sv FROM d{j - 1} ORDER BY mind DESC, vec_id LIMIT 1)"""
+      SELECT v AS sv FROM d{j - 1} ORDER BY mind DESC, vec_id, v LIMIT 1)"""
             )
             if j < k:
                 parts.append(
@@ -1099,8 +1099,8 @@ def _dd_kmeans_ctes(
     else:
         parts.append(
             f"""c0 AS (
-      SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cid, v AS c
-      FROM e QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k})"""
+      SELECT row_number() OVER (ORDER BY {h}, vec_id, v) - 1 AS cid, v AS c
+      FROM e QUALIFY row_number() OVER (ORDER BY {h}, vec_id, v) <= {k})"""
         )
     for n in range(1, iters + 1):
         parts.append(
@@ -1110,7 +1110,7 @@ def _dd_kmeans_ctes(
     a{n} AS (
       SELECT vec_id, v, cid, dist FROM s{n}
       QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY dist, cid) = 1)"""
+                                 ORDER BY dist, cid, v) = 1)"""
         )
         if n < iters or final_update:
             parts.append(
@@ -1153,8 +1153,13 @@ def _dd_kmeans_parallel_ctes(
       FROM embeddings
       WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         AND len(embedding) = {dim})""",
+        # dup-id dedup (min vector per id) mirrors the Spark side's
+        # groupBy(vec_id).agg(min(v)) — one selection slot and one
+        # weighting vote per DISTINCT id on both engines
         """fin AS MATERIALIZED (
-      SELECT * FROM e WHERE len(list_filter(v, x -> NOT isfinite(x))) = 0)""",
+      SELECT vec_id, min(v) AS v FROM e
+      WHERE len(list_filter(v, x -> NOT isfinite(x))) = 0
+      GROUP BY vec_id)""",
         f"""pc0 AS MATERIALIZED (
       SELECT vec_id, v FROM fin ORDER BY {hid}, vec_id LIMIT 1),
     pd0 AS MATERIALIZED (

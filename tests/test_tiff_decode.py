@@ -116,6 +116,7 @@ def encode_tiff(
     lzw=False,
     deflate=False,
     predictor=1,
+    orientation=None,
 ):
     """px: (h, w) gray/palette-index/bilevel or (h, w, 3) RGB."""
     import zlib
@@ -185,6 +186,8 @@ def encode_tiff(
     if predictor != 1:
         entry(317, 3, [predictor])
     entry(262, 3, [photometric])
+    if orientation is not None:
+        entry(274, 3, [orientation])
     entry(273, 4, offsets)
     entry(277, 3, [spp])
     entry(278, 4, [rows_per_strip])
