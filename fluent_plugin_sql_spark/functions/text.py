@@ -54,6 +54,153 @@ def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
 
+# --------------------------------------------------------------- BPE tokens
+#
+# Real LLM pipelines budget and pack shards by TOKENIZER tokens, not
+# whitespace words.  This is a deterministic byte-pair-encoding token
+# counter with two implementations that provably agree:
+#
+# - an EXPRESSION path (JVM, whole-stage codegen): merges applied in
+#   rank order as literal string replaces over a separator-charified
+#   word.  For a VALID merge list (every merge's parts exist before it
+#   — true of any list produced by BPE training) rank-order exhaustive
+#   application is equivalent to the classic encoder's
+#   lowest-rank-pair-first loop, and Java's String.replace scans
+#   left-to-right non-overlapping exactly like the encoder's merge
+#   sweep — so both paths produce the same segmentation.  This is the
+#   path the DuckDB gate oracle re-derives (replace() has identical
+#   semantics there), giving BPE counts a full value-hash oracle.
+# - a PANDAS-UDF path (Arrow-batched) running the classic encoder over
+#   a broadcast ranks dict — the path for REAL vocabularies (50k
+#   merges), where a 50k-deep replace chain is not an expression.
+#   Equality of the two paths is asserted in tests on the default
+#   vocabulary and on hand-derivable words.
+#
+# Pre-tokenization: lowercased alphabetic runs ([a-z]+).  Digits,
+# punctuation and non-Latin text are NOT counted — this is a budget
+# signal for the quality gates and shard packing, not a faithful GPT
+# tokenizer; the UDF path accepts any merge table if one is available.
+
+#: Word-internal separator for the expression path — cannot occur in a
+#: ``[a-z]+`` word.
+BPE_SEP = "\x1f"
+
+#: Compact demonstration vocabulary (frequent English pairs).  VALID by
+#: construction: each merge's parts are single letters or the product
+#: of an EARLIER merge ("th"@0 before ("th","e")@1, "an"@4 before
+#: ("an","d")@6, "in"@2 before ("in","g")@10).
+DEFAULT_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "n"),
+    ("an", "d"),
+    ("e", "n"),
+    ("t", "o"),
+    ("o", "r"),
+    ("in", "g"),
+    ("a", "t"),
+    ("e", "s"),
+    ("o", "u"),
+    ("i", "t"),
+    ("a", "l"),
+]
+
+
+def _bpe_words(col: Column | str) -> Column:
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit("[a-z]+"), F.lit(0))
+
+
+def _bpe_word_token_count(w: Column, merges) -> Column:
+    """Token count of ONE word: charify with a leading separator per
+    char, apply every merge in rank order as a literal replace, count
+    the surviving separators."""
+    x = F.regexp_replace(w, "(.)", BPE_SEP + "$1")
+    for a, b in merges:
+        x = F.replace(x, F.lit(BPE_SEP + a + BPE_SEP + b), F.lit(BPE_SEP + a + b))
+    return F.length(x) - F.length(F.replace(x, F.lit(BPE_SEP), F.lit("")))
+
+
+def bpe_token_count(col: Column | str, merges=None) -> Column:
+    """Total BPE token count of a text column (expression path; see the
+    section comment).  NULL text yields NULL; no words yields 0."""
+    merges = list(merges if merges is not None else DEFAULT_BPE_MERGES)
+    return F.aggregate(
+        F.transform(_bpe_words(col), lambda w: _bpe_word_token_count(w, merges)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def bpe_encode_count(word: str, ranks: dict) -> int:
+    """Classic BPE encoder (count only): repeatedly merge the
+    lowest-rank adjacent pair, left-to-right non-overlapping, until no
+    pair is in the ranks table.  The reference algorithm the expression
+    path is proven against in tests."""
+    parts = list(word)
+    while len(parts) > 1:
+        best_rank = None
+        best_pair = None
+        for pair in zip(parts, parts[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        merged = a + b
+        out = []
+        i = 0
+        while i < len(parts):
+            if i < len(parts) - 1 and parts[i] == a and parts[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = out
+    return len(parts)
+
+
+def bpe_token_count_udf(merges=None):
+    """Arrow-batched pandas UDF computing the same count as
+    :func:`bpe_token_count` via the classic encoder — the path for real
+    (50k-merge) vocabularies.  The ranks dict ships once per executor
+    in the UDF closure (a broadcast in all but name); per-word results
+    are memoized, so the cost is per DISTINCT word per batch."""
+    import functools
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {
+        tuple(m): i
+        for i, m in enumerate(merges if merges is not None else DEFAULT_BPE_MERGES)
+    }
+    word_re = re.compile("[a-z]+")
+
+    def _count(texts):
+        @functools.lru_cache(maxsize=1 << 16)
+        def one(word):
+            return bpe_encode_count(word, ranks)
+
+        def total(t):
+            if t is None:
+                return None
+            return sum(one(w) for w in word_re.findall(t.lower()))
+
+        return texts.map(total)
+
+    # real annotation OBJECTS: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference cannot resolve
+    _count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_count, "int")
+
+
 def type_token_ratio(col: Column | str) -> Column:
     """Lexical diversity: distinct tokens / total tokens."""
     return F.round(distinct_token_count(col) / token_count(col), 6)
@@ -157,14 +304,29 @@ def quality_predicate(cfg: dict, text_col: str = "text"):
     block ``{min_tokens, max_tokens, min_ttr, max_stop_ratio}`` — shared
     by the streaming pipeline stage (source.quality_filter) and the
     batch curation runner.  Omitted thresholds are skipped; all checks
-    are pure codegen."""
+    are pure codegen.
+
+    ``token_budget_mode: bpe`` switches the min/max_tokens bounds from
+    whitespace tokens to BPE tokens (:func:`bpe_token_count`, the
+    expression path) — shard budgets are tokenizer budgets in a real
+    pipeline.  Defaults to ``ws`` (whitespace)."""
     from pyspark.sql import functions as F
 
+    mode = cfg.get("token_budget_mode", "ws")
+    if mode == "bpe":
+        def _tc(c):
+            return bpe_token_count(c)
+    elif mode == "ws":
+        _tc = token_count
+    else:
+        raise ValueError(
+            f"token_budget_mode must be 'ws' or 'bpe', got {mode!r}"
+        )
     pred = F.lit(True)
     if "min_tokens" in cfg:
-        pred = pred & (token_count(text_col) >= int(cfg["min_tokens"]))
+        pred = pred & (_tc(text_col) >= int(cfg["min_tokens"]))
     if "max_tokens" in cfg:
-        pred = pred & (token_count(text_col) <= int(cfg["max_tokens"]))
+        pred = pred & (_tc(text_col) <= int(cfg["max_tokens"]))
     if "min_ttr" in cfg:
         pred = pred & (type_token_ratio(text_col) >= float(cfg["min_ttr"]))
     if "max_stop_ratio" in cfg:

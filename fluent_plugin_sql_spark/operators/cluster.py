@@ -198,6 +198,7 @@ def kmeans_embeddings(
     id_col: str = "vec_id",
     centroid_decimals: int | None = 6,
     init: str = "hash",
+    numeric_mode: str = "fold",
 ) -> DataFrame:
     """Lloyd's k-means: returns one row per valid input vector —
     ``(vec_id, cluster, dist)`` where ``cluster`` is the 0-based
@@ -219,7 +220,16 @@ def kmeans_embeddings(
     at the cost of cross-engine replicability — see the module
     docstring.  For large ``iters``, cache/checkpoint ``corpus``
     upstream: each iteration re-reads it (two scans per round —
-    assign + update share one)."""
+    assign + update share one).
+
+    ``numeric_mode="vectorized"``: assignment distances run as numpy
+    GEMMs over Arrow batches instead of interpreted folds — the 100 TB
+    arithmetic path (see :func:`_assign` and operators/dense.py); the
+    fold mode stays the oracle default."""
+    if numeric_mode not in ("fold", "vectorized"):
+        raise ValueError(
+            f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
+        )
     if iters < 1:
         # iters=0 would leave the assignment undefined (best=None →
         # AttributeError deep in the plan build); fail loud at entry
@@ -231,15 +241,22 @@ def kmeans_embeddings(
 
     best = None
     for it in range(iters):
-        best = _assign(e, cents)
+        best = _assign(e, cents, numeric_mode)
         if it < iters - 1:
             cents = _update(best, cents, dim, centroid_decimals)
+            if numeric_mode == "vectorized":
+                # pin the ≤k-row centroid table: the vectorized assign
+                # collects it, and without the pin each iteration's
+                # collect replays the whole preceding Lloyd lineage
+                cents = cents.localCheckpoint(eager=False)
     return best.select(
         "vec_id", F.col("cid").alias("cluster"), "dist"
     )
 
 
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(
+    e: DataFrame, cents: DataFrame, numeric_mode: str = "fold"
+) -> DataFrame:
     """One Lloyd assignment: broadcast centroids, fold distances,
     argmin via min(struct) with map-side partials.
 
@@ -252,7 +269,25 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     row, so multi-iteration runs on dup-id corpora diverged from the
     value-hash oracles — the r9 advice finding).  Struct comparison is
     field-by-field (arrays lexicographic, same as DuckDB), so ``v`` also
-    breaks exact (dist, cid) ties deterministically."""
+    breaks exact (dist, cid) ties deterministically.
+
+    ``numeric_mode="vectorized"`` swaps the fold-scoring stage for one
+    numpy GEMM per Arrow batch (``dense.assign_argmin_vectorized``) —
+    O(batch × k) flops instead of interpreted folds; the dup-collapsing
+    ``min(struct)`` shuffle is identical.  Trades the fully-lazy plan
+    for one bounded k×dim centroid collect per call (the same table the
+    fold path broadcasts — and the same read MLlib does per
+    iteration)."""
+    if numeric_mode == "vectorized":
+        from .dense import assign_argmin_vectorized
+
+        scored1 = assign_argmin_vectorized(e, cents)
+        return (
+            scored1.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "v")).alias("b"))
+            .select("vec_id", F.col("b.cid").alias("cid"),
+                    F.col("b.dist").alias("dist"), F.col("b.v").alias("v"))
+        )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "v",
@@ -293,6 +328,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     centroid_decimals: int | None = 6,
     init: str = "hash",
+    numeric_mode: str = "fold",
 ) -> DataFrame:
     """The TRAINED centroid table ``(cid, c)`` after ``iters`` full
     assign+update rounds (note: one more update than
@@ -304,7 +340,11 @@ def kmeans_centroids(
     e = _valid_vectors(corpus, vec_col, id_col, dim)
     cents = _init_cents(corpus, e, k, init)
     for _ in range(iters):
-        cents = _update(_assign(e, cents), cents, dim, centroid_decimals)
+        cents = _update(
+            _assign(e, cents, numeric_mode), cents, dim, centroid_decimals
+        )
+        if numeric_mode == "vectorized":
+            cents = cents.localCheckpoint(eager=False)
     return cents
 
 
@@ -405,6 +445,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     init: str = "hash",
     max_cluster_size: int | None | str = "auto",
+    numeric_mode: str = "fold",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the corpus, then prune
     within-cluster semantic near-duplicates — returns one row per valid
@@ -444,12 +485,22 @@ def semdedup_prune(
     notice at execution time comes from :func:`semdedup_cap_stats`
     (the curation runner logs it); the policy itself is logged here at
     build.  Zero-norm embeddings score NULL cosine (never an error) and
-    are always kept."""
+    are always kept.
+
+    ``numeric_mode="vectorized"``: both the k-means assignment and the
+    within-group pair comparison run as numpy matmuls (one Gram matrix
+    per salt-capped group — ≤ cap² by construction); same keeps up to
+    the documented ulp class, fold stays the oracle default."""
     _validate_cap(max_cluster_size)
+    if numeric_mode not in ("fold", "vectorized"):
+        raise ValueError(
+            f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
+        )
     from .similarity import cosine, portable_id_hash
 
     a = kmeans_embeddings(
-        corpus, k, iters, dim, vec_col, id_col, init=init
+        corpus, k, iters, dim, vec_col, id_col, init=init,
+        numeric_mode=numeric_mode,
     ).select("vec_id", "cluster")
     # deterministic dup-id pick (min array) mirrors _assign's contract;
     # the groupBy and the following join share the vec_id key, so the
@@ -515,17 +566,24 @@ def semdedup_prune(
         # directly (a string pair key would cost a cast+concat per row
         # for nothing)
         av = av.withColumn("_pk", F.col("cluster"))
-    x, y = av.alias("x"), av.alias("y")
-    pruned = (
-        x.join(
-            y,
-            (F.col("x._pk") == F.col("y._pk"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
+    if numeric_mode == "vectorized":
+        from .dense import semdedup_pairs_vectorized
+
+        pruned = semdedup_pairs_vectorized(
+            av.select("_pk", "vec_id", "v"), tau
         )
-        .where(cosine(F.col("x.v"), F.col("y.v")) >= tau)
-        .select(F.col("y.vec_id").alias("vec_id"))
-        .distinct()
-    )
+    else:
+        x, y = av.alias("x"), av.alias("y")
+        pruned = (
+            x.join(
+                y,
+                (F.col("x._pk") == F.col("y._pk"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .where(cosine(F.col("x.v"), F.col("y.v")) >= tau)
+            .select(F.col("y.vec_id").alias("vec_id"))
+            .distinct()
+        )
     av = av.drop("_pk")
     return (
         av.join(pruned.withColumn("pruned", F.lit(True)), "vec_id", "left")

@@ -3829,3 +3829,196 @@ def image_quality_features(
     return df.select(id_col, "payload").mapInPandas(
         gen, IMAGE_QUALITY_SCHEMA
     )
+
+
+# ------------------------------------------------------ MP4 / ISO-BMFF meta
+#
+# A real multimodal corpus is full of MP4/MOV video whose PIXELS need a
+# codec library (H.264/VP9 decode is the documented binding-safety
+# boundary, native_codecs.py) — but whose duration/resolution/codec live
+# in plain ISO-BMFF (ISO 14496-12) header boxes that need NO codec.
+# This walk reads exactly those: ftyp (brand), moov/mvhd (movie
+# timescale+duration), each trak's tkhd (16.16 fixed-point display
+# dims) and stbl/stsd (sample-entry fourcc).  Truncated/corrupt input
+# degrades to partial fields or None — never raises (fuzz-tested), the
+# same contract as every other header parser in this module.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the boxes in data[start:end];
+    stops silently at the first malformed/truncated header."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+            if size < 16:
+                return
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        elif size < 8:
+            return
+        box_end = pos + size
+        if box_end > end:
+            # truncated final box: expose what bytes exist (headers the
+            # walk cares about sit at the front of their box)
+            box_end = end
+        yield typ, body, box_end
+        pos += size
+
+
+def parse_mp4_meta(payload: bytes) -> dict | None:
+    """Container metadata of an ISO-BMFF file (MP4/MOV/M4A/3GP …):
+    ``{major_brand, duration_ms, n_tracks, width, height, codec}``.
+
+    - ``duration_ms``: mvhd duration / timescale (version 0 and 1).
+    - ``width/height``: the first trak whose tkhd reports nonzero
+      display dims (the video track); 16.16 fixed point → int.
+    - ``codec``: first stsd sample-entry fourcc of that trak (or of the
+      first trak when no trak reports dims — pure-audio files).
+    - Missing/truncated boxes leave their fields None; a payload that
+      is not ISO-BMFF at all (no ftyp/moov in the top level) returns
+      None.  Never raises.
+    """
+    import struct
+
+    if payload is None or len(payload) < 8:
+        return None
+    meta = {
+        "major_brand": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "width": None,
+        "height": None,
+        "codec": None,
+    }
+    saw_bmff = False
+
+    def u32(pos):
+        return struct.unpack_from(">I", payload, pos)[0] if pos + 4 <= len(payload) else None
+
+    def walk_stsd(body, end, out):
+        # ver/flags(4) entry_count(4) then entries: size(4) fourcc(4)
+        if body + 12 <= end:
+            try:
+                out["codec"] = payload[body + 12 : body + 16].decode(
+                    "ascii", "replace"
+                ) if body + 16 <= end else None
+            except Exception:
+                out["codec"] = None
+
+    def walk_trak(body, end):
+        out = {"w": None, "h": None, "codec": None}
+
+        def recurse(b, e):
+            for typ, tb, te in _mp4_boxes(payload, b, e):
+                if typ == b"tkhd" and tb < te:
+                    ver = payload[tb]
+                    off = tb + (88 if ver == 1 else 76)
+                    w, h = u32(off), u32(off + 4)
+                    if w is not None and h is not None and te >= off + 8:
+                        out["w"], out["h"] = w >> 16, h >> 16
+                elif typ == b"stsd":
+                    walk_stsd(tb, te, out)
+                elif typ in _MP4_CONTAINERS:
+                    recurse(tb, te)
+
+        recurse(body, end)
+        return out
+
+    for typ, body, end in _mp4_boxes(payload, 0, len(payload)):
+        if typ == b"ftyp":
+            saw_bmff = True
+            if body + 4 <= end:
+                meta["major_brand"] = payload[body : body + 4].decode(
+                    "ascii", "replace"
+                )
+        elif typ == b"moov":
+            saw_bmff = True
+            for t2, b2, e2 in _mp4_boxes(payload, body, end):
+                if t2 == b"mvhd" and b2 < e2:
+                    ver = payload[b2]
+                    if ver == 1 and b2 + 32 <= e2:
+                        ts = u32(b2 + 20)
+                        (dur,) = struct.unpack_from(">Q", payload, b2 + 24)
+                    elif ver == 0 and b2 + 20 <= e2:
+                        ts = u32(b2 + 12)
+                        dur = u32(b2 + 16)
+                    else:
+                        continue
+                    if ts:
+                        meta["duration_ms"] = int(dur * 1000 // ts)
+                elif t2 == b"trak":
+                    meta["n_tracks"] += 1
+                    t = walk_trak(b2, e2)
+                    if t["w"] and t["h"] and meta["width"] is None:
+                        meta["width"], meta["height"] = t["w"], t["h"]
+                        meta["codec"] = t["codec"]
+                    elif meta["codec"] is None and t["codec"]:
+                        meta["codec"] = t["codec"]
+    return meta if saw_bmff else None
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def video_container_meta(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
+    """ISO-BMFF container metadata over a binary payload column — the
+    no-decode video surface: (major_brand, duration_ms, n_tracks,
+    width, height, codec fourcc) per asset via :func:`parse_mp4_meta`.
+    Non-BMFF payloads raise in strict mode, are dropped otherwise.
+    Scale shape: one Arrow-batched ``mapInPandas`` scan reading ONLY
+    header bytes, constant memory, zero shuffles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                m = parse_mp4_meta(p)
+                if m is None:
+                    if strict:
+                        raise ValueError(
+                            "not an ISO-BMFF container (no ftyp/moov)"
+                        )
+                    continue
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["major_brand"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        m["width"],
+                        m["height"],
+                        m["codec"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "major_brand", "duration_ms",
+                    "n_tracks", "width", "height", "codec",
+                ],
+            )
+
+    return df.select(id_col, "payload").mapInPandas(gen, VIDEO_META_SCHEMA)

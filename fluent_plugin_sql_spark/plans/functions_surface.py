@@ -1687,3 +1687,109 @@ def audio_pipeline_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = docs.mapInPandas(synth, "doc_id long, payload binary")
     return audio_rms_windows(wavs, n_windows=4, strict=True)
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _mp4_bytes(
+    width: int,
+    height: int,
+    duration_ms: int,
+    codec: bytes = b"avc1",
+    brand: bytes = b"isom",
+    n_audio_tracks: int = 0,
+) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + moov(mvhd, video trak with
+    tkhd dims + stsd codec, optional audio traks) + mdat.  Movie
+    timescale is 1000, so the mvhd duration field IS duration_ms —
+    which is what makes the gate oracle closed-form."""
+    import struct
+
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0) + b"mp42")
+    mvhd_body = bytearray(100)  # version 0 body is exactly 100 bytes
+    struct.pack_into(">I", mvhd_body, 12, 1000)  # timescale
+    struct.pack_into(">I", mvhd_body, 16, duration_ms)  # duration
+    mvhd = _mp4_box(b"mvhd", bytes(mvhd_body))
+
+    def trak(w: int, h: int, fourcc: bytes) -> bytes:
+        tkhd_body = bytearray(84)  # version 0 body is exactly 84 bytes
+        struct.pack_into(">I", tkhd_body, 76, w << 16)  # 16.16 fixed
+        struct.pack_into(">I", tkhd_body, 80, h << 16)
+        tkhd = _mp4_box(b"tkhd", bytes(tkhd_body))
+        entry = struct.pack(">I", 16) + fourcc + bytes(8)
+        stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    traks = trak(width, height, codec)
+    for _ in range(n_audio_tracks):
+        traks += trak(0, 0, b"mp4a")
+    moov = _mp4_box(b"moov", mvhd + traks)
+    mdat = _mp4_box(b"mdat", bytes(8))
+    return ftyp + moov + mdat
+
+
+@query(
+    "video_container_meta",
+    # closed-form oracle: every field is a deterministic function of
+    # doc_id because the synthesizer writes exactly those header fields
+    # (movie timescale 1000 makes mvhd duration == duration_ms)
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+           1000 + (doc_id % 100) * 37 AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+           CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+           CAST(16 * (1 + doc_id % 5) AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'vp09' END AS codec
+    FROM documents
+    """,
+)
+def video_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container metadata WITHOUT decode — duration,
+    resolution, codec fourcc, track count from the moov box walk
+    (operators/multimodal.parse_mp4_meta).  H.264/VP9 pixel decode is
+    the documented codec-library boundary; header metadata needs no
+    codec, and it is what corpus triage (resolution/duration filters,
+    codec mix reports) actually consumes.  Each document becomes a
+    synthetic MP4 (brand/dims/duration/codec/track-count parameterized
+    by doc_id, including multi-track files with audio traks); the walk
+    must recover every field exactly.  Scale shape: one synth map + one
+    Arrow-batched header scan, zero shuffles, constant memory."""
+    from ..operators.multimodal import video_container_meta as vcm
+
+    def synth(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rows.append(
+                    (
+                        d,
+                        _mp4_bytes(
+                            width=16 * (1 + d % 8),
+                            height=16 * (1 + d % 5),
+                            duration_ms=1000 + (d % 100) * 37,
+                            codec=b"avc1" if d % 2 == 0 else b"vp09",
+                            brand=b"isom" if d % 2 == 0 else b"mp42",
+                            n_audio_tracks=d % 3,
+                        ),
+                    )
+                )
+            yield pd_.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+    )
+    clips = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return vcm(clips, strict=True)

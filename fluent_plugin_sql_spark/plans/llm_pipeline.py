@@ -2660,3 +2660,63 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_docs")
         .agg(F.count("*").alias("n_clusters"))
     )
+
+
+# ------------------------------------------------------------- BPE tokens
+def _dd_bpe_word_count(w_expr: str, merges) -> str:
+    """DuckDB expression for ONE word's BPE token count — the exact
+    replace-chain the Spark expression path runs (functions/text.py
+    ``_bpe_word_token_count``): charify with chr(31) separators, apply
+    every merge in rank order as a LITERAL replace (same left-to-right
+    non-overlapping scan in both engines), count survivors."""
+    x = f"regexp_replace({w_expr}, '(.)', chr(31) || '\\1', 'g')"
+    for a, b in merges:
+        x = (
+            f"replace({x}, chr(31)||'{a}'||chr(31)||'{b}',"
+            f" chr(31)||'{a}{b}')"
+        )
+    return f"(length({x}) - length(replace({x}, chr(31), '')))"
+
+
+_BPE_ORACLE_WORD = _dd_bpe_word_count("w", TX.DEFAULT_BPE_MERGES)
+
+
+@query(
+    "token_count_bpe",
+    # full value-hash oracle: DuckDB re-runs the merge chain per word.
+    # BOTH Spark paths — the codegen replace-chain expression AND the
+    # classic lowest-rank-pair-first encoder in the Arrow UDF — must
+    # land on this same number, so the gate also verifies the
+    # rank-order/priority-order BPE equivalence the expression path
+    # relies on.
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+           COALESCE(list_aggregate(list_transform(
+               regexp_extract_all(lower(text), '[a-z]+'),
+               w -> {_BPE_ORACLE_WORD}), 'sum'), 0) AS n_bpe,
+           COALESCE(list_aggregate(list_transform(
+               regexp_extract_all(lower(text), '[a-z]+'),
+               w -> {_BPE_ORACLE_WORD}), 'sum'), 0) AS n_bpe_udf
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BPE token counts over the documents table — the
+    tokenizer-budget signal shard packing and quality gates need (the
+    whitespace/regex counts in text_stats underestimate subword
+    budgets).  Emits the count twice: ``n_bpe`` from the JVM
+    expression path (rank-order literal replaces, whole-stage codegen
+    — zero Python in the hot loop) and ``n_bpe_udf`` from the
+    Arrow-batched classic BPE encoder (the real-vocabulary scale path,
+    memoized per distinct word).  Scale shape: one scan, no shuffle;
+    the expression path is the default in quality gates
+    (``token_budget_mode: bpe``), the UDF path takes arbitrary merge
+    tables.  See functions/text.py for the equivalence argument."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(TX._bpe_words("text")).alias("n_words"),
+        TX.bpe_token_count("text").alias("n_bpe"),
+        TX.bpe_token_count_udf()(F.col("text")).alias("n_bpe_udf"),
+    )
