@@ -138,6 +138,14 @@ def run_curation(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
                 id_col=id_col,
                 init=opts.get("init", "hash"),
                 max_cluster_size=mcs,
+                # numeric_mode: "vectorized" = numpy-GEMM distance path
+                # (operators/dense) — the 100 TB arithmetic setting;
+                # cross_shard_recovery = second salted prune pass when
+                # the mega-cluster cap engages
+                numeric_mode=opts.get("numeric_mode", "fold"),
+                cross_shard_recovery=bool(
+                    opts.get("cross_shard_recovery", False)
+                ),
             ).select(F.col("vec_id").alias(id_col), "keep")
             if opts.get("log_cap_stats") and mcs is not None:
                 # the execution-time engagement notice (≤k rows; one

@@ -446,6 +446,7 @@ def semdedup_prune(
     init: str = "hash",
     max_cluster_size: int | None | str = "auto",
     numeric_mode: str = "fold",
+    cross_shard_recovery: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the corpus, then prune
     within-cluster semantic near-duplicates — returns one row per valid
@@ -490,7 +491,16 @@ def semdedup_prune(
     ``numeric_mode="vectorized"``: both the k-means assignment and the
     within-group pair comparison run as numpy matmuls (one Gram matrix
     per salt-capped group — ≤ cap² by construction); same keeps up to
-    the documented ulp class, fold stays the oracle default."""
+    the documented ulp class, fold stays the oracle default.
+
+    ``cross_shard_recovery`` (opt-in): when the salt cap engages, run a
+    SECOND independently-salted prune pass over the first pass's
+    surviving rows of the capped clusters — recovering most of the
+    cross-shard near-dups the first salt split, for one more bounded
+    pair join.  Recovered prunes are still a subset of the unguarded
+    join's prunes (round-2 pruners are round-1 keepers), so keep
+    remains a superset of the unguarded keeps; no effect on uncapped
+    clusters or when no cap engages."""
     _validate_cap(max_cluster_size)
     if numeric_mode not in ("fold", "vectorized"):
         raise ValueError(
@@ -559,22 +569,22 @@ def semdedup_prune(
         av = (
             av.join(F.broadcast(sizes), "cluster")
             .withColumn("_pk", pair_key)
-            .drop("_n", "_cap")
         )
     else:
         # unguarded (explicit opt-out): join on the int cluster id
         # directly (a string pair key would cost a cast+concat per row
         # for nothing)
         av = av.withColumn("_pk", F.col("cluster"))
-    if numeric_mode == "vectorized":
-        from .dense import semdedup_pairs_vectorized
 
-        pruned = semdedup_pairs_vectorized(
-            av.select("_pk", "vec_id", "v"), tau
-        )
-    else:
-        x, y = av.alias("x"), av.alias("y")
-        pruned = (
+    def _prune_pass(rows):
+        if numeric_mode == "vectorized":
+            from .dense import semdedup_pairs_vectorized
+
+            return semdedup_pairs_vectorized(
+                rows.select("_pk", "vec_id", "v"), tau
+            )
+        x, y = rows.alias("x"), rows.alias("y")
+        return (
             x.join(
                 y,
                 (F.col("x._pk") == F.col("y._pk"))
@@ -584,15 +594,58 @@ def semdedup_prune(
             .select(F.col("y.vec_id").alias("vec_id"))
             .distinct()
         )
-    av = av.drop("_pk")
-    return (
-        av.join(pruned.withColumn("pruned", F.lit(True)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.coalesce(~F.col("pruned"), F.lit(True)).alias("keep"),
+
+    prune_sets = [_prune_pass(av)]
+    if max_cluster_size is not None and cross_shard_recovery:
+        # SECOND salted pass over round-1 survivors of the CAPPED
+        # clusters only, with an independent salt: a near-dup pair the
+        # first salt split lands in one shard here with probability
+        # 1/shards — two rounds cut the expected miss rate from
+        # (1 − 1/s) to (1 − 1/s)², at one more Σ shards·cap²-bounded
+        # pair join.  Round-2 pruners are round-1 KEEPERS, so every
+        # recovered prune is one the unguarded join would also make
+        # (keep stays a superset of the unguarded keeps; wrong prunes
+        # remain impossible).
+        # EAGER pin on the round-1 prunes: they feed both the survivor
+        # anti-join and the final keep join, and a lazy plan here both
+        # re-runs the quadratic join and (unioned with a sibling
+        # derived from the same `av` lineage) trips Catalyst's Union
+        # constraint rewrite — which is also why the rounds are kept as
+        # SEPARATE keep joins below instead of a union.
+        prune_sets[0] = prune_sets[0].localCheckpoint(eager=True)
+        salt2 = F.pmod(
+            portable_id_hash(
+                F.concat_ws(
+                    ":", F.col("vec_id").cast("string"), F.lit("r2")
+                )
+            ),
+            F.ceil(F.col("_n") / F.col("_cap")).cast("long"),
         )
-    )
+        kept_capped = (
+            av.where(F.col("_n") > F.col("_cap"))
+            .join(prune_sets[0], "vec_id", "left_anti")
+            .withColumn(
+                "_pk",
+                F.concat_ws(
+                    "#", F.col("cluster").cast("string"),
+                    salt2.cast("string"), F.lit("r2"),
+                ),
+            )
+        )
+        prune_sets.append(_prune_pass(kept_capped))
+    av = av.drop("_pk", "_n", "_cap")  # drop() ignores absent columns
+    out = av
+    flags = []
+    for i, p in enumerate(prune_sets):
+        flag = f"_pruned{i}"
+        out = out.join(
+            p.withColumn(flag, F.lit(True)), "vec_id", "left"
+        )
+        flags.append(F.coalesce(F.col(flag), F.lit(False)))
+    keep = ~flags[0]
+    for fl in flags[1:]:
+        keep = keep & ~fl
+    return out.select("vec_id", "cluster", keep.alias("keep"))
 
 
 def _finite_vectors(e: DataFrame) -> DataFrame:

@@ -1610,6 +1610,10 @@ class EmbeddingDedupStore:
     :class:`MinHashDedupStore` docstring).
     """
 
+    #: EWMA weight of the newest batch in the rolling home-similarity
+    #: statistic (drift tracking).
+    DRIFT_EWMA_ALPHA = 0.5
+
     def __init__(
         self,
         spark,
@@ -1619,6 +1623,7 @@ class EmbeddingDedupStore:
         nprobe: int = 2,
         store_replicas: int = 2,
         centroid_mode: str = "hash",
+        track_drift: bool = False,
     ):
         if centroid_mode not in ("hash", "kmeans", "kmeans_parallel"):
             raise ValueError(
@@ -1631,6 +1636,12 @@ class EmbeddingDedupStore:
         self.num_centroids = num_centroids
         self.nprobe = nprobe
         self.store_replicas = store_replicas
+        #: when on, every absorb also records the batch's mean
+        #: home-centroid cosine into a tiny ``drift`` table (one extra
+        #: aggregate on the already-computed assignment) — the cheap
+        #: statistic :meth:`maybe_recluster` triggers on.  Off by
+        #: default: the sibling stores pay nothing for it.
+        self.track_drift = track_drift
         #: how the FIRST absorbed batch's frozen centroids are chosen:
         #: "hash" = the historical uniform md-hash pick (zero extra
         #: passes); "kmeans" = Lloyd-trained on the first batch —
@@ -1754,7 +1765,10 @@ class EmbeddingDedupStore:
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= top_n)
-            .select("doc", "vec", F.col("centroid_id").alias("bucket"), "_rn")
+            .select(
+                "doc", "vec", F.col("centroid_id").alias("bucket"),
+                "_rn", "_cc",
+            )
         )
 
     def probe_dups(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
@@ -1813,13 +1827,19 @@ class EmbeddingDedupStore:
             F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
         )
         with self._store_fs.lock("absorb"):
+            creating = not self._exists("centroids")
             centroids = self._ensure_centroids(vecs)
-            homes = self._assign(vecs, centroids, self.store_replicas).select(
-                "bucket", "doc", "vec"
-            )
+            assigned = self._assign(vecs, centroids, self.store_replicas)
+            if self.track_drift:
+                # share the assignment between the postings write and
+                # the drift aggregate instead of re-running it
+                assigned = assigned.localCheckpoint(eager=False)
+            homes = assigned.select("bucket", "doc", "vec")
             homes.repartition(F.col("bucket")).write.mode("append").partitionBy(
                 "bucket"
             ).parquet(f"{self.path}/postings")
+            if self.track_drift:
+                self._update_drift(assigned, creating)
 
     def process_batch(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         """Probe + absorb in one call: return the semantically-novel
@@ -1832,6 +1852,105 @@ class EmbeddingDedupStore:
         ).localCheckpoint(eager=True)  # pin BEFORE the store mutates
         self.absorb(survivors, vec_col, id_col)
         return survivors
+
+    # ------------------------------------------------------ drift tracking
+    #
+    # The streaming failure mode of frozen first-batch centroids is
+    # DISTRIBUTION SHIFT: later batches no longer resemble the batch the
+    # centroids were trained on, clusters stop being semantic
+    # neighborhoods, and same-cluster probing silently loses recall.
+    # The statistic: mean cosine of each absorbed vector to its HOME
+    # centroid.  At train time that mean is as high as it will ever be;
+    # as the stream drifts, new vectors land between stale centroids and
+    # the rolling mean sinks.  ``maybe_recluster`` fires the store's
+    # existing recluster path when the EWMA falls below
+    # ``trigger_ratio`` × the train-time baseline, then re-baselines.
+    # Drift state is ADVISORY (a lost drift table merely restarts the
+    # baseline on the next absorb) — correctness never depends on it.
+
+    def _read_drift(self):
+        if not self._store_fs.has_data("drift"):
+            return None
+        row = self.spark.read.parquet(f"{self.path}/drift").first()
+        return None if row is None else row.asDict()
+
+    def _write_drift(self, train_mean, ewma, n_batches: int) -> None:
+        self.spark.createDataFrame(
+            [(float(train_mean), float(ewma), int(n_batches))],
+            "train_mean double, ewma double, n_batches long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/drift")
+
+    def _batch_home_mean(self, assigned: DataFrame):
+        """Mean home-centroid cosine of one assignment (rank-1 rows;
+        NULL (zero-norm) and NaN cosines excluded)."""
+        row = (
+            assigned.where(F.col("_rn") == 1)
+            .where(F.col("_cc").isNotNull() & ~F.isnan("_cc"))
+            .agg(F.avg("_cc").alias("m"))
+            .first()
+        )
+        return None if row is None else row["m"]
+
+    def _update_drift(self, assigned: DataFrame, creating: bool) -> None:
+        m = self._batch_home_mean(assigned)
+        if m is None:
+            return
+        st = None if creating else self._read_drift()
+        if st is None:
+            # first tracked batch (or lost advisory state): this batch
+            # IS the baseline
+            self._write_drift(m, m, 1)
+            return
+        a = self.DRIFT_EWMA_ALPHA
+        self._write_drift(
+            st["train_mean"],
+            a * m + (1 - a) * st["ewma"],
+            st["n_batches"] + 1,
+        )
+
+    def drift_ratio(self):
+        """EWMA home-similarity over the train-time baseline — < 1.0
+        means newer batches sit farther from their centroids than the
+        training batch did.  None when untracked/insufficient state."""
+        st = self._read_drift()
+        if not st or not st["train_mean"]:
+            return None
+        return st["ewma"] / st["train_mean"]
+
+    def maybe_recluster(
+        self,
+        trigger_ratio: float = 0.9,
+        min_batches: int = 3,
+        num_centroids: int | None = None,
+        lloyd_iters: int = 2,
+    ) -> bool:
+        """Drift-triggered maintenance: run :meth:`recluster` when the
+        rolling home-similarity has decayed below ``trigger_ratio`` ×
+        the train-time baseline over at least ``min_batches`` absorbed
+        batches, then re-baseline the drift state against the NEW
+        centroids (one bounded pass over the re-homed store).  Returns
+        whether a recluster ran.  Cost when the trigger does not fire:
+        one tiny parquet read."""
+        st = self._read_drift()
+        if (
+            st is None
+            or st["n_batches"] < min_batches
+            or not st["train_mean"]
+            or st["ewma"] / st["train_mean"] >= trigger_ratio
+        ):
+            return False
+        self.recluster(num_centroids=num_centroids, lloyd_iters=lloyd_iters)
+        if self._exists("postings") and self._exists("centroids"):
+            vecs = (
+                self.spark.read.parquet(f"{self.path}/postings")
+                .select("doc", "vec")
+                .dropDuplicates(["doc"])
+            )
+            cents = self.spark.read.parquet(f"{self.path}/centroids")
+            m = self._batch_home_mean(self._assign(vecs, cents, 1))
+            if m is not None:
+                self._write_drift(m, m, 0)
+        return True
 
     def recluster(
         self, num_centroids: int | None = None, lloyd_iters: int = 2

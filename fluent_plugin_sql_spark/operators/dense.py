@@ -106,6 +106,11 @@ def _collect_query_groups(queries: DataFrame, id_col: str, vec_col: str):
             by_dim[len(r[2])].append((r[0], r[1], r[2]))
     groups = []
     for d, rows in sorted(by_dim.items()):
+        if d == 0:
+            # zero-length vectors have zero norm → NULL cosine → every
+            # pair drops in the fold path; skipping the group is exact
+            # (and reshape(-1, 0) is ill-defined anyway)
+            continue
         ids = np.array([i for i, _, _ in rows], dtype=object)
         mat = np.array(
             [

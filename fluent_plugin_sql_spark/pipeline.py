@@ -453,6 +453,14 @@ class Pipeline:
         if smd_cfg:
             from .operators.dedup import EmbeddingDedupStore
 
+            # optional drift-triggered recluster: with
+            # `recluster_drift_ratio` set, every absorb records the
+            # batch's mean home-centroid cosine and the store recluster
+            # (the IVF maintenance path) fires automatically when the
+            # rolling mean decays below ratio × the train-time baseline
+            # — the escape hatch from first-batch-frozen centroids
+            # under distribution shift, without operator intervention
+            _drift = smd_cfg.get("recluster_drift_ratio")
             for t in self.in_cfg.tables:
                 smstores[t.table] = EmbeddingDedupStore(
                     self.spark,
@@ -464,6 +472,7 @@ class Pipeline:
                     nprobe=int(smd_cfg.get("nprobe", 1)),
                     store_replicas=int(smd_cfg.get("store_replicas", 2)),
                     centroid_mode=smd_cfg.get("centroid_mode", "kmeans"),
+                    track_drift=_drift is not None,
                 )
 
         iv_cfg = src.get("ivf_index")
@@ -665,6 +674,19 @@ class Pipeline:
                         smd_cfg.get("vec_col", "embedding"),
                         smd_cfg.get("id_col", "vec_id"),
                     )
+                    _ratio = smd_cfg.get("recluster_drift_ratio")
+                    if _ratio is not None and _smstore.maybe_recluster(
+                        trigger_ratio=float(_ratio),
+                        min_batches=int(
+                            smd_cfg.get("recluster_min_batches", 3)
+                        ),
+                    ):
+                        log.warning(
+                            "semantic_dedup %s: home-similarity drift "
+                            "crossed %.3f of the train baseline — store "
+                            "reclustered and re-baselined",
+                            _table, float(_ratio),
+                        )
                 # every micro-batch appends one small file per touched
                 # store bucket; periodic compaction keeps probe latency
                 # from decaying into file-open overhead on long streams

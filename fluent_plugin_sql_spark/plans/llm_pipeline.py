@@ -2720,3 +2720,72 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.bpe_token_count("text").alias("n_bpe"),
         TX.bpe_token_count_udf()(F.col("text")).alias("n_bpe_udf"),
     )
+
+
+@query(
+    "ann_bruteforce_vectorized_top5",
+    # SAME oracle as ann_bruteforce_top5: the vectorized (numpy GEMM)
+    # scoring path must land on the identical rounded top-k — the
+    # driver gate hash-verifies the fold/GEMM equivalence on real data
+    # (summation-order ulps collapse under the 4-decimal rounding; the
+    # residual rounding-boundary collision class is documented in
+    # operators/dense.py and asserted empty on these corpora in
+    # tests/test_dense.py)
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS match_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, match_id,
+             round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 4) AS cos
+      FROM q JOIN c ON query_id != match_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, match_id ASC) AS rank FROM scored)
+    SELECT query_id, match_id, cos, rank FROM r WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_vectorized_top5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact cosine top-5 through the VECTORIZED dense-math path
+    (operators/dense.brute_force_topk_vectorized): scores as one
+    batch×queries numpy GEMM per Arrow chunk with per-partition
+    threshold pruning, instead of interpreted zip_with/aggregate folds
+    — measured 50× per-core over the fold path at 4M pairs
+    (tools/ab_dense.py), the engine's 100 TB arithmetic lever.  The
+    fold path (ann_bruteforce_top5) stays the default/oracle mode."""
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5,
+        numeric_mode="vectorized",
+    )
+
+
+@query(
+    "kmeans_vectorized_assign",
+    # SAME oracle as kmeans_embeddings_assign: GEMM distances (expanded
+    # |v|²−2v·c+|c|² with exact recompute of non-finite rows/cols) must
+    # reproduce the fold path's every label and 4-decimal distance
+    oracle=f"""
+    {_dd_kmeans_ctes(_KMEANS_K, _KMEANS_ITERS, _KMEANS_DIM)}
+    SELECT vec_id, cid AS cluster, round(dist, 4) AS dist_r
+    FROM a{_KMEANS_ITERS}
+    """,
+)
+def kmeans_vectorized_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means with the VECTORIZED assignment stage (one numpy
+    GEMM per Arrow batch, dense.assign_argmin_vectorized) — same
+    labels/distances as the fold mode, verified against the from-scratch
+    DuckDB Lloyd re-run.  One bounded k×dim centroid collect per
+    iteration (the table the fold path broadcasts)."""
+    from ..operators.cluster import kmeans_embeddings
+
+    emb = _emb(spark, sf_dir)
+    a = kmeans_embeddings(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=_KMEANS_DIM,
+        numeric_mode="vectorized",
+    )
+    return a.select(
+        "vec_id", "cluster", F.round("dist", 4).alias("dist_r")
+    )

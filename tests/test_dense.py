@@ -97,6 +97,7 @@ _DIRTY = [
     (8, [-1.0, -2.0, -3.0, -4.0]),
     (9, [float("inf"), 1.0, 0.0, 0.0]),  # Inf coordinate
     (10, [0.5, 0.25, 0.125, 0.0625]),
+    (11, []),  # zero-length vector (zero norm, dim-0 query group)
 ]
 
 
