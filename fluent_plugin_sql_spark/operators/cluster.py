@@ -726,6 +726,7 @@ def kmeans_parallel_centroids(
     centroid_decimals: int | None = 6,
     weight_mode: str = "auto",
     driver_budget_elems: int | None = PARALLEL_REFINE_DRIVER_BUDGET,
+    numeric_mode: str = "fold",
 ) -> DataFrame:
     """Large-k centroid training via k-means|| (Bahmani et al., VLDB
     2012): oversample ~``rounds × l`` spread-out candidates in a few
@@ -766,9 +767,23 @@ def kmeans_parallel_centroids(
     above this element budget (default
     :data:`PARALLEL_REFINE_DRIVER_BUDGET`, ≈400 MiB of float64) the
     builder raises at entry instead of risking the driver heap — pass a
-    larger value or ``None`` to override."""
+    larger value or ``None`` to override.
+
+    ``numeric_mode="vectorized"``: the weighting pass — the dominant
+    training cost at large k (measured ~75% of the k=4096/100k wall) —
+    runs as one N×|C| numpy GEMM per Arrow batch
+    (``dense.weights_argmin_vectorized``) instead of interpreted folds.
+    The GEMM rate is ~2 orders above the fold rate, so the vectorized
+    FLAT pass outruns the interpreted two-level router across the
+    practical candidate range — ``weight_mode`` is therefore ignored in
+    this mode (exact flat weights, no routing approximation).  Fold
+    stays the default/oracle mode."""
     if rounds < 1 or refine_iters < 1:
         raise ValueError("rounds and refine_iters must be >= 1")
+    if numeric_mode not in ("fold", "vectorized"):
+        raise ValueError(
+            f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
+        )
     if weight_mode not in ("auto", "flat", "two_level"):
         raise ValueError(
             f"weight_mode must be 'auto', 'flat' or 'two_level',"
@@ -804,45 +819,84 @@ def kmeans_parallel_centroids(
         finite.orderBy(portable_id_hash(F.col("vec_id")), "vec_id", "v")
         .limit(1)
     )
-    cand_dfs = [c0.select("vec_id", "v")]
-    arr0 = c0.agg(F.collect_list("v").alias("_cands"))
-    state = finite.crossJoin(F.broadcast(arr0)).select(
-        "vec_id",
-        "v",
-        _cand_sq_dmin(F.col("v"), F.col("_cands")).alias("dmin"),
-    )
-    for r in range(1, rounds + 1):
-        pri = _round_priority(r)
-        sel = (
-            state.select("vec_id", "v", pri.alias("_pri"))
-            .where(F.col("_pri").isNotNull())
-            .orderBy(F.asc("_pri"), F.asc("vec_id"))
-            .limit(l)
-            .select("vec_id", "v")
+    if numeric_mode == "vectorized":
+        # GEMM sampling: the per-round dmin update — N×l folds per
+        # round in fold mode, the other half of the training
+        # arithmetic — runs in dense.dmin_update_vectorized.  Trades
+        # the fold mode's single lazy plan for one bounded ≤l-row
+        # collect per round (the selected candidates, which the driver
+        # refine collects anyway) plus lazy per-round checkpoints that
+        # linearize the otherwise O(rounds²) lineage recompute.
+        from .dense import dmin_update_vectorized
+
+        sel_rows = [(r.vec_id, list(r.v)) for r in c0.collect()]
+        if sel_rows:
+            state = dmin_update_vectorized(
+                finite, [v for _, v in sel_rows], first=True
+            ).localCheckpoint(eager=False)
+            for r in range(1, rounds + 1):
+                pri = _round_priority(r)
+                sel = (
+                    state.select("vec_id", "v", pri.alias("_pri"))
+                    .where(F.col("_pri").isNotNull())
+                    .orderBy(F.asc("_pri"), F.asc("vec_id"))
+                    .limit(l)
+                    .select("vec_id", "v")
+                )
+                new = [(row.vec_id, list(row.v)) for row in sel.collect()]
+                sel_rows += new
+                if r < rounds and new:
+                    state = dmin_update_vectorized(
+                        state, [v for _, v in new]
+                    ).localCheckpoint(eager=False)
+        # dup-id min-v collapse (ids are unique post-dedup; kept for
+        # parity with the fold tail), then the shared driver refine
+        dedup: dict = {}
+        for vid, vv in sel_rows:
+            if vid not in dedup or vv < dedup[vid]:
+                dedup[vid] = vv
+        cand_rows = sorted(dedup.items())
+        cands = None
+    else:
+        cand_dfs = [c0.select("vec_id", "v")]
+        arr0 = c0.agg(F.collect_list("v").alias("_cands"))
+        state = finite.crossJoin(F.broadcast(arr0)).select(
+            "vec_id",
+            "v",
+            _cand_sq_dmin(F.col("v"), F.col("_cands")).alias("dmin"),
         )
-        cand_dfs.append(sel)
-        if r < rounds:
-            arr = sel.agg(F.collect_list("v").alias("_cands"))
-            state = state.crossJoin(F.broadcast(arr)).select(
-                "vec_id",
-                "v",
-                F.least(
-                    F.col("dmin"),
-                    _cand_sq_dmin(F.col("v"), F.col("_cands")),
-                ).alias("dmin"),
+        for r in range(1, rounds + 1):
+            pri = _round_priority(r)
+            sel = (
+                state.select("vec_id", "v", pri.alias("_pri"))
+                .where(F.col("_pri").isNotNull())
+                .orderBy(F.asc("_pri"), F.asc("vec_id"))
+                .limit(l)
+                .select("vec_id", "v")
             )
-    cands = cand_dfs[0]
-    for d in cand_dfs[1:]:
-        cands = cands.unionByName(d)
-    # dup-id hygiene (min vector per id) + pin: the candidate table
-    # feeds the weighting argmin, the refine corpus, and the refine
-    # init — without the checkpoint each consumer re-runs the whole
-    # sampling cascade
-    cands = (
-        cands.groupBy("vec_id")
-        .agg(F.min("v").alias("v"))
-        .localCheckpoint(eager=False)
-    )
+            cand_dfs.append(sel)
+            if r < rounds:
+                arr = sel.agg(F.collect_list("v").alias("_cands"))
+                state = state.crossJoin(F.broadcast(arr)).select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        F.col("dmin"),
+                        _cand_sq_dmin(F.col("v"), F.col("_cands")),
+                    ).alias("dmin"),
+                )
+        cands = cand_dfs[0]
+        for d in cand_dfs[1:]:
+            cands = cands.unionByName(d)
+        # dup-id hygiene (min vector per id) + pin: the candidate table
+        # feeds the weighting argmin, the refine corpus, and the refine
+        # init — without the checkpoint each consumer re-runs the whole
+        # sampling cascade
+        cands = (
+            cands.groupBy("vec_id")
+            .agg(F.min("v").alias("v"))
+            .localCheckpoint(eager=False)
+        )
 
     # weight(c) = |{x : argmin over candidates = c}|.  The flat form is
     # N × |C| distance folds — fine for curation-scale candidate sets
@@ -850,32 +904,67 @@ def kmeans_parallel_centroids(
     # weighting was ~75% of the 1792 s training wall); above the
     # threshold the two-level router cuts folds per corpus row from
     # |C| to O(√|C|) at the usual boundary-approximation trade
-    if weight_mode == "auto":
-        n_cands = cands.count()  # ≤ 1 + rounds×l rows, checkpointed
-        two_level = n_cands > WEIGHT_TWO_LEVEL_MIN_CANDS
-    else:
-        two_level = weight_mode == "two_level"
-        n_cands = cands.count() if two_level else 0
-    nearest = (
-        _weights_two_level(finite, cands, n_cands)
-        if two_level
-        else _weights_flat(finite, cands)
-    )
-    candw = cands.join(
-        nearest, cands.vec_id == nearest.cand_id, "left"
-    ).select(
-        "vec_id", "v", F.coalesce("w", F.lit(0)).cast("double").alias("w")
-    )
+    if numeric_mode == "vectorized":
+        # GEMM flat weighting (exact — no routing approximation): the
+        # candidate table rides positionally so ids never cross the
+        # Arrow boundary; weights come back as position counts and the
+        # (already driver-bound) refine rows are assembled here
+        from .dense import weights_argmin_vectorized
 
-    # deterministic weighted k-means++ seeding on the COLLECTED
-    # candidate set (a bounded O(rounds×l×dim) maintenance read — the
-    # same driver-side refine MLlib's k-means|| uses), then distributed
-    # weighted Lloyd.  Plain hash init here merges modes: two seeds in
-    # one dense mode leave weighted Lloyd stuck (observed directly).
-    rows = sorted(
-        ((r.vec_id, list(r.v), r.w) for r in candw.collect()),
-        key=lambda t: t[0],
-    )
+        if cand_rows:
+            pos_w = {
+                r.cand_pos: r.w
+                for r in weights_argmin_vectorized(finite, cand_rows)
+                .groupBy("cand_pos")
+                .agg(F.count("*").alias("w"))
+                .collect()
+            }
+        else:
+            pos_w = {}
+        rows = [
+            (vid, v, float(pos_w.get(i, 0)))
+            for i, (vid, v) in enumerate(cand_rows)
+        ]
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        candw = corpus.sparkSession.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("vec_id", finite.schema["vec_id"].dataType),
+                    StructField("v", finite.schema["v"].dataType),
+                    StructField("w", DoubleType()),
+                ]
+            ),
+        )
+    else:
+        if weight_mode == "auto":
+            n_cands = cands.count()  # ≤ 1 + rounds×l rows, checkpointed
+            two_level = n_cands > WEIGHT_TWO_LEVEL_MIN_CANDS
+        else:
+            two_level = weight_mode == "two_level"
+            n_cands = cands.count() if two_level else 0
+        nearest = (
+            _weights_two_level(finite, cands, n_cands)
+            if two_level
+            else _weights_flat(finite, cands)
+        )
+        candw = cands.join(
+            nearest, cands.vec_id == nearest.cand_id, "left"
+        ).select(
+            "vec_id", "v",
+            F.coalesce("w", F.lit(0)).cast("double").alias("w"),
+        )
+        # deterministic weighted k-means++ seeding on the COLLECTED
+        # candidate set (a bounded O(rounds×l×dim) maintenance read —
+        # the same driver-side refine MLlib's k-means|| uses), then
+        # distributed weighted Lloyd.  Plain hash init here merges
+        # modes: two seeds in one dense mode leave weighted Lloyd
+        # stuck (observed directly).
+        rows = sorted(
+            ((r.vec_id, list(r.v), r.w) for r in candw.collect()),
+            key=lambda t: t[0],
+        )
     seeds = _pp_seeds(rows, k)
     if not seeds:
         return corpus.sparkSession.createDataFrame(
@@ -1137,6 +1226,7 @@ def assign_two_level(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_decimals: int | None = 6,
+    numeric_mode: str = "fold",
 ) -> DataFrame:
     """Two-level (coarse→fine) assignment: route each vector through
     ``m ≈ √k`` coarse super-centroids to a ``nprobe``-cell subset of
@@ -1166,9 +1256,22 @@ def assign_two_level(
     corpus's only shuffle is the final per-vector argmin, same as flat
     assignment.  Cells that received no fine centroid are excluded
     from probing (probing them would silently drop vectors).  Empty
-    centroid input returns an empty assignment — never an error."""
+    centroid input returns an empty assignment — never an error.
+
+    ``numeric_mode="vectorized"``: the corpus-side work — coarse
+    routing AND the within-probe fine argmin — runs as numpy GEMMs over
+    Arrow batches (``dense.two_level_argmin_vectorized``) instead of
+    the literal-fold expression + broadcast-join folds; same routing
+    ties (stable sort → lower gid) and argmin order (NaN-greatest,
+    (dist, cid)), identical on the gate corpora, with the GEMM-vs-fold
+    near-tie ulp class documented in operators/dense.py.  Fold stays
+    the default/oracle mode."""
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if numeric_mode not in ("fold", "vectorized"):
+        raise ValueError(
+            f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
+        )
     cents = cents.localCheckpoint(eager=False)
     k = cents.count()
     e = _valid_vectors(corpus, vec_col, id_col, dim)
@@ -1235,6 +1338,33 @@ def assign_two_level(
     coarse_rows.sort()
     if not coarse_rows:
         return _empty()
+    if numeric_mode == "vectorized":
+        # the fine table the fold path broadcasts, collected instead
+        # (k×replicas rows — the same boundedness contract)
+        fine_rows = [(r.gid, r.cid, list(r.c)) for r in fine.collect()]
+        from .dense import two_level_argmin_vectorized
+
+        per_row = two_level_argmin_vectorized(
+            e, coarse_rows, fine_rows, nprobe
+        )
+        nan = F.lit(float("nan"))
+        scored1 = per_row.select(
+            "vec_id",
+            "cid",
+            F.when(F.col("dist_nan"), nan)
+            .otherwise(F.col("dist"))
+            .alias("dist"),
+        )
+        # dup-id collapse identical to the fold tail below
+        return (
+            scored1.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cid").alias("cluster"),
+                F.col("b.dist").alias("dist"),
+            )
+        )
     # m×dim literal + nested fold: coarse routing never joins/shuffles
     glit = "array(" + ",".join(
         "array(" + ",".join(_sql_double(x) for x in g) + ")"
@@ -1278,21 +1408,26 @@ def kmeans_large_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_decimals: int | None = 6,
+    numeric_mode: str = "fold",
 ) -> DataFrame:
     """The composed large-k path: k-means|| trained centroids
     (:func:`kmeans_parallel_centroids`) + two-level assignment
     (:func:`assign_two_level`) — what a production IVF build over
     10⁹-10¹¹ vectors runs, end to end, with every stage bounded:
     sampling never shuffles the corpus, refine runs on O(rounds×l)
-    candidates, assignment costs O(m + nprobe·k/m) folds per vector."""
+    candidates, assignment costs O(m + nprobe·k/m) folds per vector.
+    ``numeric_mode="vectorized"`` routes BOTH stages' distance work
+    through the GEMM path (weighting + two-level assignment)."""
     cents = kmeans_parallel_centroids(
         corpus, k, dim, l, rounds, refine_iters,
         vec_col, id_col, centroid_decimals,
+        numeric_mode=numeric_mode,
     )
     return assign_two_level(
         corpus, cents, dim, coarse_k, nprobe,
         vec_col=vec_col, id_col=id_col,
         centroid_decimals=centroid_decimals,
+        numeric_mode=numeric_mode,
     )
 
 

@@ -423,6 +423,239 @@ def assign_argmin_vectorized(
     )
 
 
+def _sq_dists_gram(vmat, cmat, cnorm2):
+    """Squared L2 distances (b×k) via the expanded |v|²−2v·c+|c|² GEMM,
+    with exact direct recompute of non-finite rows/columns (the
+    expansion turns an Inf coordinate into inf−inf=NaN where the fold
+    gets a clean Inf) and a ≥0 clamp."""
+    import numpy as np
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        vnorm2 = (vmat * vmat).sum(axis=1)
+        d = vnorm2[:, None] - 2.0 * (vmat @ cmat.T) + cnorm2[None, :]
+        bad_r = ~np.isfinite(vmat).all(axis=1)
+        if bad_r.any():
+            diff = vmat[bad_r][:, None, :] - cmat[None, :, :]
+            d[bad_r] = (diff * diff).sum(axis=2)
+        bad_c = ~np.isfinite(cmat).all(axis=1)
+        if bad_c.any():
+            diff = vmat[:, None, :] - cmat[None, bad_c, :]
+            d[:, bad_c] = (diff * diff).sum(axis=2)
+        np.maximum(d, 0.0, out=d, where=~np.isnan(d))
+    return d
+
+
+def _argmin_spark_nan(d):
+    """Row argmin of a distance matrix under Spark's NaN-greatest
+    ordering: NaN loses to every number INCLUDING +inf; ties break to
+    the first (lowest-index) column.  Returns (j, dist, is_nan)."""
+    import numpy as np
+
+    nanmask = np.isnan(d)
+    key = np.where(nanmask, np.inf, d)
+    j = np.argmin(key, axis=1)
+    rows = np.arange(len(j))
+    fix = nanmask[rows, j] & (~nanmask).any(axis=1)
+    if fix.any():
+        j[fix] = np.argmax(~nanmask[fix], axis=1)
+    dist = d[rows, j]
+    return j, dist, np.isnan(dist)
+
+
+def two_level_argmin_vectorized(
+    e: DataFrame,
+    coarse_rows: list,
+    fine_rows: list,
+    nprobe: int,
+) -> DataFrame:
+    """The corpus side of ``cluster.assign_two_level`` as numpy GEMMs:
+    coarse routing (b×m), stable-sorted top-``nprobe`` cells (ties break
+    to the lower gid — the fold path's ``array_sort(struct(d, g))``
+    order), then per-cell fine GEMMs merged under the (is_nan, dist,
+    cid) order Spark's ``min(struct)`` implements.  ``coarse_rows`` =
+    [(gid, vec)] sorted by gid (occupied cells only); ``fine_rows`` =
+    [(gid, cid, vec)] — the same tables the fold path broadcasts.
+    Returns one row per input row ``(vec_id, cid, dist, dist_nan)``;
+    the caller collapses dup ids JVM-side exactly like the fold."""
+    import numpy as np
+
+    gmat = np.array([list(map(float, g)) for _, g in coarse_rows])
+    gnorm2 = (gmat * gmat).sum(axis=1)
+    by_cell: dict = {}
+    for gid, cid, c in fine_rows:
+        by_cell.setdefault(gid, []).append((cid, c))
+    gid_to_idx = {gid: i for i, (gid, _) in enumerate(coarse_rows)}
+    cells = []
+    for gid, pairs in by_cell.items():
+        pairs.sort(key=lambda t: t[0])  # argmin tie → smallest cid
+        cmat = np.array([list(map(float, c)) for _, c in pairs])
+        cells.append(
+            (
+                gid_to_idx[gid],
+                np.array([cid for cid, _ in pairs]),
+                cmat,
+                (cmat * cmat).sum(axis=1),
+            )
+        )
+    np_probe = min(nprobe, len(coarse_rows))
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", e.schema["vec_id"].dataType),
+            StructField("cid", IntegerType()),
+            StructField("dist", DoubleType()),
+            StructField("dist_nan", BooleanType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]],
+                dtype=np.float64,
+            )
+            b = len(vmat)
+            dg = _sq_dists_gram(vmat, gmat, gnorm2)
+            # stable sort: equal coarse distances keep column order =
+            # ascending gid, matching the fold's struct(d, g) sort.
+            # NaN coarse distances sort LAST under numpy — same place
+            # Spark's array_sort puts NaN structs.
+            order = np.argsort(dg, axis=1, kind="stable")[:, :np_probe]
+            best_d = np.full(b, np.inf)
+            best_c = np.full(b, -1, dtype=np.int64)
+            best_nan = np.zeros(b, dtype=bool)
+            seen = np.zeros(b, dtype=bool)
+            for cell_idx, cids, cmat, cnorm2 in cells:
+                rows = np.nonzero((order == cell_idx).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                d = _sq_dists_gram(vmat[rows], cmat, cnorm2)
+                j, dist, isnan = _argmin_spark_nan(d)
+                cand_c = cids[j]
+                # merge under (is_nan, dist, cid): NaN loses to any
+                # number; ties break to the smaller cid
+                cur_d, cur_c, cur_n = (
+                    best_d[rows], best_c[rows], best_nan[rows],
+                )
+                dk = np.where(isnan, np.inf, dist)
+                ck = np.where(cur_n, np.inf, cur_d)
+                take = (
+                    ~seen[rows]
+                    | (~isnan & cur_n)
+                    | ((isnan == cur_n) & (dk < ck))
+                    | ((isnan == cur_n) & (dk == ck) & (cand_c < cur_c))
+                )
+                best_d[rows] = np.where(take, dist, cur_d)
+                best_c[rows] = np.where(take, cand_c, cur_c)
+                best_nan[rows] = np.where(take, isnan, cur_n)
+                seen[rows] = True
+            ok = seen
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values[ok],
+                    "cid": best_c[ok].astype("int32"),
+                    "dist": np.where(best_nan[ok], 0.0, best_d[ok]),
+                    "dist_nan": best_nan[ok],
+                }
+            )
+
+    return e.mapInPandas(assign, out_schema)
+
+
+def weights_argmin_vectorized(
+    finite: DataFrame, cand_rows: list
+) -> DataFrame:
+    """The k-means|| weighting pass as one GEMM per Arrow batch:
+    per-corpus-row argmin over the collected candidate table (the same
+    one-row array the fold path broadcasts), emitted as ``cand_pos``
+    (the candidate's index in ``cand_rows``, which the caller maps back
+    to ids) — positions, not ids, so string-id candidate tables never
+    touch the Arrow id-mangling path.  The JVM side does the count."""
+    import numpy as np
+
+    cmat = np.array([list(map(float, v)) for _, v in cand_rows])
+    cnorm2 = (cmat * cmat).sum(axis=1)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType([StructField("cand_pos", IntegerType())])
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]],
+                dtype=np.float64,
+            )
+            d = _sq_dists_gram(vmat, cmat, cnorm2)
+            j, _, _ = _argmin_spark_nan(d)
+            yield pd.DataFrame({"cand_pos": j.astype("int32")})
+
+    return finite.mapInPandas(assign, out_schema)
+
+
+def dmin_update_vectorized(
+    state: DataFrame, cand_vecs: list, first: bool = False
+) -> DataFrame:
+    """One k-means|| sampling-round dmin update as a GEMM:
+    ``dmin' = min(dmin, min_c Σ(v−c)²)`` against the round's ≤l new
+    candidates (closed over driver-side — the fold path broadcasts the
+    same array).  ``state`` is ``(vec_id, v[, dmin])`` over FINITE
+    vectors only (the sampling universe), so no NaN handling is needed;
+    returns the same shape with ``dmin`` (re)computed."""
+    import numpy as np
+
+    cmat = np.array(
+        [[float(x) for x in v] for v in cand_vecs], dtype=np.float64
+    )
+    cnorm2 = (cmat * cmat).sum(axis=1)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", state.schema["vec_id"].dataType),
+            StructField("v", state.schema["v"].dataType),
+            StructField("dmin", DoubleType()),
+        ]
+    )
+
+    def upd(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]],
+                dtype=np.float64,
+            )
+            d = _sq_dists_gram(vmat, cmat, cnorm2).min(axis=1)
+            if not first:
+                d = np.minimum(d, pdf["dmin"].to_numpy())
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "v": pdf["v"].values,
+                 "dmin": d}
+            )
+
+    return state.mapInPandas(upd, out_schema)
+
+
 def semdedup_pairs_vectorized(
     av: DataFrame, tau: float, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -182,6 +182,100 @@ class TestDirtyCorpusParity:
             assert fold == vec
 
 
+class TestLargeKVectorized:
+    """The large-k machinery (k-means|| weighting + two-level
+    assignment) through the GEMM path — fold-identical on the gate
+    corpus, dirty corpora, and string ids."""
+
+    def test_parallel_centroids_identical(self, spark):
+        from fluent_plugin_sql_spark.operators.cluster import (
+            kmeans_parallel_centroids,
+        )
+
+        emb = _emb(spark)
+        fold = sorted(
+            (r.cid, tuple(r.c))
+            for r in kmeans_parallel_centroids(
+                emb, k=4, dim=64, l=6, rounds=2, refine_iters=2
+            ).collect()
+        )
+        vec = sorted(
+            (r.cid, tuple(r.c))
+            for r in kmeans_parallel_centroids(
+                emb, k=4, dim=64, l=6, rounds=2, refine_iters=2,
+                numeric_mode="vectorized",
+            ).collect()
+        )
+        assert fold == vec
+
+    def test_two_level_assign_identical(self, spark):
+        from fluent_plugin_sql_spark.operators.cluster import (
+            assign_two_level, kmeans_parallel_centroids,
+        )
+
+        emb = _emb(spark)
+        cents = kmeans_parallel_centroids(
+            emb, k=6, dim=64, l=8, rounds=2, refine_iters=2
+        ).localCheckpoint(eager=True)
+        fold = sorted(
+            (r.vec_id, r.cluster, round(r.dist, 4))
+            for r in assign_two_level(
+                emb, cents, dim=64, coarse_k=3, nprobe=2
+            ).collect()
+        )
+        vec = sorted(
+            (r.vec_id, r.cluster, round(r.dist, 4))
+            for r in assign_two_level(
+                emb, cents, dim=64, coarse_k=3, nprobe=2,
+                numeric_mode="vectorized",
+            ).collect()
+        )
+        assert fold == vec
+
+    def test_large_composed_dirty_parity(self, spark):
+        from fluent_plugin_sql_spark.operators.cluster import (
+            kmeans_large_embeddings,
+        )
+
+        e = _dirty_df(spark)
+        fold = sorted(
+            _nan_safe((r.vec_id, r.cluster, round(r.dist, 4)))
+            for r in kmeans_large_embeddings(
+                e, k=3, dim=4, l=4, rounds=2, nprobe=2
+            ).collect()
+        )
+        vec = sorted(
+            _nan_safe((r.vec_id, r.cluster, round(r.dist, 4)))
+            for r in kmeans_large_embeddings(
+                e, k=3, dim=4, l=4, rounds=2, nprobe=2,
+                numeric_mode="vectorized",
+            ).collect()
+        )
+        assert fold == vec
+
+    def test_string_ids_vectorized(self, spark):
+        from fluent_plugin_sql_spark.operators.cluster import (
+            assign_two_level, kmeans_parallel_centroids,
+        )
+
+        rows = [
+            (f"doc-{i:03d}", [float(i % 5), float(i % 3), 1.0, 0.25])
+            for i in range(24)
+        ]
+        e = spark.createDataFrame(
+            rows, "vec_id string, embedding array<double>"
+        )
+        cents = kmeans_parallel_centroids(
+            e, k=3, dim=4, l=4, rounds=2, numeric_mode="vectorized"
+        )
+        assert cents.count() == 3
+        out = assign_two_level(
+            e, cents, dim=4, nprobe=2, numeric_mode="vectorized"
+        )
+        assert out.count() == 24
+        assert dict(out.dtypes)["vec_id"] == "string"
+
+
 class TestStringAndMixedDims:
     def test_string_ids(self, spark):
         rows = [

@@ -83,6 +83,18 @@ def main() -> int:
         cases["kmeans_vec"] = lambda: kmeans_embeddings(
             corpus, k=kk, iters=1, dim=64, numeric_mode="vectorized"
         )
+    if "large" in which:
+        from fluent_plugin_sql_spark.operators.cluster import (
+            kmeans_large_embeddings,
+        )
+
+        cases["large_fold"] = lambda: kmeans_large_embeddings(
+            corpus, k=kk, dim=64, rounds=2, refine_iters=2, nprobe=2
+        )
+        cases["large_vec"] = lambda: kmeans_large_embeddings(
+            corpus, k=kk, dim=64, rounds=2, refine_iters=2, nprobe=2,
+            numeric_mode="vectorized",
+        )
     for i in range(runs):
         for name, fn in cases.items():  # interleaved by construction
             dt, n = bench(fn)
@@ -105,6 +117,8 @@ def main() -> int:
         out["speedup_kmeans"] = round(
             med["kmeans_fold"] / med["kmeans_vec"], 2
         )
+    if "large_fold" in med:
+        out["speedup_large"] = round(med["large_fold"] / med["large_vec"], 2)
     print(json.dumps(out))
     return 0
 
