@@ -439,6 +439,7 @@ def build_ivf_index(
     centroid_mode: str = "hash",
     kmeans_iters: int = 2,
     dim: int | None = None,
+    numeric_mode: str = "fold",
 ) -> None:
     """Persist an IVF index (centroids + posting lists) to parquet so the
     build cost amortizes across query batches — at corpus scale the
@@ -461,6 +462,14 @@ def build_ivf_index(
     analogue see ``cluster.assign_two_level``).  All modes are
     deterministic, so every index is oracle-replicable.
 
+    ``numeric_mode="vectorized"`` routes the TRAINING distance work
+    (Lloyd or k-means||) through the numpy-GEMM path
+    (operators/dense) — training is the expensive half of a large
+    index build; trained centroids are identical to the fold mode's up
+    to the documented ulp class (exactly equal on the gate corpora,
+    tests).  The posting-assignment pass keeps the fold cosine either
+    way (it is what the gate oracles model).
+
     Layout: ``{path}/centroids`` (centroid_id, centvec) and
     ``{path}/postings`` (bucket, match_id, cvec) — postings are
     PARTITIONED BY bucket, so a probe reads only its buckets' directories
@@ -481,6 +490,7 @@ def build_ivf_index(
                 dim=dim,
                 vec_col=vec_col,
                 id_col=id_col,
+                numeric_mode=numeric_mode,
             )
         else:
             from .cluster import kmeans_parallel_centroids
@@ -492,6 +502,7 @@ def build_ivf_index(
                 refine_iters=kmeans_iters,
                 vec_col=vec_col,
                 id_col=id_col,
+                numeric_mode=numeric_mode,
             )
         centroids = trained.select(
             F.col("cid").cast("long").alias("centroid_id"),

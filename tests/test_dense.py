@@ -253,6 +253,28 @@ class TestLargeKVectorized:
         )
         assert fold == vec
 
+    def test_ivf_index_vectorized_training_identical(self, spark, tmp_path):
+        from fluent_plugin_sql_spark.operators.similarity import (
+            build_ivf_index, ivf_topk_from_index,
+        )
+
+        emb = _emb(spark)
+        q = emb.where(F.col("vec_id") < 8)
+        outs = []
+        for mode, sub in (("fold", "a"), ("vectorized", "b")):
+            p = str(tmp_path / sub)
+            build_ivf_index(
+                emb, p, num_centroids=8, centroid_mode="kmeans",
+                dim=64, numeric_mode=mode,
+            )
+            outs.append(_rows(ivf_topk_from_index(spark, p, q, k=5)))
+            cents = sorted(
+                map(tuple, spark.read.parquet(f"{p}/centroids").collect())
+            )
+            outs.append(cents)
+        assert outs[0] == outs[2]  # identical search results
+        assert outs[1] == outs[3]  # identical trained centroids
+
     def test_string_ids_vectorized(self, spark):
         from fluent_plugin_sql_spark.operators.cluster import (
             assign_two_level, kmeans_parallel_centroids,
