@@ -60,6 +60,20 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+# (path, mtime_ns, size) -> Spark schema of the raw parquet read.
+# Passing an explicit schema skips the per-read footer-inference JOB
+# (measured ~40-60 ms of driver latency per table per query execution —
+# q5 paid six of them per run).  Keyed on stat() so a rewritten file
+# re-infers; stores only the schema, never data — every query still
+# computes from the parquet bytes.
+_schema_cache: dict[tuple[str, int, int], object] = {}
+
+
+def _stat_key(path: str) -> tuple[str, int, int]:
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, keep_ns: bool = False
 ) -> DataFrame:
@@ -84,7 +98,17 @@ def load_table(
     nanos = _nanos_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        key = _stat_key(path)
+    except OSError:
+        key = None
+    cached = _schema_cache.get(key) if key is not None else None
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _schema_cache[key] = df.schema
     for c in nanos:
         if keep_ns:
             df = df.withColumn(f"{c}_ns", F.col(c))

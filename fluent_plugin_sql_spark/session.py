@@ -67,6 +67,34 @@ def get_spark(
         # files outnumber cores and this is a no-op; on small inputs it
         # keeps every core busy.  AQE still coalesces downstream.
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # make the split floor actually bind (guide §6): maxSplitBytes =
+        # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum)),
+        # so with the default 4 MB openCostInBytes every table under
+        # ~4 MB×cores still scans as a handful of splits — measured: the
+        # minhash signature stage and the ANN scoring stage each ran as
+        # ONE 0.6-1.0 s task with 31 cores idle at sf0.1.  64 KB keeps
+        # the floor at minPartitionNum for small files; at cluster scale
+        # totalBytes/minPartitionNum >> openCost so this is inert (its
+        # only cluster effect — the per-file packing charge for
+        # many-small-file tables — is sized by SPARK_GRAFT_OPEN_COST;
+        # deployments drowning in tiny files should set it back up and
+        # fix the file sizing upstream per guide §6).
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(64 * 1024)),
+        )
+        # AQE coalescing's floor on post-shuffle partition sizes: the
+        # default 1 MB collapses every small shuffle to ONE reduce task
+        # (measured: the MergingSessions stage of session_windows ran
+        # 0.3-0.4 s single-task behind a 1.9 MB exchange).  64 KB lets
+        # parallelismFirst spread small shuffles across the cores;
+        # inert at scale, where partitions are sized by
+        # advisoryPartitionSizeInBytes (parallelismFirst only shrinks
+        # below advisory when the shuffle is small relative to cores).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", str(64 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
