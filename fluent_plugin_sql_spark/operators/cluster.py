@@ -506,7 +506,8 @@ def semdedup_prune(
         raise ValueError(
             f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
         )
-    from .similarity import cosine, portable_id_hash
+    from .similarity import cosine_prenorm, portable_id_hash
+    from .similarity import norm as _sim_norm
 
     a = kmeans_embeddings(
         corpus, k, iters, dim, vec_col, id_col, init=init,
@@ -583,14 +584,23 @@ def semdedup_prune(
             return semdedup_pairs_vectorized(
                 rows.select("_pk", "vec_id", "v"), tau
             )
-        x, y = rows.alias("x"), rows.alias("y")
+        # per-row norm before the self-join: the pair predicate then
+        # folds only the dot per pair instead of dot + both norms
+        # (similarity.cosine_prenorm — bit-identical, NULL set included)
+        nr = rows.withColumn("_nv", _sim_norm(F.col("v")))
+        x, y = nr.alias("x"), nr.alias("y")
         return (
             x.join(
                 y,
                 (F.col("x._pk") == F.col("y._pk"))
                 & (F.col("x.vec_id") < F.col("y.vec_id")),
             )
-            .where(cosine(F.col("x.v"), F.col("y.v")) >= tau)
+            .where(
+                cosine_prenorm(
+                    F.col("x.v"), F.col("y.v"), F.col("x._nv"), F.col("y._nv")
+                )
+                >= tau
+            )
             .select(F.col("y.vec_id").alias("vec_id"))
             .distinct()
         )

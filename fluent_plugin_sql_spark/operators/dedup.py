@@ -324,12 +324,22 @@ def minhash_lsh_dup_pairs(
     sets = (
         shingle_hash_arrays(df_cand, text_col, id_col, k)
         .select("doc", F.array_distinct("shs").alias("sset"))
+        .withColumn("_n", F.size("sset"))
         .localCheckpoint(eager=True)
     )
-    a = sets.select(F.col("doc").alias("doc_a"), F.col("sset").alias("_sa"))
-    b = sets.select(F.col("doc").alias("doc_b"), F.col("sset").alias("_sb"))
+    a = sets.select(
+        F.col("doc").alias("doc_a"), F.col("sset").alias("_sa"),
+        F.col("_n").alias("_na"),
+    )
+    b = sets.select(
+        F.col("doc").alias("doc_b"), F.col("sset").alias("_sb"),
+        F.col("_n").alias("_nb"),
+    )
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
+    # |A ∪ B| = |A| + |B| − |A ∩ B| exactly (the arrays are distinct
+    # sets), with the set sizes precomputed per DOC — so the pair
+    # predicate walks one array pass (intersect) instead of two
+    union = F.col("_na") + F.col("_nb") - inter
     # 0-shingle docs: try_divide(0, 0) -> NULL -> filtered by the
     # threshold predicate.  A bare `/` would raise DIVIDE_BY_ZERO under
     # ANSI mode (this Spark's default) and kill the job on one empty doc.
@@ -1756,17 +1766,24 @@ class EmbeddingDedupStore:
         assignment is a map over the batch."""
         from pyspark.sql import Window
 
-        from .similarity import cosine
+        from .similarity import cosine_prenorm, norm
 
-        scored = vecs.join(F.broadcast(centroids)).select(
-            "doc", "vec", "centroid_id", cosine(F.col("vec"), F.col("centvec")).alias("_cc")
+        # norms once per batch row / centroid row, not per (row, centroid)
+        # pair (see similarity.cosine_prenorm — bit-identical values)
+        cent = F.broadcast(centroids.withColumn("_centn", norm(F.col("centvec"))))
+        scored = vecs.withColumn("_vn", norm(F.col("vec"))).join(cent).select(
+            "doc", "vec", "_vn", "centroid_id",
+            cosine_prenorm(
+                F.col("vec"), F.col("centvec"), F.col("_vn"), F.col("_centn")
+            ).alias("_cc"),
         )
         w = Window.partitionBy("doc").orderBy(F.desc("_cc"), F.asc("centroid_id"))
         return (
             scored.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= top_n)
+            # _vn rides along so probe_dups' pair joins reuse it
             .select(
-                "doc", "vec", F.col("centroid_id").alias("bucket"),
+                "doc", "vec", "_vn", F.col("centroid_id").alias("bucket"),
                 "_rn", "_cc",
             )
         )
@@ -1779,7 +1796,7 @@ class EmbeddingDedupStore:
         deterministic centroid pick from this batch — nothing is
         written, so probing can never freeze centroids from a batch that
         is never absorbed."""
-        from .similarity import cosine
+        from .similarity import cosine_prenorm, norm
 
         vecs = df.select(
             F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
@@ -1789,6 +1806,9 @@ class EmbeddingDedupStore:
             centroids = self._pick_centroids(vecs, self.num_centroids)
         probes = self._assign(vecs, centroids, self.nprobe).localCheckpoint(eager=True)
 
+        # pair joins below reuse the probes' per-row norm (_vn) instead
+        # of folding each side's norm once per PAIR (cosine_prenorm is
+        # bit-identical, NULL set included)
         # batch-internal: any shared probe bucket, keep the lower id
         internal = (
             probes.alias("a")
@@ -1797,7 +1817,13 @@ class EmbeddingDedupStore:
                 (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.doc") < F.col("b.doc")),
             )
-            .where(cosine(F.col("a.vec"), F.col("b.vec")) >= self.threshold)
+            .where(
+                cosine_prenorm(
+                    F.col("a.vec"), F.col("b.vec"),
+                    F.col("a._vn"), F.col("b._vn"),
+                )
+                >= self.threshold
+            )
             .select(F.col("b.doc").alias("dup"))
             .distinct()
         )
@@ -1809,11 +1835,18 @@ class EmbeddingDedupStore:
         )
         cross = (
             store.alias("o")
+            .withColumn("_on", norm(F.col("o.vec")))
             .join(
                 F.broadcast(probes.alias("n")),
                 F.col("o.bucket") == F.col("n.bucket"),
             )
-            .where(cosine(F.col("o.vec"), F.col("n.vec")) >= self.threshold)
+            .where(
+                cosine_prenorm(
+                    F.col("o.vec"), F.col("n.vec"),
+                    F.col("_on"), F.col("n._vn"),
+                )
+                >= self.threshold
+            )
             .select(F.col("n.doc").alias("dup"))
             .distinct()
         )

@@ -62,6 +62,32 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """:func:`cosine` with the two norms taken from precomputed columns.
+
+    Bit-identical to ``cosine(a, b)`` when ``norm_a``/``norm_b`` were
+    produced by :func:`norm` over the same vectors — same folds in the
+    same order, same product, same ``try_divide`` — and the NULL set is
+    unchanged (NULL/zero-norm vector → NULL norm/0.0 → NULL cosine; a
+    dim-mismatched pair → NULL dot → NULL cosine).  The point is WHERE
+    the norm folds run: a pair join evaluates ``cosine()``'s three
+    O(dim) folds per PAIR, recomputing each row's own norm once per
+    counterpart (the dominant arithmetic of every scoring stage — at
+    nprobe×|corpus| or |corpus|×|queries| pairs that is 3× the
+    unavoidable work).  Precomputing the norm once per ROW on each side
+    before the join leaves exactly one fold (the dot) per pair.
+    """
+    return F.try_divide(dot(a, b), norm_a * norm_b)
+
+
+NORM_SQL = (
+    "sqrt(aggregate(transform({v}, x -> CAST(x AS double) * CAST(x AS double)),"
+    " 0.0D, (acc, x) -> acc + x))"
+)
+"""SQL-text twin of :func:`norm` for the generated-string plan sites
+(same element-wise double casts, same sequential fold)."""
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,27 +140,45 @@ def brute_force_topk(
         raise ValueError(
             f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
         )
+    # norms are computed once per ROW before the pair join (see
+    # cosine_prenorm) — not once per pair, which tripled the scoring
+    # stage's arithmetic
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("match_id"))
-        .select(
-            "query_id",
-            "match_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
-        )
-        # zero-norm vectors score NULL (see cosine()); drop them here
-        # so ranks are well-defined ("zero vectors match nothing")
-        .where(F.col("cos").isNotNull())
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("match_id")).select(
+        "query_id",
+        "match_id",
+        F.round(
+            cosine_prenorm(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+            4,
+        ).alias("cos"),
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        # NULL (zero-norm / dim-mismatch) scores are dropped AFTER the
+        # rank instead of before it: a pre-rank Filter is pushed into
+        # the join condition, where it re-evaluates the whole cosine a
+        # second time per pair (observed as the expression appearing in
+        # BOTH the BroadcastNestedLoopJoin condition and the Project).
+        # Post-rank the result is IDENTICAL: the ordering is
+        # cos DESC NULLS LAST with an id tiebreak, so every non-NULL row
+        # holds exactly the rank it had when NULLs were pre-filtered,
+        # and NULL rows (always ranked strictly after all non-NULL ones)
+        # are removed by the conjunct.
+        .where((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("query_id", "match_id", "cos", "rank")
     )
 
@@ -239,18 +283,26 @@ def hyperplane_buckets(
 def _topk_from_candidates(cand: DataFrame, k: int) -> DataFrame:
     """Shared scoring tail of every bucketed ANN variant: rounded cosine
     over the candidate pairs, NULL (zero-norm) scores dropped, top-k per
-    query with id tiebreak."""
+    query with id tiebreak.  Candidates carry per-row precomputed norms
+    (``_qn``/``_cn``, see :func:`cosine_prenorm`), and the NULL drop
+    runs after the rank (same result — NULLS LAST — without the
+    pushed-down filter re-evaluating the score per pair)."""
     from pyspark.sql import Window
 
     scored = cand.select(
         "query_id",
         "match_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
-    ).where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
+        F.round(
+            cosine_prenorm(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+            4,
+        ).alias("cos"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("query_id", "match_id", "cos", "rank")
     )
 
@@ -267,14 +319,19 @@ def _lsh_candidates(
     """(query_id, match_id, qvec, cvec) pairs sharing an LSH bucket in
     ≥1 table — the comparison set whose size IS the cost of the query."""
     buckets_sql = _hyperplane_buckets_sql(vec_col, num_planes, num_tables, dim)
+    # the norm rides next to the vector from here on (computed once per
+    # input row — Generate replicates it per bucket without re-running
+    # the fold), so the scoring tail never folds a norm per pair
     c = corpus.selectExpr(
         f"{id_col} AS match_id",
         f"{vec_col} AS cvec",
+        NORM_SQL.format(v=vec_col) + " AS _cn",
         f"explode({buckets_sql}) AS bucket",
     )
     q = queries.selectExpr(
         f"{id_col} AS query_id",
         f"{vec_col} AS qvec",
+        NORM_SQL.format(v=vec_col) + " AS _qn",
         f"explode({buckets_sql}) AS bucket",
     )
     return (
@@ -282,7 +339,7 @@ def _lsh_candidates(
             F.broadcast(q),
             (c.bucket == q.bucket) & (F.col("query_id") != F.col("match_id")),
         )
-        .select("query_id", "match_id", "qvec", "cvec")
+        .select("query_id", "match_id", "qvec", "cvec", "_qn", "_cn")
         .dropDuplicates(["query_id", "match_id"])  # candidate found by >1 table
     )
 
@@ -328,21 +385,36 @@ def _ivf_candidates(
     posting bucket is among the query's ``nprobe`` probed centroids."""
     from pyspark.sql import Window
 
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec"))
+    # per-row norms computed once here serve BOTH the centroid
+    # assignment (vs once per (row, centroid) pair) and the scoring
+    # tail (vs once per candidate pair); the centroid set reuses the
+    # corpus rows' norms outright
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     centroids = (
         c.withColumn("_h", portable_id_hash(F.col("match_id")))
         .orderBy("_h")
         .limit(num_centroids)
-        .select(F.col("match_id").alias("centroid_id"), F.col("cvec").alias("centvec"))
+        .select(
+            F.col("match_id").alias("centroid_id"),
+            F.col("cvec").alias("centvec"),
+            F.col("_cn").alias("_centn"),
+        )
         # tiny (num_centroids rows), consumed by both assignment passes;
         # localCheckpoint frees on GC — repeated calls in a long-lived
         # driver don't accumulate storage like an unreleased cache()
         .localCheckpoint(eager=True)
     )
 
-    def assign(df, vcol, out_name, top_n):
+    def assign(df, vcol, norm_col, out_name, top_n):
         scored = df.join(F.broadcast(centroids)).select(
-            "*", cosine(F.col(vcol), F.col("centvec")).alias("_cc")
+            "*",
+            cosine_prenorm(
+                F.col(vcol), F.col("centvec"), F.col(norm_col), F.col("_centn")
+            ).alias("_cc"),
         )
         w = Window.partitionBy(df.columns[0]).orderBy(
             F.desc("_cc"), F.asc("centroid_id")
@@ -353,16 +425,20 @@ def _ivf_candidates(
             .select(*df.columns, F.col("centroid_id").alias(out_name))
         )
 
-    posting = assign(c, "cvec", "bucket", 1)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    probes = assign(q, "qvec", "bucket", nprobe)
+    posting = assign(c, "cvec", "_cn", "bucket", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    probes = assign(q, "qvec", "_qn", "bucket", nprobe)
     return (
         posting.join(
             F.broadcast(probes),
             (posting.bucket == probes.bucket) & (F.col("query_id") != F.col("match_id")),
         )
         .dropDuplicates(["query_id", "match_id"])
-        .select("query_id", "match_id", "qvec", "cvec")
+        .select("query_id", "match_id", "qvec", "cvec", "_qn", "_cn")
     )
 
 
@@ -519,12 +595,18 @@ def build_ivf_index(
             )
         )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    # norms once per side (corpus row / centroid) — not per pair; the
+    # index FILE layout is unchanged (norms are never persisted)
     cent = F.broadcast(
-        centroids.withColumnRenamed("centvec", "centvec_b")
+        centroids.withColumnRenamed("centvec", "centvec_b").withColumn(
+            "_centn", norm(F.col("centvec_b"))
+        )
     )
-    scored = c.join(cent).select(
+    scored = c.withColumn("_cn", norm(F.col("cvec"))).join(cent).select(
         "match_id", "cvec", "centroid_id",
-        cosine(F.col("cvec"), F.col("centvec_b")).alias("_cc"),
+        cosine_prenorm(
+            F.col("cvec"), F.col("centvec_b"), F.col("_cn"), F.col("_centn")
+        ).alias("_cc"),
     )
     w = Window.partitionBy("match_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
     posting = (
@@ -550,18 +632,32 @@ def ivf_topk_from_index(
     analogue of an inverted-file lookup)."""
     from pyspark.sql import Window
 
-    centroids = spark.read.parquet(f"{index_path}/centroids")
-    posting = spark.read.parquet(f"{index_path}/postings")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # norms are computed once per query row / centroid row / posting row
+    # (cosine_prenorm); the NULL drop runs after the rank — identical
+    # result (NULLS LAST), without the pushed filter re-evaluating the
+    # score per pair
+    centroids = spark.read.parquet(f"{index_path}/centroids").withColumn(
+        "_centn", norm(F.col("centvec"))
+    )
+    posting = spark.read.parquet(f"{index_path}/postings").withColumn(
+        "_cn", norm(F.col("cvec"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
     scored_q = q.join(F.broadcast(centroids)).select(
-        "query_id", "qvec", "centroid_id",
-        cosine(F.col("qvec"), F.col("centvec")).alias("_cc"),
+        "query_id", "qvec", "_qn", "centroid_id",
+        cosine_prenorm(
+            F.col("qvec"), F.col("centvec"), F.col("_qn"), F.col("_centn")
+        ).alias("_cc"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
     probes = (
         scored_q.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= nprobe)
-        .select("query_id", "qvec", F.col("centroid_id").alias("bucket"))
+        .select("query_id", "qvec", "_qn", F.col("centroid_id").alias("bucket"))
     )
     scored = (
         posting.join(
@@ -571,14 +667,18 @@ def ivf_topk_from_index(
         .dropDuplicates(["query_id", "match_id"])
         .select(
             "query_id", "match_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("cos"),
+            F.round(
+                cosine_prenorm(
+                    F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+                ),
+                4,
+            ).alias("cos"),
         )
-        .where(F.col("cos").isNotNull())  # zero-norm → NULL → dropped
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") <= k) & F.col("cos").isNotNull())
         .select("query_id", "match_id", "cos", "rank")
     )
 
@@ -613,13 +713,19 @@ def append_ivf_index(
     """
     from pyspark.sql import Window
 
-    centroids = spark.read.parquet(f"{index_path}/centroids")
+    centroids = spark.read.parquet(f"{index_path}/centroids").withColumn(
+        "_centn", norm(F.col("centvec"))
+    )
     c = new_vectors.select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.join(F.broadcast(centroids)).select(
         "match_id", "cvec", "centroid_id",
-        cosine(F.col("cvec"), F.col("centvec")).alias("_cc"),
+        cosine_prenorm(
+            F.col("cvec"), F.col("centvec"), F.col("_cn"), F.col("_centn")
+        ).alias("_cc"),
     )
     w = Window.partitionBy("match_id").orderBy(F.desc("_cc"), F.asc("centroid_id"))
     posting = (
