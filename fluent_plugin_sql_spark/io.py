@@ -68,6 +68,18 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 # computes from the parquet bytes.
 _schema_cache: dict[tuple[str, int, int], object] = {}
 
+# (app_id, keep_ns, path, mtime_ns, size) -> the UNEXECUTED base-table
+# DataFrame (reader + ns-conversion projections).  A DataFrame is a lazy
+# plan — no rows, no results — so reusing it is the catalog-resolution
+# step a real engine performs once per table, not caching of data:
+# every query execution still scans the parquet bytes.  What it removes
+# is ~40 ms of py4j round-trips (reader construction, schema parse,
+# column projections) per table per query build on the driver — the
+# reference's poll loop pays that on every tick.  Keyed on the session's
+# applicationId (unique per SparkSession) and the file's stat, so a new
+# session or a rewritten file rebuilds the plan.
+_table_cache: dict[tuple[str, bool, str, int, int], DataFrame] = {}
+
 
 def _stat_key(path: str) -> tuple[str, int, int]:
     st = os.stat(path)
@@ -102,6 +114,12 @@ def load_table(
         key = _stat_key(path)
     except OSError:
         key = None
+    tkey = None
+    if key is not None:
+        tkey = (spark.sparkContext.applicationId, keep_ns, *key)
+        hit = _table_cache.get(tkey)
+        if hit is not None:
+            return hit
     cached = _schema_cache.get(key) if key is not None else None
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
@@ -134,6 +152,8 @@ def load_table(
                         F.lit(1000),
                     ),
                 )
+    if tkey is not None:
+        _table_cache[tkey] = df
     return df
 
 

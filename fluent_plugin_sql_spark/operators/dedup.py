@@ -1293,12 +1293,31 @@ class MinHashDedupStore:
             .distinct()
         )
 
-    def probe_dups(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-        """Read-only: ids in ``df`` that are near-dups of the store OR of a
-        lower-id row in the same batch.  ``process_batch`` = this + absorb."""
-        sig = minhash_signatures(
+    def sign(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        """The batch's signature matrix (``doc, h0..h{n-1}``), eagerly
+        checkpointed.  Signing is the probe/absorb cycle's expensive map
+        (O(shingles) per row); computing it once here and handing the
+        result to BOTH :meth:`probe_dups` and :meth:`absorb` halves the
+        per-batch signature work of the split at-least-once sequence
+        (probe → sink → absorb) without adding hidden store state — the
+        handoff is an explicit caller-owned DataFrame."""
+        return minhash_signatures(
             df, text_col, id_col, self.num_hashes, self.k
-        ).localCheckpoint(eager=True)  # feeds 3 consumers; compute once
+        ).localCheckpoint(eager=True)
+
+    def probe_dups(
+        self,
+        df: DataFrame,
+        text_col: str,
+        id_col: str,
+        sig: DataFrame | None = None,
+    ) -> DataFrame:
+        """Read-only: ids in ``df`` that are near-dups of the store OR of a
+        lower-id row in the same batch.  ``process_batch`` = this + absorb.
+        ``sig``: optionally the result of :meth:`sign` over ``df`` (skips
+        re-signing)."""
+        if sig is None:
+            sig = self.sign(df, text_col, id_col)
         return self._dup_ids(sig)
 
     def _dup_ids(self, sig: DataFrame) -> DataFrame:
@@ -1353,13 +1372,31 @@ class MinHashDedupStore:
                 .parquet(f"{self.path}/signatures")
             )
 
-    def absorb(self, survivors: DataFrame, text_col: str, id_col: str) -> None:
+    def absorb(
+        self,
+        survivors: DataFrame,
+        text_col: str,
+        id_col: str,
+        sig: DataFrame | None = None,
+    ) -> None:
         """Mutating half of the split contract: record ``survivors`` (rows
-        the caller has already probed AND sunk) as accepted.  Signs the
-        rows again — signing is a pure map, and re-deriving it keeps this
-        callable on a replayed/pinned DataFrame with no handoff state."""
-        sig = minhash_signatures(survivors, text_col, id_col, self.num_hashes, self.k)
-        self._absorb_sig(sig)
+        the caller has already probed AND sunk) as accepted.
+
+        ``sig``: optionally the :meth:`sign` output for a SUPERSET of
+        ``survivors`` (the probe half's batch) — absorb then appends its
+        semi-join on the survivor ids instead of re-signing.  Signing is
+        deterministic per row, so the stored state is bit-identical to
+        the re-signed path; replay safety is unchanged (a replayed
+        caller without the handoff just re-signs).  Without ``sig`` the
+        rows are signed here — a pure map, callable on any
+        replayed/pinned DataFrame."""
+        if sig is not None:
+            keep = survivors.select(F.col(id_col).alias("doc"))
+            self._absorb_sig(sig.join(keep, "doc", "left_semi"))
+            return
+        self._absorb_sig(
+            minhash_signatures(survivors, text_col, id_col, self.num_hashes, self.k)
+        )
 
     def process_batch(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         """Probe + absorb in one call (batch jobs, gate queries): return

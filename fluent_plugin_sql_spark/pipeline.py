@@ -562,10 +562,17 @@ class Pipeline:
                     survivors = survivors.join(
                         dups.withColumnRenamed("dup", _id), _id, "left_anti"
                     )
+                _nd_sig = None
                 if _store is not None:
                     _id = nd_cfg.get("id_col", "doc_id")
-                    dups = _store.probe_dups(
+                    # sign once; the absorb below reuses the handoff
+                    # (deterministic per row — identical store state)
+                    _nd_sig = _store.sign(
                         survivors, nd_cfg.get("text_col", "text"), _id
+                    )
+                    dups = _store.probe_dups(
+                        survivors, nd_cfg.get("text_col", "text"), _id,
+                        sig=_nd_sig,
                     )
                     survivors = survivors.join(
                         dups.withColumnRenamed("dup", _id), _id, "left_anti"
@@ -653,6 +660,7 @@ class Pipeline:
                         survivors,
                         nd_cfg.get("text_col", "text"),
                         nd_cfg.get("id_col", "doc_id"),
+                        sig=_nd_sig,
                     )
                 if _sstore is not None:
                     _sstore.absorb(

@@ -605,7 +605,11 @@ def chained_dedup_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in (0, 1):
             b = corpus.where(F.col("doc_id") % 2 == batch)
             surv = xstore.probe_new(b, "text", "doc_id").drop("content_hash")
-            dups = nstore.probe_dups(surv, "text", "doc_id")
+            # sign once, hand the signatures to probe AND absorb —
+            # signing is the cycle's expensive map and deterministic
+            # per row, so the absorbed state is identical
+            nsig = nstore.sign(surv, "text", "doc_id")
+            dups = nstore.probe_dups(surv, "text", "doc_id", sig=nsig)
             surv = surv.join(
                 dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
             )
@@ -614,7 +618,7 @@ def chained_dedup_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
             ).localCheckpoint(eager=True)  # pin: sink-then-absorb point
             xstore.absorb(surv, "text", "doc_id")
-            nstore.absorb(surv, "text", "doc_id")
+            nstore.absorb(surv, "text", "doc_id", sig=nsig)
             estore.absorb(surv, "embedding", "doc_id")
             s = surv.select("doc_id", (F.col("doc_id") % 2).alias("batch"))
             out = s if out is None else out.unionByName(s)

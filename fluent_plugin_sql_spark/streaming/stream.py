@@ -181,12 +181,16 @@ def near_dedup_stream(
     batches_seen = {"n": 0}
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        dups = store.probe_dups(batch_df, text_col, id_col)
+        # sign once per batch; probe and absorb share the signatures
+        # (deterministic per row — identical store state, half the
+        # signing work of the cycle)
+        sig = store.sign(batch_df, text_col, id_col)
+        dups = store.probe_dups(batch_df, text_col, id_col, sig=sig)
         survivors = batch_df.join(
             dups.withColumnRenamed("dup", id_col), id_col, "left_anti"
         ).localCheckpoint(eager=True)  # pin before sink + absorb
         sink(survivors, epoch_id)
-        store.absorb(survivors, text_col, id_col)
+        store.absorb(survivors, text_col, id_col, sig=sig)
         batches_seen["n"] += 1
         if compact_every and batches_seen["n"] % compact_every == 0:
             store.compact()

@@ -1397,3 +1397,57 @@ def test_brute_force_topk_partial_window_group_limit(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_minhash_store_sig_handoff_identical(spark, tmp_path):
+    """The sign-once handoff (sign → probe_dups(sig=) → absorb(sig=))
+    must leave the store in EXACTLY the state the re-sign path does —
+    signing is deterministic per row, so both the probe decisions and
+    the appended band_keys/signatures rows must match row-for-row."""
+    from fluent_plugin_sql_spark.operators.dedup import MinHashDedupStore
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to hide from hunters"),
+        (2, "completely different content about spark shuffles partitions "
+            "and broadcast joins at terabyte scale with adaptive execution"),
+        (3, "the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest to hide from hunters"),
+    ]
+    batch = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+
+    # path A: classic re-sign absorb
+    pa = str(tmp_path / "a")
+    sa = MinHashDedupStore(spark, pa, sig_match_frac=0.5)
+    dups_a = {r[0] for r in sa.probe_dups(batch, "text", "doc_id").collect()}
+    surv_a = batch.join(
+        spark.createDataFrame([(d,) for d in dups_a] or [(None,)], "doc_id LONG"),
+        "doc_id", "left_anti",
+    ).localCheckpoint(eager=True)
+    sa.absorb(surv_a, "text", "doc_id")
+
+    # path B: sign-once handoff
+    pb = str(tmp_path / "b")
+    sb = MinHashDedupStore(spark, pb, sig_match_frac=0.5)
+    sig = sb.sign(batch, "text", "doc_id")
+    dups_b = {r[0] for r in sb.probe_dups(batch, "text", "doc_id", sig=sig).collect()}
+    surv_b = batch.join(
+        spark.createDataFrame([(d,) for d in dups_b] or [(None,)], "doc_id LONG"),
+        "doc_id", "left_anti",
+    ).localCheckpoint(eager=True)
+    sb.absorb(surv_b, "text", "doc_id", sig=sig)
+
+    assert dups_a == dups_b == {3}
+    for sub in ("band_keys", "signatures"):
+        ra = sorted(map(tuple, spark.read.parquet(f"{pa}/{sub}").collect()))
+        rb = sorted(map(tuple, spark.read.parquet(f"{pb}/{sub}").collect()))
+        assert ra == rb, f"{sub} state differs between handoff and re-sign"
+
+    # and a follow-up batch probes identically against both stores
+    nxt = spark.createDataFrame(
+        [(10, docs[0][1]), (11, "novel words never seen in any batch before now")],
+        "doc_id LONG, text STRING",
+    )
+    da = {r[0] for r in sa.probe_dups(nxt, "text", "doc_id").collect()}
+    db = {r[0] for r in sb.probe_dups(nxt, "text", "doc_id").collect()}
+    assert da == db == {10}
