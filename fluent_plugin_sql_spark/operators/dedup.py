@@ -1825,23 +1825,61 @@ class EmbeddingDedupStore:
             )
         )
 
-    def probe_dups(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    def assign_probes(
+        self, df: DataFrame, vec_col: str, id_col: str
+    ) -> DataFrame | None:
+        """The batch's centroid assignment against the store's PERSISTED
+        centroid set, with ``top_n = max(nprobe, store_replicas)`` and
+        eagerly checkpointed — the assignment is the probe/absorb
+        cycle's expensive map, and handing this to BOTH
+        :meth:`probe_dups` (which slices ``_rn <= nprobe``) and
+        :meth:`absorb` (``_rn <= store_replicas`` + survivor semi-join)
+        halves the per-batch scoring work of the split at-least-once
+        sequence.  Assignment against frozen centroids is deterministic
+        per row, so both slices are bit-identical to the unassisted
+        paths.  Returns ``None`` when the store has no centroid set yet
+        (first batch) — callers then fall back to the plain calls, which
+        handle the ephemeral-centroid probe and the centroid-freezing
+        absorb."""
+        centroids = self._load_centroids()
+        if centroids is None:
+            return None
+        vecs = df.select(
+            F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+        )
+        return self._assign(
+            vecs, centroids, max(self.nprobe, self.store_replicas)
+        ).localCheckpoint(eager=True)
+
+    def probe_dups(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        id_col: str,
+        probes: DataFrame | None = None,
+    ) -> DataFrame:
         """STRICTLY read-only: ids in ``df`` whose vector matches
         (cosine ≥ threshold) an accepted vector in a probed bucket, or a
         lower-id batch row sharing a home bucket.  Against an empty
         store, batch-internal candidates are bucketed by an EPHEMERAL
         deterministic centroid pick from this batch — nothing is
         written, so probing can never freeze centroids from a batch that
-        is never absorbed."""
+        is never absorbed.  ``probes``: optionally the
+        :meth:`assign_probes` handoff (skips re-assigning)."""
         from .similarity import cosine_prenorm, norm
 
-        vecs = df.select(
-            F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
-        ).localCheckpoint(eager=True)  # feeds centroid-init + 2 assigns
-        centroids = self._load_centroids()
-        if centroids is None:
-            centroids = self._pick_centroids(vecs, self.num_centroids)
-        probes = self._assign(vecs, centroids, self.nprobe).localCheckpoint(eager=True)
+        if probes is not None:
+            probes = probes.where(F.col("_rn") <= self.nprobe)
+        else:
+            vecs = df.select(
+                F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
+            ).localCheckpoint(eager=True)  # feeds centroid-init + assign
+            centroids = self._load_centroids()
+            if centroids is None:
+                centroids = self._pick_centroids(vecs, self.num_centroids)
+            probes = self._assign(vecs, centroids, self.nprobe).localCheckpoint(
+                eager=True
+            )
 
         # pair joins below reuse the probes' per-row norm (_vn) instead
         # of folding each side's norm once per PAIR (cosine_prenorm is
@@ -1889,27 +1927,56 @@ class EmbeddingDedupStore:
         )
         return cross.unionByName(internal).distinct()
 
-    def absorb(self, survivors: DataFrame, vec_col: str, id_col: str) -> None:
+    def absorb(
+        self,
+        survivors: DataFrame,
+        vec_col: str,
+        id_col: str,
+        assigned: DataFrame | None = None,
+    ) -> None:
         """Record ``survivors`` (already probed and sunk by the caller)
         as accepted — the mutating half of the at-least-once split.
-        Freezes the centroid set from the first absorbed batch."""
+        Freezes the centroid set from the first absorbed batch.
+
+        ``assigned``: optionally the :meth:`assign_probes` handoff for a
+        SUPERSET of ``survivors`` — absorb then slices it to
+        ``_rn <= store_replicas`` and semi-joins on the survivor ids
+        instead of re-scoring, which is bit-identical (assignment
+        against the frozen centroid set is deterministic per row).
+        Ignored with a fallback to re-scoring if the store has no
+        centroid set yet (the handoff cannot exist in that state —
+        :meth:`assign_probes` returns None)."""
         vecs = survivors.select(
             F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")
         )
         with self._store_fs.lock("absorb"):
             creating = not self._exists("centroids")
+            if assigned is not None and not creating:
+                keep = survivors.select(F.col(id_col).alias("doc"))
+                assigned = (
+                    assigned.where(F.col("_rn") <= self.store_replicas)
+                    .join(keep, "doc", "left_semi")
+                )
+                self._finish_absorb(assigned, creating)
+                return
             centroids = self._ensure_centroids(vecs)
             assigned = self._assign(vecs, centroids, self.store_replicas)
-            if self.track_drift:
-                # share the assignment between the postings write and
-                # the drift aggregate instead of re-running it
-                assigned = assigned.localCheckpoint(eager=False)
-            homes = assigned.select("bucket", "doc", "vec")
-            homes.repartition(F.col("bucket")).write.mode("append").partitionBy(
-                "bucket"
-            ).parquet(f"{self.path}/postings")
-            if self.track_drift:
-                self._update_drift(assigned, creating)
+            self._finish_absorb(assigned, creating)
+
+    def _finish_absorb(self, assigned: DataFrame, creating: bool) -> None:
+        """Shared tail of both absorb paths: write the posting rows and
+        (when tracked) fold the batch into the drift state.  Caller
+        holds the absorb lock."""
+        if self.track_drift:
+            # share the assignment between the postings write and
+            # the drift aggregate instead of re-running it
+            assigned = assigned.localCheckpoint(eager=False)
+        homes = assigned.select("bucket", "doc", "vec")
+        homes.repartition(F.col("bucket")).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(f"{self.path}/postings")
+        if self.track_drift:
+            self._update_drift(assigned, creating)
 
     def process_batch(self, df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
         """Probe + absorb in one call: return the semantically-novel
@@ -1939,16 +2006,45 @@ class EmbeddingDedupStore:
     # baseline on the next absorb) — correctness never depends on it.
 
     def _read_drift(self):
+        self._heal_drift()
         if not self._store_fs.has_data("drift"):
             return None
         row = self.spark.read.parquet(f"{self.path}/drift").first()
         return None if row is None else row.asDict()
 
+    def _heal_drift(self) -> None:
+        """Finish (or discard) an interrupted drift swap: live missing
+        but a complete staged table present → promote it; an incomplete
+        staged leftover → drop it.  Advisory state, so any unresolvable
+        shape just degrades to 'no drift state' (fresh baseline)."""
+        fs = self._store_fs
+        live, staged = f"{self.path}/drift", f"{self.path}/_drift_staged"
+        if fs.has_data("_drift_staged") and not fs.has_data("drift"):
+            if fs.exists("drift"):  # fileless husk from an old interrupt
+                fs._fs.delete(fs._jpath(live), True)
+            fs._rename(staged, live)
+        elif fs.exists("_drift_staged"):
+            fs._fs.delete(fs._jpath(staged), True)
+
     def _write_drift(self, train_mean, ewma, n_batches: int) -> None:
+        # staged write + checked-rename swap (the store's compaction
+        # discipline): a caller interrupted mid-write — e.g. a streaming
+        # query stopped during the batch's tail absorb — can no longer
+        # destroy the PREVIOUS drift state the way an in-place
+        # mode("overwrite") truncate-then-write could.  The unprotected
+        # window shrinks from the whole parquet write to two renames,
+        # and _heal_drift resolves either side of an interrupt there.
+        fs = self._store_fs
+        live, staged = f"{self.path}/drift", f"{self.path}/_drift_staged"
+        if fs.exists("_drift_staged"):
+            fs._fs.delete(fs._jpath(staged), True)
         self.spark.createDataFrame(
             [(float(train_mean), float(ewma), int(n_batches))],
             "train_mean double, ewma double, n_batches long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/drift")
+        ).coalesce(1).write.mode("overwrite").parquet(staged)
+        if fs.exists("drift"):
+            fs._fs.delete(fs._jpath(live), True)
+        fs._rename(staged, live)
 
     def _batch_home_mean(self, assigned: DataFrame):
         """Mean home-centroid cosine of one assignment (rank-1 rows;

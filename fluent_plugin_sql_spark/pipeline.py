@@ -577,18 +577,27 @@ class Pipeline:
                     survivors = survivors.join(
                         dups.withColumnRenamed("dup", _id), _id, "left_anti"
                     )
+                _ed_assigned = None
                 if _estore is not None:
                     _id = ed_cfg.get("id_col", "vec_id")
+                    _vec = ed_cfg.get("vec_col", "embedding")
+                    # assign once against the frozen centroids; the
+                    # absorb below reuses the handoff (None on the
+                    # first batch → plain paths)
+                    _ed_assigned = _estore.assign_probes(survivors, _vec, _id)
                     dups = _estore.probe_dups(
-                        survivors, ed_cfg.get("vec_col", "embedding"), _id
+                        survivors, _vec, _id, probes=_ed_assigned
                     )
                     survivors = survivors.join(
                         dups.withColumnRenamed("dup", _id), _id, "left_anti"
                     )
+                _sm_assigned = None
                 if _smstore is not None:
                     _id = smd_cfg.get("id_col", "vec_id")
+                    _vec = smd_cfg.get("vec_col", "embedding")
+                    _sm_assigned = _smstore.assign_probes(survivors, _vec, _id)
                     dups = _smstore.probe_dups(
-                        survivors, smd_cfg.get("vec_col", "embedding"), _id
+                        survivors, _vec, _id, probes=_sm_assigned
                     )
                     survivors = survivors.join(
                         dups.withColumnRenamed("dup", _id), _id, "left_anti"
@@ -673,6 +682,7 @@ class Pipeline:
                         survivors,
                         ed_cfg.get("vec_col", "embedding"),
                         ed_cfg.get("id_col", "vec_id"),
+                        assigned=_ed_assigned,
                     )
                 if _smstore is not None:
                     # first absorb trains + freezes the k-means
@@ -681,6 +691,7 @@ class Pipeline:
                         survivors,
                         smd_cfg.get("vec_col", "embedding"),
                         smd_cfg.get("id_col", "vec_id"),
+                        assigned=_sm_assigned,
                     )
                     _ratio = smd_cfg.get("recluster_drift_ratio")
                     if _ratio is not None and _smstore.maybe_recluster(

@@ -613,13 +613,17 @@ def chained_dedup_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
             surv = surv.join(
                 dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
             )
-            dups = estore.probe_dups(surv, "embedding", "doc_id")
+            # same handoff for the embedding store: assign once against
+            # the frozen centroids (None on the first batch — the plain
+            # paths then probe ephemerally / train-and-freeze)
+            eassigned = estore.assign_probes(surv, "embedding", "doc_id")
+            dups = estore.probe_dups(surv, "embedding", "doc_id", probes=eassigned)
             surv = surv.join(
                 dups.withColumnRenamed("dup", "doc_id"), "doc_id", "left_anti"
             ).localCheckpoint(eager=True)  # pin: sink-then-absorb point
             xstore.absorb(surv, "text", "doc_id")
             nstore.absorb(surv, "text", "doc_id", sig=nsig)
-            estore.absorb(surv, "embedding", "doc_id")
+            estore.absorb(surv, "embedding", "doc_id", assigned=eassigned)
             s = surv.select("doc_id", (F.col("doc_id") % 2).alias("batch"))
             out = s if out is None else out.unionByName(s)
         return out

@@ -1451,3 +1451,65 @@ def test_minhash_store_sig_handoff_identical(spark, tmp_path):
     da = {r[0] for r in sa.probe_dups(nxt, "text", "doc_id").collect()}
     db = {r[0] for r in sb.probe_dups(nxt, "text", "doc_id").collect()}
     assert da == db == {10}
+
+
+def test_embedding_store_assign_handoff_identical(spark, tmp_path):
+    """assign_probes → probe_dups(probes=) → absorb(assigned=) must
+    match the unassisted path exactly: same dup decisions, identical
+    postings state, identical drift state — assignment against frozen
+    centroids is deterministic per row.  First batch: assign_probes
+    returns None (no centroids yet) and the fallback paths run."""
+    from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore
+
+    def vec(seed, dim=8):
+        return [float((seed * 31 + i * 7) % 13) - 6.0 for i in range(dim)]
+
+    b1 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(8)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    near2 = [v + 0.001 for v in vec(2)]
+    b2 = spark.createDataFrame(
+        [(20, vec(20)), (22, near2), (23, vec(23))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+    stores = {}
+    for tag in ("a", "b"):
+        st = EmbeddingDedupStore(
+            spark, str(tmp_path / tag), threshold=0.95, num_centroids=4,
+            nprobe=3, store_replicas=2, track_drift=True,
+        )
+        stores[tag] = st
+        for batch in (b1, b2):
+            if tag == "a":  # unassisted path
+                dups = st.probe_dups(batch, "embedding", "vec_id")
+                surv = batch.join(
+                    dups.withColumnRenamed("dup", "vec_id"), "vec_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                st.absorb(surv, "embedding", "vec_id")
+            else:  # handoff path (None on batch 1 → fallback)
+                assigned = st.assign_probes(batch, "embedding", "vec_id")
+                if batch is b1:
+                    assert assigned is None
+                else:
+                    assert assigned is not None
+                dups = st.probe_dups(batch, "embedding", "vec_id", probes=assigned)
+                surv = batch.join(
+                    dups.withColumnRenamed("dup", "vec_id"), "vec_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                st.absorb(surv, "embedding", "vec_id", assigned=assigned)
+
+    for sub in ("postings", "centroids", "drift"):
+        ra = sorted(map(tuple, spark.read.parquet(str(tmp_path / "a" / sub)).collect()))
+        rb = sorted(map(tuple, spark.read.parquet(str(tmp_path / "b" / sub)).collect()))
+        assert ra == rb, f"{sub} differs between handoff and unassisted paths"
+
+    # follow-up probe agrees (near-dup of an absorbed vector is caught)
+    b3 = spark.createDataFrame(
+        [(30, [v + 0.001 for v in vec(23)]), (31, vec(31))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    da = {r[0] for r in stores["a"].probe_dups(b3, "embedding", "vec_id").collect()}
+    db = {r[0] for r in stores["b"].probe_dups(b3, "embedding", "vec_id").collect()}
+    assert da == db
+    assert 30 in da  # the planted near-dup of an absorbed vector is caught
