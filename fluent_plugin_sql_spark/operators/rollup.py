@@ -124,6 +124,12 @@ class RollupStore:
         # per-group cardinality (< 8k distinct) the result is EXACT
         # (every value is a candidate), which is what the gate verifies.
         self.top_cols = dict(top_cols or {})
+        # state-table schema, learned from the first read or write; a
+        # known schema lets later reads skip the per-read parquet
+        # footer-inference job (partition DISCOVERY still runs, so new
+        # batch=/pday= directories are always picked up — only the
+        # schema, fixed by the store's config, is reused)
+        self._data_schema = None
         self._fs = _StoreFS(spark, self.path)
         # Healing on open is a MUTATION: when another session's writer
         # lock is present (live compact/absorb in flight — or a crashed
@@ -159,6 +165,26 @@ class RollupStore:
         are all partial-mergeable, so Spark's own two-phase hash
         aggregation keeps the shuffle at O(groups))."""
         w = F.window(F.col(self.time_col), self.window)
+        if self.hist_cols:
+            # bin ids are projected ONCE per row before the aggregation.
+            # Inlining the CASE/floor/divide chain into every per-bin
+            # conditional sum made the analyzer walk nb+2 copies of it
+            # and the executor re-derive it per bin per row (measured
+            # 4.0 s -> 0.9 s first-exec, 0.74 -> 0.40 s steady at sf0.1
+            # for an 80-bin histogram).  The expressions are emitted as
+            # SQL strings — a Column-tree build of nb+2 conditional sums
+            # costs ~1 s of py4j round-trips per absorb (same driver
+            # stall as similarity._hyperplane_bucket_sql documents).
+            bin_projs = []
+            for c, (lo, hi, nb) in self.hist_cols.items():
+                bw = (hi - lo) / nb
+                bin_projs.append(
+                    f"CASE WHEN `{c}` < {lo!r}D THEN 0 "
+                    f"WHEN `{c}` >= {hi!r}D THEN {nb + 1} "
+                    f"ELSE CAST(floor((`{c}` - {lo!r}D) / {bw!r}D) AS INT) + 1 "
+                    f"END AS `_bin_{c}`"
+                )
+            df = df.selectExpr("*", *bin_projs)
         aggs = [F.count(F.lit(1)).alias("rc")]
         for c in self.sum_cols:
             aggs += [
@@ -170,20 +196,15 @@ class RollupStore:
             aggs.append(F.hll_sketch_agg(F.col(c), F.lit(self.lgk)).alias(f"hll_{c}"))
         for c, (lo, hi, nb) in self.hist_cols.items():
             # bin 0 = underflow, 1..nb = in-range, nb+1 = overflow; one
-            # conditional-sum per bin, folded into an array — pure
-            # codegen, partial-mergeable like every other agg here
-            bw = (hi - lo) / nb
-            bin_id = F.when(F.col(c) < lo, 0).when(F.col(c) >= hi, nb + 1).otherwise(
-                F.floor((F.col(c) - F.lit(lo)) / F.lit(bw)).cast("int") + 1
+            # conditional-sum per precomputed bin id, folded into an
+            # array — partial-mergeable like every other agg here (a
+            # NULL value yields a NULL bin id, which matches no bin —
+            # same exclusion as the previous inlined CASE)
+            per_bin = ", ".join(
+                f"sum(CASE WHEN `_bin_{c}` = {i} THEN 1 ELSE 0 END)"
+                for i in range(nb + 2)
             )
-            aggs.append(
-                F.array(
-                    *[
-                        F.sum(F.when(bin_id == i, F.lit(1)).otherwise(F.lit(0)))
-                        for i in range(nb + 2)
-                    ]
-                ).alias(f"hg_{c}")
-            )
+            aggs.append(F.expr(f"array({per_bin})").alias(f"hg_{c}"))
         base = df.groupBy(w.alias("w"), *[F.col(d) for d in self.dims]).agg(*aggs)
         for c, k in self.top_cols.items():
             # top-8k candidate values per group, stored as a map partial;
@@ -363,7 +384,12 @@ class RollupStore:
         """Partial-state rows in [start, end) — the pday partition filter
         prunes day DIRECTORIES at planning time, so a one-week query over
         a year of state reads ~7/365ths of it."""
-        df = self.spark.read.parquet(f"{self.path}/data")
+        reader = self.spark.read
+        if self._data_schema is not None:
+            reader = reader.schema(self._data_schema)
+        df = reader.parquet(f"{self.path}/data")
+        if self._data_schema is None:
+            self._data_schema = df.schema
         if start is not None:
             df = df.where(
                 (F.col("pday") >= F.date_format(F.lit(start), "yyyy-MM-dd"))
@@ -635,7 +661,7 @@ class RollupStore:
                     self._mark_committed(name[len("batch="):])
             gen = f"compacted-{uuid.uuid4().hex[:12]}"
             merged = (
-                self.spark.read.parquet(f"{self.path}/data")
+                self._read()
                 .groupBy("pday", "w_start", *self.dims)
                 .agg(*self._merge_aggs(
                     self.sum_cols, self.hll_cols, self.hist_cols, self.top_cols
