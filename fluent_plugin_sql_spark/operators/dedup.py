@@ -338,16 +338,35 @@ def minhash_lsh_dup_pairs(
     inter = F.size(F.array_intersect("_sa", "_sb"))
     # |A ∪ B| = |A| + |B| − |A ∩ B| exactly (the arrays are distinct
     # sets), with the set sizes precomputed per DOC — so the pair
-    # predicate walks one array pass (intersect) instead of two
-    union = F.col("_na") + F.col("_nb") - inter
+    # predicate walks one array pass (intersect) instead of two.
+    #
+    # The intersect is computed ONCE per pair, in the partial aggregate
+    # below.  Filtering the joined rows directly would let predicate
+    # pushdown clone the expression into the join condition AND keep it
+    # in the projection above (4 array walks per pair in the measured
+    # plan); a filter on an aggregate output cannot be pushed below the
+    # aggregate, and the per-pair groupBy is exact because candidate
+    # pairs are distinct and each side's sets are keyed by unique doc id
+    # (first() over a single-row group).  The exchange this adds carries
+    # three ints per candidate pair — noise next to the array walks it
+    # removes.
+    scored = (
+        candidates.join(hint(a), "doc_a")
+        .join(hint(b), "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(inter).alias("_i"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
+    )
+    union = F.col("_na") + F.col("_nb") - F.col("_i")
     # 0-shingle docs: try_divide(0, 0) -> NULL -> filtered by the
     # threshold predicate.  A bare `/` would raise DIVIDE_BY_ZERO under
     # ANSI mode (this Spark's default) and kill the job on one empty doc.
-    jac = F.try_divide(inter, union)
+    jac = F.try_divide(F.col("_i"), union)
     return (
-        candidates.join(hint(a), "doc_a")
-        .join(hint(b), "doc_b")
-        .where(jac >= threshold)
+        scored.where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
