@@ -630,7 +630,7 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # checkpointed (with its signature observed) by _ckpt_sig below
     )
 
     def _sym(ed: DataFrame) -> DataFrame:
@@ -647,19 +647,31 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
             .distinct()
         )
 
-    def _sig(ed: DataFrame) -> tuple[int, int]:
-        # mod keeps the ANSI-mode sum far from long overflow at any
-        # realistic edge count; order-insensitive by construction
-        r = ed.agg(
-            F.count("*").alias("n"),
+    def _ckpt_sig(ed: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        # The edge-set checksum rides the checkpoint's materialization
+        # job as an observed metric instead of a separate aggregation
+        # job — one driver round-trip per round, not two (measured ~30
+        # small sequential jobs per run before; the per-job overhead,
+        # not the aggregation itself, was the cost).  mod keeps the
+        # ANSI-mode sum far from long overflow at any realistic edge
+        # count; order-insensitive by construction.
+        from uuid import uuid4
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"star_sig_{uuid4().hex}")
+        ck = ed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007))),
                 F.lit(0),
             ).alias("h"),
-        ).first()
-        return int(r["n"]), int(r["h"])
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (int(m["n"]), int(m["h"]))
 
-    sig = _sig(e)
+    e, sig = _ckpt_sig(e)
     converged = False
     for _ in range(max_rounds):
         sym = _sym(e)
@@ -684,8 +696,7 @@ def dup_clusters_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
             .select(F.col("dst").alias("u"), F.col("m").alias("v"))
             .union(mns.select(F.col("src").alias("u"), F.col("m").alias("v")))
         )
-        e = _canon(small).localCheckpoint(eager=True)
-        new_sig = _sig(e)
+        e, new_sig = _ckpt_sig(_canon(small))
         if new_sig == sig:
             converged = True
             break
