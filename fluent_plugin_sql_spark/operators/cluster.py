@@ -127,19 +127,47 @@ def _farthest_seeds(e: DataFrame, k: int) -> list[list[float]]:
     if not first:
         return []
     seeds = [list(first[0].v)]
+    # Incremental min-distance: carry (vec_id, v, mind) across rounds in
+    # a localCheckpoint and fold ONLY the newest seed's distance in with
+    # a binary least() — the previous formulation re-derived every
+    # chosen seed's distance each round, so round i paid i O(dim) folds
+    # per row AND an O(i)-fold expression to parse/analyze (the driver
+    # stall dominated at gate scale).  least() is an exact associative
+    # min (NULL-skipping and NaN-as-largest included), so every round's
+    # mind — and therefore every argmax and seed — is value-identical
+    # to the n-ary form the oracle replicates.  The argmax itself rides
+    # the checkpoint job as an observed min(struct(-mind, vec_id, v)):
+    # negation is an exact total-order flip for the non-NaN distances
+    # finite x finite arithmetic produces, and the (vec_id, v) struct
+    # tail is the same asc tie-break as the previous sort.
+    from uuid import uuid4
+
+    from pyspark.sql import Observation
+
+    state = None
     for _ in range(1, k):
-        mind = ", ".join(_sq_l2_sql("v", s) for s in seeds)
-        if len(seeds) > 1:
-            mind = f"least({mind})"
-        nxt = (
-            finite.selectExpr("vec_id", "v", f"{mind} AS mind")
-            .orderBy(F.desc("mind"), F.asc("vec_id"), F.asc("v"))
-            .limit(1)
-            .collect()
-        )
-        if not nxt:
+        new_d = F.expr(_sq_l2_sql("v", seeds[-1]))
+        if state is None:
+            st = finite.select("vec_id", "v", new_d.alias("mind"))
+        else:
+            st = state.select(
+                "vec_id", "v", F.least(F.col("mind"), new_d).alias("mind")
+            )
+        obs = Observation(f"farthest_{uuid4().hex}")
+        state = st.observe(
+            obs,
+            F.min(
+                F.struct(
+                    (-F.col("mind")).alias("nm"),
+                    F.col("vec_id").alias("i"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("am"),
+        ).localCheckpoint(eager=True)
+        am = obs.get["am"]
+        if am is None:
             break
-        seeds.append(list(nxt[0].v))
+        seeds.append(list(am["v"]))
     return seeds
 
 
