@@ -47,21 +47,28 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-wide hash aggregate.  Partial aggregation
     (map-side combine) makes the shuffle carry ≤ |groups|×partitions rows —
     at 100 TB the shuffle is KBs, not TBs."""
-    li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+    # One SQL string = one py4j hop: the Column-tree build of this agg
+    # cost ~336 py4j round-trips (~0.1-0.3 s of driver wall per build —
+    # the reference's poll loop pays it every tick).  Parsed JVM-side
+    # into the identical logical plan; rows/schema verified identical
+    # against the Column form at sf0.01 and sf0.1.
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum((l_extendedprice * (1 - l_discount)) * (1 + l_tax)), 2)
+                 AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM {li}
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
     )
 
 
@@ -92,26 +99,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-filtered orders (~95% retained) would OOM the build side at
     scale.  The final ORDER+LIMIT is TakeOrderedAndProject (no global
     sort).  Tie-broken on l_orderkey so the LIMIT is deterministic."""
-    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    return (
-        li.join(
-            o.join(c, o.o_custkey == c.c_custkey),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
-        .limit(10)
+    # single-hop SQL build (see q1_pricing_summary); per-table filters
+    # live in WHERE — the optimizer pushes them below the joins exactly
+    # as the previous per-DataFrame .where() chain did
+    return spark.sql(
+        """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM {li} JOIN ({o} JOIN {c} ON o_custkey = c_custkey)
+             ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
+        o=_t(spark, sf_dir, "orders"),
+        c=_t(spark, sf_dir, "customer"),
     )
 
 
@@ -135,29 +141,31 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier and customer scale linearly with SF, so their joins carry no
     hint — AQE broadcasts them while they are small and shuffle-joins on
     the keys at 100×, where a forced broadcast would OOM the build side."""
-    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = _t(spark, sf_dir, "nation")
-    s = _t(spark, sf_dir, "supplier")
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    dim = (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, li.l_suppkey == dim.s_suppkey)
-        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == dim.s_nationkey))
-        .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+    # single-hop SQL build (see q1_pricing_summary); the BROADCAST hints
+    # bind to the n/r aliases — same forced broadcasts as the previous
+    # F.broadcast() calls, still none on the SF-scaling tables
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n), BROADCAST(r) */
+               n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM {li} li
+        JOIN {o} o  ON li.l_orderkey = o.o_orderkey
+        JOIN ({s} s JOIN {n} n ON s.s_nationkey = n.n_nationkey
+                    JOIN {r} r ON n.n_regionkey = r.r_regionkey)
+             ON li.l_suppkey = s.s_suppkey
+        JOIN {c} c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
+        o=_t(spark, sf_dir, "orders"),
+        s=_t(spark, sf_dir, "supplier"),
+        n=_t(spark, sf_dir, "nation"),
+        r=_t(spark, sf_dir, "region"),
+        c=_t(spark, sf_dir, "customer"),
     )
 
 
@@ -175,15 +183,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filter+agg — every predicate pushes to the parquet
     scan (PushedFilters), zero shuffle beyond the final 1-row reduce."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    # single-hop SQL build (see q1_pricing_summary)
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM {li}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        li=_t(spark, sf_dir, "lineitem"),
     )
 
 
