@@ -81,7 +81,14 @@ _schema_cache: dict[tuple[str, int, int], object] = {}
 _table_cache: dict[tuple[str, bool, str, int, int], DataFrame] = {}
 
 
-def _stat_key(path: str) -> tuple[str, int, int]:
+def _stat_key(path: str) -> tuple[str, int, int] | None:
+    # directory tables are excluded from the lazy-plan cache: their
+    # top-level mtime/size does not change when a nested partition file
+    # is rewritten, so a cached reader (whose file listing snapshots at
+    # analysis time) could silently serve stale files.  Driver tables
+    # are single parquet files; anything else re-reads fresh.
+    if not os.path.isfile(path):
+        return None
     st = os.stat(path)
     return (path, st.st_mtime_ns, st.st_size)
 
@@ -116,10 +123,18 @@ def load_table(
         key = None
     tkey = None
     if key is not None:
-        tkey = (spark.sparkContext.applicationId, keep_ns, *key)
+        app_id = spark.sparkContext.applicationId
+        tkey = (app_id, keep_ns, *key)
         hit = _table_cache.get(tkey)
         if hit is not None:
             return hit
+        # evict plans built by other (stopped) sessions: entries keyed
+        # on a dead applicationId can never hit again, and each holds a
+        # py4j DataFrame reference — a long-lived process cycling
+        # sessions would otherwise leak them without bound
+        stale = [k for k in _table_cache if k[0] != app_id]
+        for k in stale:
+            del _table_cache[k]
     cached = _schema_cache.get(key) if key is not None else None
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)

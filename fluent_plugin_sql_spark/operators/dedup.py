@@ -2035,26 +2035,44 @@ class EmbeddingDedupStore:
     # Drift state is ADVISORY (a lost drift table merely restarts the
     # baseline on the next absorb) — correctness never depends on it.
 
-    def _read_drift(self):
-        self._heal_drift()
+    def _read_drift(self, locked: bool = False):
+        self._heal_drift(locked=locked)
         if not self._store_fs.has_data("drift"):
             return None
         row = self.spark.read.parquet(f"{self.path}/drift").first()
         return None if row is None else row.asDict()
 
-    def _heal_drift(self) -> None:
+    def _heal_drift(self, locked: bool = False) -> None:
         """Finish (or discard) an interrupted drift swap: live missing
         but a complete staged table present → promote it; an incomplete
         staged leftover → drop it.  Advisory state, so any unresolvable
-        shape just degrades to 'no drift state' (fresh baseline)."""
+        shape just degrades to 'no drift state' (fresh baseline).
+
+        Healing MUTATES the store, and ``_read_drift`` is reachable from
+        read-only APIs (``drift_ratio``, ``maybe_recluster``): when the
+        writer lock is present, a live absorb/recluster may be mid-swap
+        in ``_write_drift``, and deleting or promoting its staged dir
+        here would make the writer's checked rename fail — turning
+        advisory drift state into a hard batch failure.  So readers only
+        heal when no writer holds the lock (writers re-enter under the
+        lock and heal properly), and any FS race that slips through the
+        lock-free check degrades to a no-op rather than raising."""
         fs = self._store_fs
+        if not locked and fs.exists(_StoreFS.LOCK):
+            return  # live (or crashed-but-unrecovered) writer owns the swap
         live, staged = f"{self.path}/drift", f"{self.path}/_drift_staged"
-        if fs.has_data("_drift_staged") and not fs.has_data("drift"):
-            if fs.exists("drift"):  # fileless husk from an old interrupt
-                fs._fs.delete(fs._jpath(live), True)
-            fs._rename(staged, live)
-        elif fs.exists("_drift_staged"):
-            fs._fs.delete(fs._jpath(staged), True)
+        try:
+            if fs.has_data("_drift_staged") and not fs.has_data("drift"):
+                if fs.exists("drift"):  # fileless husk from an old interrupt
+                    fs._fs.delete(fs._jpath(live), True)
+                fs._rename(staged, live)
+            elif fs.exists("_drift_staged"):
+                fs._fs.delete(fs._jpath(staged), True)
+        except Exception:
+            # two lock-free readers can race each other's heal; losing
+            # the race leaves either a healed store or a leftover staged
+            # dir for the next heal — never corrupt live state
+            pass
 
     def _write_drift(self, train_mean, ewma, n_batches: int) -> None:
         # staged write + checked-rename swap (the store's compaction
@@ -2091,7 +2109,7 @@ class EmbeddingDedupStore:
         m = self._batch_home_mean(assigned)
         if m is None:
             return
-        st = None if creating else self._read_drift()
+        st = None if creating else self._read_drift(locked=True)
         if st is None:
             # first tracked batch (or lost advisory state): this batch
             # IS the baseline
@@ -2145,7 +2163,11 @@ class EmbeddingDedupStore:
             cents = self.spark.read.parquet(f"{self.path}/centroids")
             m = self._batch_home_mean(self._assign(vecs, cents, 1))
             if m is not None:
-                self._write_drift(m, m, 0)
+                # under the writer lock like every other _write_drift
+                # call site: the staged-swap rename must not race a
+                # lock-free reader's heal (see _heal_drift)
+                with self._store_fs.lock("drift-rebaseline"):
+                    self._write_drift(m, m, 0)
         return True
 
     def recluster(

@@ -34,6 +34,19 @@ def get_spark(
       deterministic and match the DuckDB oracle (naive-UTC).
     """
     cpus = default_parallelism()
+    # the 64 KB split-sizing floors below exist to fix measured
+    # single-task stages on SMALL single-file inputs in local mode; on a
+    # cluster master the Spark defaults (4 MB open cost, 1 MB AQE floor)
+    # are kept — many-small-file workloads there would otherwise
+    # multiply task counts.  The env overrides still apply to both.
+    eff_master = master or os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
+    is_local = eff_master.startswith("local")
+    open_cost = os.environ.get(
+        "SPARK_GRAFT_OPEN_COST", str(64 * 1024) if is_local else None
+    )
+    min_part = os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION_SIZE", str(64 * 1024) if is_local else None
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
@@ -81,7 +94,7 @@ def get_spark(
         # fix the file sizing upstream per guide §6).
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST", str(64 * 1024)),
+            open_cost or "4194304",  # Spark default when non-local
         )
         # AQE coalescing's floor on post-shuffle partition sizes: the
         # default 1 MB collapses every small shuffle to ONE reduce task
@@ -93,7 +106,7 @@ def get_spark(
         # below advisory when the shuffle is small relative to cores).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", str(64 * 1024)),
+            min_part or "1048576",  # Spark default when non-local
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
