@@ -1701,11 +1701,16 @@ class EmbeddingDedupStore:
         store_replicas: int = 2,
         centroid_mode: str = "hash",
         track_drift: bool = False,
+        numeric_mode: str = "fold",
     ):
         if centroid_mode not in ("hash", "kmeans", "kmeans_parallel"):
             raise ValueError(
                 f"centroid_mode must be 'hash', 'kmeans' or "
                 f"'kmeans_parallel', got {centroid_mode!r}"
+            )
+        if numeric_mode not in ("fold", "vectorized"):
+            raise ValueError(
+                f"numeric_mode must be 'fold' or 'vectorized', got {numeric_mode!r}"
             )
         self.spark = spark
         self.path = path.rstrip("/")
@@ -1728,6 +1733,13 @@ class EmbeddingDedupStore:
         #: num_centroids.  Mode only matters at creation (and at
         #: recluster, which has its own Lloyd path).
         self.centroid_mode = centroid_mode
+        #: arithmetic path for centroid TRAINING (centroid_mode != hash):
+        #: "fold" = the interpreted expression folds (the oracle mode);
+        #: "vectorized" = numpy-GEMM distances over Arrow batches
+        #: (operators/dense) — the 100 TB setting, config-selected via
+        #: the pipeline's embedding_dedup / semantic_dedup blocks.
+        #: Probe/absorb scoring is unaffected (already prenormed folds).
+        self.numeric_mode = numeric_mode
         self._store_fs = _StoreFS(spark, self.path)
         if not self._store_fs.exists(_StoreFS.LOCK):
             # healing mutates; skip it when another session's writer is
@@ -1804,11 +1816,13 @@ class EmbeddingDedupStore:
 
         if self.centroid_mode == "kmeans_parallel":
             cents = kmeans_parallel_centroids(
-                vecs, k=n, dim=dim, vec_col="vec", id_col="doc"
+                vecs, k=n, dim=dim, vec_col="vec", id_col="doc",
+                numeric_mode=self.numeric_mode,
             )
         else:
             cents = kmeans_centroids(
-                vecs, k=n, iters=2, dim=dim, vec_col="vec", id_col="doc"
+                vecs, k=n, iters=2, dim=dim, vec_col="vec", id_col="doc",
+                numeric_mode=self.numeric_mode,
             )
         return cents.select(
             F.col("cid").cast("long").alias("centroid_id"),

@@ -446,6 +446,11 @@ class Pipeline:
                     num_centroids=int(ed_cfg.get("num_centroids", 16)),
                     nprobe=int(ed_cfg.get("nprobe", 2)),
                     store_replicas=int(ed_cfg.get("store_replicas", 2)),
+                    centroid_mode=ed_cfg.get("centroid_mode", "hash"),
+                    # "vectorized" routes centroid training through the
+                    # numpy-GEMM path (operators/dense) — the production
+                    # arithmetic; fold stays the default/oracle mode
+                    numeric_mode=ed_cfg.get("numeric_mode", "fold"),
                 )
 
         smd_cfg = src.get("semantic_dedup")
@@ -473,6 +478,7 @@ class Pipeline:
                     store_replicas=int(smd_cfg.get("store_replicas", 2)),
                     centroid_mode=smd_cfg.get("centroid_mode", "kmeans"),
                     track_drift=_drift is not None,
+                    numeric_mode=smd_cfg.get("numeric_mode", "fold"),
                 )
 
         iv_cfg = src.get("ivf_index")

@@ -202,3 +202,105 @@ def test_run_streaming_semantic_drift_recluster(spark, tmp_path):
     ids = sorted(r.centroid_id for r in cents.collect())
     assert ids != [0, 1, 2]
     assert min(ids) >= 100
+
+
+class TestVectorizedTraining:
+    """Config-surfaced numeric_mode: the GEMM training path must yield
+    the same probe decisions as the fold path on separated modes, and
+    the pipeline config must reach the store parameter."""
+
+    def test_vectorized_centroid_training_matches_fold_decisions(
+        self, spark, tmp_path
+    ):
+        batch1 = _df(
+            spark,
+            [(i, _mode(i % 2, eps=0.02 * (i % 3))) for i in range(12)],
+        )
+        probe = _df(spark, [(100, _mode(0)), (101, _mode(2))])
+        decisions = {}
+        for mode in ("fold", "vectorized"):
+            st = EmbeddingDedupStore(
+                spark,
+                str(tmp_path / f"st_{mode}"),
+                threshold=0.999,
+                num_centroids=2,
+                nprobe=1,
+                centroid_mode="kmeans",
+                numeric_mode=mode,
+            )
+            st.absorb(batch1, "embedding", "vec_id")
+            dups = st.probe_dups(probe, "embedding", "vec_id")
+            decisions[mode] = sorted(r.dup for r in dups.collect())
+        # axis-0 probe is a near-dup of the absorbed axis-0 mode, the
+        # axis-2 probe matches nothing — in BOTH arithmetic modes
+        assert decisions["fold"] == decisions["vectorized"] == [100]
+
+    def test_numeric_mode_validated(self, spark, tmp_path):
+        import pytest
+
+        with pytest.raises(ValueError, match="numeric_mode"):
+            EmbeddingDedupStore(
+                spark, str(tmp_path / "bad"), numeric_mode="simd"
+            )
+
+    def test_pipeline_config_wires_numeric_mode(self, spark, tmp_path):
+        """source.semantic_dedup.numeric_mode reaches the store the
+        streaming pipeline builds (semantic_dedup is streaming-only)."""
+        from fluent_plugin_sql_spark.pipeline import Pipeline
+
+        cfg = {
+            "source": {
+                "path": str(tmp_path / "src"),
+                "select_limit": 10,
+                "tables": [
+                    {"table": "embeddings", "update_column": "vec_id"}
+                ],
+                "semantic_dedup": {
+                    "path": str(tmp_path / "smd"),
+                    "vec_col": "embedding",
+                    "id_col": "vec_id",
+                    "tau": 0.95,
+                    "k": 2,
+                    "numeric_mode": "vectorized",
+                },
+            },
+            "sink": {"path": str(tmp_path / "out"), "tables": [{"table": "catch_all"}]},
+        }
+        (tmp_path / "src").mkdir()
+        _df(spark, [(i, _mode(i % 2)) for i in range(6)]).coalesce(1).write.parquet(
+            str(tmp_path / "src" / "embeddings.parquet")
+        )
+        pipe = Pipeline(spark, cfg)
+        # the store objects are built (with the configured mode) when the
+        # streams are wired; assert on the built store directly
+        queries = pipe.run_streaming(str(tmp_path / "ckpt"))
+        try:
+            t0 = time.time()
+            while time.time() - t0 < 60:
+                try:
+                    if spark.read.parquet(str(tmp_path / "out" / "catch_all")).count() >= 6:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            for q in queries:
+                q.stop()
+                q.awaitTermination(30)
+        from fluent_plugin_sql_spark.operators.dedup import EmbeddingDedupStore as S
+
+        st = S(spark, str(tmp_path / "smd" / "embeddings"))
+        assert st._exists("centroids")
+        # and the config value demonstrably reaches the store parameter:
+        # an invalid mode must fail at stream wiring with the store's
+        # own validation error
+        import pytest
+
+        bad = dict(cfg)
+        bad["source"] = dict(cfg["source"])
+        bad["source"]["semantic_dedup"] = dict(
+            cfg["source"]["semantic_dedup"], path=str(tmp_path / "smd2"),
+            numeric_mode="simd",
+        )
+        with pytest.raises(ValueError, match="numeric_mode"):
+            Pipeline(spark, bad).run_streaming(str(tmp_path / "ckpt2"))
