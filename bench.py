@@ -206,6 +206,26 @@ def main() -> None:
             "max": round(max(samples), 3),
         }
     total = round(sum(timings.values()), 3)
+    # ADDED entries (never replacing the 13 originals, which keep the
+    # collect() methodology and alone define `value`): noop-sink twins
+    # of the queries whose collect() time is dominated by RESULT
+    # TRANSFER (session_windows 69k rows, top3 45k, text_stats 5k wide
+    # rows).  The noop sink computes every column and discards it
+    # (guide §1.4), so the `_noop` timings expose how the COMPUTATION
+    # scales with cores — the low-core-count comparison the driver runs
+    # was otherwise flattened by the fixed transfer+driver floor.
+    for name in ("session_windows", "top3_orders_per_customer", "text_stats"):
+        fn = queries[name]
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[f"{name}_noop"] = round(min(samples), 3)
+        spread[f"{name}_noop"] = {
+            "med": round(statistics.median(samples), 3),
+            "max": round(max(samples), 3),
+        }
     # full blob first (spread + codec axes for the record), then the
     # short headline line LAST: the driver records a bounded TAIL of
     # stdout, and round 8's artifact was unparseable because the codec
