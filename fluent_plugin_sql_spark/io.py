@@ -123,18 +123,29 @@ def load_table(
         key = None
     tkey = None
     if key is not None:
-        app_id = spark.sparkContext.applicationId
-        tkey = (app_id, keep_ns, *key)
+        # keyed on the SESSION uuid, not just the applicationId:
+        # spark.newSession() shares the app but has its own temp-view
+        # catalog, and a DataFrame is bound to the session that built it
+        # (parameterized spark.sql({t}=df) resolves in the calling
+        # session's catalog) — serving one session's plan to another
+        # breaks resolution.  applicationId is the fallback for session
+        # impls without a uuid.
+        try:
+            skey = spark._jsparkSession.sessionUUID()  # noqa: SLF001
+        except Exception:
+            skey = spark.sparkContext.applicationId
+        tkey = (skey, keep_ns, *key)
         hit = _table_cache.get(tkey)
         if hit is not None:
             return hit
-        # evict plans built by other (stopped) sessions: entries keyed
-        # on a dead applicationId can never hit again, and each holds a
-        # py4j DataFrame reference — a long-lived process cycling
-        # sessions would otherwise leak them without bound
-        stale = [k for k in _table_cache if k[0] != app_id]
-        for k in stale:
-            del _table_cache[k]
+        if len(_table_cache) > 256:
+            # bound the leak from cycled sessions: drop every other
+            # session's entries once the cache grows past the cap (each
+            # holds a py4j DataFrame reference).  Current session's
+            # entries — the only ones that can still hit — survive.
+            stale = [k for k in _table_cache if k[0] != skey]
+            for k in stale:
+                del _table_cache[k]
     cached = _schema_cache.get(key) if key is not None else None
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
